@@ -1,0 +1,186 @@
+"""Deterministic synthetic media codec ("HPM1").
+
+The sandbox has no PIL/PyMuPDF, and the task rules forbid external
+data, so media columns carry a self-describing synthetic format whose
+*pixels are a pure function of (text, width, height)*. That gives the
+whole preprocessing chain (convert -> resize -> grayscale -> binarize,
+reference images.py:139-240 / manager.py:344-374) a deterministic,
+byte-reproducible meaning: resampling at new dimensions re-renders the
+same function at the new size — a stand-in for PIL's Image.HAMMING that
+preserves the property the pipeline actually relies on (same input
+bytes => same output bytes on every executor, any parallelism).
+
+Layout (little-endian):
+    magic   4s   b"HPM1"
+    fmt     8s   ascii, NUL-padded (canonical format name, e.g. png)
+    width   u32
+    height  u32
+    npages  u16
+    flags   u16  bit0 = binarized
+    textlen u32  length of UTF-8 text payload
+    text    ...  page texts joined by "\\f" (form feed)
+    padlen  u32  deterministic incompressible padding (byte-size control)
+    pixels  zlib(width*height grayscale bytes, page 1)
+    pad     padlen raw bytes from the same keyed stream
+
+Corrupt inputs raise ``MediaError`` — mapped downstream to error rows,
+never task failures (the reference's row-vs-job error policy,
+services/base.py + amazon.py:66-79).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import struct
+import zlib
+from typing import NamedTuple
+
+import numpy as np
+
+from .formats import canonical_format_name
+
+MAGIC = b"HPM1"
+_HEADER = struct.Struct("<4s8sIIHHI")
+FLAG_BINARIZED = 1
+
+
+class MediaError(ValueError):
+    """Unreadable/corrupt media bytes (analog of PIL open errors)."""
+
+
+class MediaInfo(NamedTuple):
+    fmt: str
+    width: int
+    height: int
+    npages: int
+    flags: int
+    text: str  # page-1 text
+    pages: tuple  # all page texts
+    size: int  # total encoded byte size
+
+
+def _stream(key: bytes, n: int) -> bytes:
+    """Deterministic pseudo-random byte stream keyed by ``key``."""
+    out = bytearray()
+    counter = 0
+    while len(out) < n:
+        out += hashlib.sha256(key + counter.to_bytes(8, "little")).digest()
+        counter += 1
+    return bytes(out[:n])
+
+
+def render_pixels(text: str, width: int, height: int, binarized: bool = False) -> np.ndarray:
+    """Grayscale page render: a pure function of (text, width, height)."""
+    n = width * height
+    if n == 0:
+        return np.zeros((height, width), dtype=np.uint8)
+    key = b"HPM1-px|" + text.encode("utf-8") + b"|" + struct.pack("<II", width, height)
+    px = np.frombuffer(_stream(key, n), dtype=np.uint8).reshape(height, width)
+    if binarized:
+        px = np.where(px >= 128, np.uint8(255), np.uint8(0))
+    return px
+
+
+def encode_media(
+    text: str,
+    fmt: str = "png",
+    width: int = 320,
+    height: int = 200,
+    pages: list[str] | None = None,
+    pad_to: int | None = None,
+    binarized: bool = False,
+) -> bytes:
+    """Encode a synthetic media object. ``pages`` overrides ``text`` for
+    multi-page formats (pdf/tiff); ``pad_to`` grows the encoding with
+    incompressible padding to a target byte size (size-cap testing)."""
+    fmt = canonical_format_name(fmt)
+    page_texts = pages if pages is not None else [text]
+    joined = "\f".join(page_texts).encode("utf-8")
+    flags = FLAG_BINARIZED if binarized else 0
+    pixels = zlib.compress(
+        render_pixels(page_texts[0], width, height, binarized).tobytes(), 6
+    )
+    header = _HEADER.pack(
+        MAGIC, fmt.encode("ascii")[:8].ljust(8, b"\0"), width, height,
+        len(page_texts), flags, len(joined),
+    )
+    base_len = len(header) + len(joined) + 4 + len(pixels)
+    pad_len = max(0, (pad_to or 0) - base_len)
+    pad = _stream(b"HPM1-pad|" + joined, pad_len)
+    return header + joined + struct.pack("<I", pad_len) + pixels + pad
+
+
+def decode_media(data: bytes) -> MediaInfo:
+    """Parse header + text of an HPM1 object; raises MediaError on
+    empty/corrupt input (reference zero-byte guard manager.py:252-254
+    and corrupted-image fixture tests/data/bad-images/)."""
+    if data is None or len(data) == 0:
+        raise MediaError("empty media content")
+    if len(data) < _HEADER.size or data[:4] != MAGIC:
+        raise MediaError("not an HPM1 media object")
+    magic, fmt_b, width, height, npages, flags, textlen = _HEADER.unpack_from(data, 0)
+    off = _HEADER.size
+    if off + textlen + 4 > len(data):
+        raise MediaError("truncated media object")
+    try:
+        joined = data[off : off + textlen].decode("utf-8")
+    except UnicodeDecodeError as exc:
+        raise MediaError(f"corrupt text payload: {exc}") from exc
+    page_texts = tuple(joined.split("\f")) if joined else ("",)
+    off += textlen
+    (pad_len,) = struct.unpack_from("<I", data, off)
+    off += 4
+    pix_comp = data[off : len(data) - pad_len]
+    try:
+        raw = zlib.decompress(pix_comp)
+    except zlib.error as exc:
+        raise MediaError(f"corrupt pixel payload: {exc}") from exc
+    if len(raw) != width * height:
+        raise MediaError("pixel payload does not match dimensions")
+    return MediaInfo(
+        fmt_b.rstrip(b"\0").decode("ascii"), width, height, npages, flags,
+        page_texts[0], page_texts, len(data),
+    )
+
+
+def convert_media(data: bytes, to_format: str = "png") -> bytes:
+    """Format normalization (reference images.py:197-240 / I5): re-encode
+    as ``to_format``; multi-page sources keep only page 1 (the
+    reference's PDF first-page rule, images.py:211-218, and the
+    page-1-only truncation W4)."""
+    info = decode_media(data)
+    return encode_media(
+        info.text, fmt=to_format, width=info.width, height=info.height,
+        binarized=bool(info.flags & FLAG_BINARIZED),
+    )
+
+
+def resize_media(data: bytes, new_width: int, new_height: int) -> bytes:
+    """Deterministic resample to new dimensions (stand-in for
+    Image.HAMMING in reference images.py:159,187): re-renders the pure
+    pixel function at the new size; text payload unchanged."""
+    info = decode_media(data)
+    return encode_media(
+        info.text, fmt=info.fmt, width=new_width, height=new_height,
+        binarized=bool(info.flags & FLAG_BINARIZED),
+    )
+
+
+def grayscale_media(data: bytes) -> bytes:
+    """Grayscale stage (new-engine stage per SURVEY.md §2.8 north-star
+    note; no reference counterpart). HPM1 pixels are already single
+    channel, so this validates + canonicalizes the object."""
+    info = decode_media(data)
+    return encode_media(
+        info.text, fmt=info.fmt, width=info.width, height=info.height,
+        binarized=bool(info.flags & FLAG_BINARIZED),
+    )
+
+
+def binarize_media(data: bytes) -> bytes:
+    """Adaptive-binarization stage (new-engine stage, SURVEY.md §2.8):
+    thresholds the deterministic render at 128 and sets the flag."""
+    info = decode_media(data)
+    return encode_media(
+        info.text, fmt=info.fmt, width=info.width, height=info.height, binarized=True
+    )

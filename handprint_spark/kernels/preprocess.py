@@ -1,0 +1,73 @@
+"""Image-normalization chain (reference manager.py:344-374, "I8").
+
+One pure function per media object, applying the reference's stage
+order exactly:
+
+  1. convert to PNG when not already PNG (manager.py:350-355);
+  2. dimension-reduce when over the folded max dimensions
+     (manager.py:357-366, guard ``max < actual`` on either axis);
+  3. byte-size-reduce when over the folded max size
+     (manager.py:368-372);
+
+plus the two new-engine stages (grayscale, adaptive binarization —
+SURVEY.md §2.8 north-star note, no reference counterpart), fused so the
+object is decoded once and re-encoded once per stage boundary rather
+than round-tripping through temp files.
+
+Errors are returned as values, never raised (the reference's
+row-vs-job error policy): ``normalize_media_bytes`` returns
+``(bytes|None, error|None)``.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+from . import codec
+from .formats import (
+    OUTPUT_FORMAT,
+    needs_dimension_reduce,
+    reduced_dimension_dims,
+    reduced_size_dims,
+)
+
+
+def normalize_media_bytes(
+    data: bytes,
+    max_size: Optional[int],
+    max_width: Optional[int],
+    max_height: Optional[int],
+    binarize: bool = False,
+) -> tuple[Optional[bytes], Optional[str]]:
+    """Full I8 chain over one media object. Deterministic; returns
+    (normalized_bytes, None) or (None, error_message)."""
+    try:
+        info = codec.decode_media(data)
+    except codec.MediaError as exc:
+        return None, str(exc)
+
+    text = info.text  # page-1 only (W4 truncation)
+    width, height = info.width, info.height
+    binarized = bool(info.flags & codec.FLAG_BINARIZED) or binarize
+
+    # Stage 2: dimension cap (before the byte cap, as the reference does).
+    if (
+        max_width is not None
+        and max_height is not None
+        and needs_dimension_reduce(width, height, max_width, max_height)
+    ):
+        width, height = reduced_dimension_dims(width, height, max_width, max_height)
+
+    # Re-encode once as canonical PNG at the (possibly reduced) dims.
+    out = codec.encode_media(
+        text, fmt=OUTPUT_FORMAT, width=width, height=height, binarized=binarized
+    )
+
+    # Stage 3: byte-size cap — ratio math on the *current* encoded size
+    # (reference images.py:149-157), one shot, no iteration.
+    if max_size is not None and len(out) > max_size:
+        new_w, new_h = reduced_size_dims(width, height, len(out), max_size)
+        out = codec.encode_media(
+            text, fmt=OUTPUT_FORMAT, width=new_w, height=new_h, binarized=binarized
+        )
+    return out, None
