@@ -15,8 +15,33 @@ from pyspark.sql import DataFrame, SparkSession
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship extraction pipeline on /root/testdata/sf0.001.
+
+    documents parquet → deterministic interleaved-span derivation
+    (corpus.spanify) → narrow mapInPandas extraction (normalize chain +
+    deterministic HTR decode per media span) → exploded span rows
+    (doc_id, kind, text, media_ref, offset, n_media, n_errors).
+    """
+    from pyspark.sql import functions as F
+
+    from handprint_spark.corpus import load_documents_spans
+    from handprint_spark.operators.extract import extract_documents
+
+    results = extract_documents(load_documents_spans(spark, "/root/testdata/sf0.001"))
+    return results.select(
+        "doc_id",
+        F.explode("spans").alias("span"),
+        "n_media",
+        "n_errors",
+    ).select(
+        "doc_id",
+        F.col("span.kind").alias("kind"),
+        F.col("span.text").alias("text"),
+        F.col("span.media_ref").alias("media_ref"),
+        F.col("span.offset").alias("offset"),
+        "n_media",
+        "n_errors",
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -1,0 +1,152 @@
+"""The flagship extraction pipeline.
+
+Re-expresses the reference's scan → normalize → extract → unify
+dataflow (reference manager.py:132-196 outer loop + per-document
+_normalized/_send) as one *narrow* Spark plan:
+
+    scan documents_spans → [optional repartition by hash(doc_id)]
+    → mapInPandas(normalize ∘ decode over media spans) → sink
+
+Design notes for 100 TB (SURVEY.md §4):
+  * Zero shuffles in the hot path. The span array stays nested — one
+    row per document end-to-end — so there is no explode/groupBy
+    round-trip; the per-doc work is embarrassingly parallel exactly
+    like the reference's per-document loop, but across executors.
+  * All Python crossings are Arrow-batched (mapInPandas); batch size
+    bounded by spark.sql.execution.arrow.maxRecordsPerBatch because
+    rows carry media BLOBs.
+  * Errors are span values (kind='error'), never exceptions — the
+    reference's row-vs-job error policy (amazon.py:66-79).
+  * Determinism: every stage is a pure function of the input row, so
+    output is identical at any parallelism — the property the
+    span-sequence-equality gate and checkpoint resume rely on.
+
+Output contract (north_rule span-sequence equality):
+    results(doc_id: string,
+            spans: array<struct<kind,text,media_ref,offset>>,
+            n_media: int, n_errors: int)
+  * kind='text' spans pass through untouched;
+  * media spans become kind='ocr' with the decoded text and the
+    original media_ref/offset;
+  * failed media become kind='error' with the error message as text.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator, Optional
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..corpus import SPAN_TYPE
+from ..kernels.decoder import decode_media_bytes
+from ..kernels.formats import KNOWN_SERVICES, fold_limits
+from ..kernels.preprocess import normalize_media_bytes
+
+MEDIA_KINDS = ("page_image", "line_image", "word_image")
+
+RESULT_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.StringType()),
+        T.StructField("spans", SPAN_TYPE),
+        T.StructField("n_media", T.IntegerType()),
+        T.StructField("n_errors", T.IntegerType()),
+    ]
+)
+
+
+def extract_one(
+    doc_id: str,
+    spans: list,
+    media: list,
+    max_size: Optional[int],
+    max_width: Optional[int],
+    max_height: Optional[int],
+) -> tuple[str, list, int, int]:
+    """Pure per-document kernel — also runs sequentially on the driver
+    as the reference path of the span-sequence-equality tests."""
+    # ``media``/``spans`` may arrive as numpy arrays from Arrow — avoid
+    # truthiness on them.
+    media_map = {m["media_ref"]: m["content"] for m in (media if media is not None else [])}
+    out, n_media, n_errors = [], 0, 0
+    for span in sorted(spans if spans is not None else [], key=lambda s: s["offset"]):
+        kind, text, ref, offset = span["kind"], span["text"], span["media_ref"], span["offset"]
+        if kind in MEDIA_KINDS:
+            n_media += 1
+            content = media_map.get(ref)
+            if content is None:
+                out.append({"kind": "error", "text": f"missing media: {ref}",
+                            "media_ref": ref, "offset": offset})
+                n_errors += 1
+                continue
+            normalized, err = normalize_media_bytes(content, max_size, max_width, max_height)
+            if err is None:
+                tr = decode_media_bytes(normalized)
+                err = tr.error
+            if err is not None:
+                out.append({"kind": "error", "text": err, "media_ref": ref, "offset": offset})
+                n_errors += 1
+            else:
+                out.append({"kind": "ocr", "text": tr.text, "media_ref": ref, "offset": offset})
+        else:
+            out.append({"kind": kind, "text": text, "media_ref": ref, "offset": offset})
+    return (doc_id, out, n_media, n_errors)
+
+
+def extract_documents(
+    df: DataFrame,
+    services: list[str] | tuple[str, ...] = KNOWN_SERVICES,
+    max_size: Optional[int] = None,
+    max_dimensions: Optional[tuple[int, int]] = None,
+    partitions: Optional[int] = None,
+) -> DataFrame:
+    """documents_spans(doc_id, spans, media) -> results.
+
+    Service limits min-fold (reference manager.py:104-123) happens on
+    the driver — it is a constant-fold over a 4-row dim table, not a
+    distributed agg — and the scalars are closed over by the UDF
+    (broadcast-by-closure).
+    """
+    folded_size, folded_dims = fold_limits(list(services))
+    if max_size is None:
+        max_size = folded_size
+    if max_dimensions is None:
+        max_dimensions = folded_dims
+    max_w, max_h = max_dimensions if max_dimensions else (None, None)
+
+    if partitions:
+        # Explicit doc-hash partitioning (north_rule). Only needed when
+        # the source's file-split parallelism is poor or skewed;
+        # otherwise the narrow plan inherits scan partitioning.
+        df = df.repartition(partitions, F.hash("doc_id"))
+
+    def run(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            rows = [
+                extract_one(d, s, m, max_size, max_w, max_h)
+                for d, s, m in zip(pdf["doc_id"], pdf["spans"], pdf["media"])
+            ]
+            yield pd.DataFrame(rows, columns=["doc_id", "spans", "n_media", "n_errors"])
+
+    return df.mapInPandas(run, RESULT_SCHEMA)
+
+
+def extracted_text(results: DataFrame) -> DataFrame:
+    """Reading-order document text from a results table: the ocr/text
+    spans joined with newlines in offset order — pure JVM (array
+    functions), no Python."""
+    ordered = F.array_sort(
+        F.expr("filter(spans, s -> s.kind in ('text', 'ocr'))"),
+        lambda a, b: F.when(a["offset"] < b["offset"], -1)
+        .when(a["offset"] > b["offset"], 1)
+        .otherwise(0),
+    )
+    return results.select(
+        "doc_id",
+        F.array_join(F.transform(ordered, lambda s: s["text"]), "\n").alias("text"),
+        "n_media",
+        "n_errors",
+    )

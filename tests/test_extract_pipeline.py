@@ -1,0 +1,111 @@
+"""End-to-end flagship pipeline tests: span-sequence equality vs the
+sequential reference path, distribution invariance, error-as-value
+policy, and reading-order text reconstruction."""
+
+import duckdb
+import pytest
+
+from handprint_spark.corpus import (
+    CORRUPT_MOD,
+    SKEW_FACTOR,
+    SKEW_MOD,
+    build_doc,
+    load_documents_spans,
+)
+from handprint_spark.kernels.formats import fold_limits
+from handprint_spark.operators.extract import (
+    extract_documents,
+    extract_one,
+    extracted_text,
+)
+
+MAX_SIZE, MAX_DIMS = fold_limits(["amazon-textract", "amazon-rekognition", "google", "microsoft"])
+
+
+def _reference_results(sf_dir):
+    docs = duckdb.sql(
+        f"select doc_id, text from '{sf_dir}/documents.parquet'"
+    ).fetchall()
+    ref = {}
+    for did, text in docs:
+        d, spans, media = build_doc(did, text)
+        ref[d] = extract_one(d, spans, media, MAX_SIZE, *MAX_DIMS)[1]
+    return ref
+
+
+def _span_tuples_from_row(row):
+    return [
+        (s.kind, s.text, s.media_ref, s.offset)
+        for s in sorted(row.spans, key=lambda s: s.offset)
+    ]
+
+
+@pytest.fixture(scope="module")
+def results(spark, sf_tiny):
+    return extract_documents(load_documents_spans(spark, sf_tiny)).collect()
+
+
+def test_span_sequence_equality(results, sf_tiny):
+    """The north_rule invariant: per doc_id, the distributed pipeline's
+    (kind, text, media_ref, offset) sequence equals the sequential
+    reference path, for every document."""
+    ref = _reference_results(sf_tiny)
+    assert len(results) == len(ref)
+    for row in results:
+        exp = [(s["kind"], s["text"], s["media_ref"], s["offset"]) for s in ref[row.doc_id]]
+        assert _span_tuples_from_row(row) == exp, f"doc {row.doc_id}"
+
+
+def test_distribution_invariance(spark, sf_tiny, results):
+    """Same input at a different partitioning must produce identical
+    spans (sandbox stand-in for N vs 4N executors)."""
+    df = load_documents_spans(spark, sf_tiny)
+    alt = extract_documents(df, partitions=7).collect()
+    base = {r.doc_id: _span_tuples_from_row(r) for r in results}
+    assert len(alt) == len(base)
+    for row in alt:
+        assert _span_tuples_from_row(row) == base[row.doc_id]
+
+
+def test_error_rows_not_failures(results):
+    """Corrupt-media docs produce kind='error' spans; the job never
+    fails (reference row-vs-job error policy)."""
+    corrupt_docs = [r for r in results if int(r.doc_id) % CORRUPT_MOD == 0 and r.n_media > 0]
+    assert corrupt_docs
+    for r in corrupt_docs:
+        kinds = [s.kind for s in r.spans]
+        assert "error" in kinds
+        assert r.n_errors >= 1
+    clean = [r for r in results if int(r.doc_id) % CORRUPT_MOD != 0]
+    assert all(r.n_errors == 0 for r in clean)
+
+
+def test_ocr_text_matches_source_line(results):
+    """The deterministic decoder must reproduce each line's text
+    exactly: every ocr span's text equals the preceding text span."""
+    for r in results[:50]:
+        spans = sorted(r.spans, key=lambda s: s.offset)
+        for t, o in zip(spans[::2], spans[1::2]):
+            if o.kind == "ocr":
+                assert o.text == t.text
+
+
+def test_skew_slice_present(results):
+    skewed = [r for r in results if int(r.doc_id) % SKEW_MOD == 0]
+    normal = [r for r in results if int(r.doc_id) % SKEW_MOD != 0]
+    assert skewed, "corpus must contain the skew slice"
+    med = sorted(r.n_media for r in normal)[len(normal) // 2]
+    # every skewed doc has SKEW_FACTOR x its base line count
+    assert all(r.n_media % SKEW_FACTOR == 0 for r in skewed)
+    assert max(r.n_media for r in skewed) > 5 * med
+
+
+def test_extracted_text_reading_order(spark, sf_tiny):
+    df = extract_documents(load_documents_spans(spark, sf_tiny).limit(20))
+    out = {r.doc_id: r.text for r in extracted_text(df).collect()}
+    ref = _reference_results(sf_tiny)
+    for doc_id, text in out.items():
+        exp = "\n".join(
+            s["text"] for s in ref[doc_id] if s["kind"] in ("text", "ocr")
+        )
+        assert text == exp
