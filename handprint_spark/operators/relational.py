@@ -1,0 +1,532 @@
+"""SURVEY.md §2 relational operator surface, expressed Spark-first.
+
+Each operator from the reference's inventory (filters, dedup windows,
+joins incl. anti/semi, aggregations, window functions, set ops, scalar
+functions) is registered here as a named query over the driver's
+testdata tables, paired with a DuckDB-runnable ANSI-SQL oracle.
+
+Numeric-exactness policy (Spark vs DuckDB value-hash equality):
+  * integer aggregates stay integers (CAST DuckDB's HUGEINT sums to
+    BIGINT);
+  * money sums go through DECIMAL(18,2) then one cast to DOUBLE —
+    exact decimal accumulation on both engines, identical final double;
+  * ratio/float outputs are rounded to a fixed scale;
+  * rounding of pixel math uses floor(x+0.5) — Spark ROUND is HALF_UP
+    while DuckDB's is HALF-AWAY/EVEN depending on type, so neither is
+    used (mirrors the banker's-rounding hazard in SURVEY.md §7).
+
+Every aggregate/computed column is aliased identically in the Spark
+plan and the SQL so the driver's sorted-column value hash lines up.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# --- S2: format/IN-list whitelist filter (services/__init__.py:21-22) ----
+
+_S2_SIZES = [1, 5, 9, 13, 17, 21, 25, 29, 33, 37]
+
+
+def q_s2_whitelist_filter(spark, sf_dir):
+    part = _t(spark, sf_dir, "part")
+    return (
+        part.filter(F.col("p_size").isin(_S2_SIZES))
+        .groupBy("p_brand")
+        .agg(
+            F.count("*").alias("n_parts"),
+            F.min("p_retailprice").alias("min_price"),
+            F.max("p_retailprice").alias("max_price"),
+        )
+    )
+
+
+SQL_S2 = f"""
+SELECT p_brand,
+       CAST(count(*) AS BIGINT) AS n_parts,
+       min(p_retailprice) AS min_price,
+       max(p_retailprice) AS max_price
+FROM part WHERE p_size IN ({", ".join(map(str, _S2_SIZES))})
+GROUP BY p_brand
+"""
+
+
+# --- S3: artifact-exclusion NOT-contains filter (main_body.py:165) --------
+
+def q_s3_artifact_exclusion(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.filter(~F.col("text").contains("window"))
+        .groupBy("source")
+        .agg(F.count("*").alias("n_docs"))
+    )
+
+
+SQL_S3 = """
+SELECT source, CAST(count(*) AS BIGINT) AS n_docs
+FROM documents WHERE text NOT LIKE '%window%'
+GROUP BY source
+"""
+
+
+# --- S4: duplicate-format window dedup (main_body.py:171-180) -------------
+
+def q_s4_window_dedup(spark, sf_dir):
+    orders = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_orderdate").desc(), F.col("o_orderkey").asc()
+    )
+    return (
+        orders.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("o_custkey", "o_orderkey", "o_orderpriority")
+    )
+
+
+SQL_S4 = """
+SELECT o_custkey, o_orderkey, o_orderpriority FROM (
+  SELECT o_custkey, o_orderkey, o_orderpriority,
+         row_number() OVER (PARTITION BY o_custkey
+                            ORDER BY o_orderdate DESC, o_orderkey ASC) AS rn
+  FROM orders) WHERE rn = 1
+"""
+
+
+# --- J1: ground-truth equi-join, broadcast dims (manager.py:327-333) ------
+
+def q_j1_broadcast_join(spark, sf_dir):
+    customer = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region")
+    return (
+        customer.join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("r_name")
+        .agg(
+            F.count("*").alias("n_cust"),
+            F.sum(F.col("c_acctbal").cast("decimal(18,2)")).cast("double").alias("total_bal"),
+        )
+    )
+
+
+SQL_J1 = """
+SELECT r_name, CAST(count(*) AS BIGINT) AS n_cust,
+       CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_bal
+FROM customer
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name
+"""
+
+
+# --- J2: targets x services cross product (manager.py:160-167) ------------
+
+def q_j2_cross_fanout(spark, sf_dir):
+    region = _t(spark, sf_dir, "region")
+    prios = _t(spark, sf_dir, "orders").select("o_orderpriority").distinct()
+    return region.select("r_name").crossJoin(prios)
+
+
+SQL_J2 = """
+SELECT r_name, o_orderpriority
+FROM region CROSS JOIN (SELECT DISTINCT o_orderpriority FROM orders)
+"""
+
+
+# --- J3: checkpoint anti-join / resumability core (manager.py:281-285) ----
+
+def q_j3_anti_join(spark, sf_dir):
+    """Work-list minus checkpoints: customers with no 'done' marker
+    (here: no large order) — the J3 resume anti-join shape. The filter
+    on the right side is pushed below the anti-join by Catalyst."""
+    customer = _t(spark, sf_dir, "customer")
+    done = _t(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 400000)
+    return customer.join(
+        done, customer.c_custkey == done.o_custkey, "left_anti"
+    ).select("c_custkey", "c_name")
+
+
+SQL_J3 = """
+SELECT c_custkey, c_name FROM customer
+WHERE NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey AND o_totalprice > 400000)
+"""
+
+
+# --- semi-join variant (J3's complement) ----------------------------------
+
+def q_j3_semi_join(spark, sf_dir):
+    supplier = _t(spark, sf_dir, "supplier")
+    lineitem = _t(spark, sf_dir, "lineitem")
+    return supplier.join(
+        lineitem, supplier.s_suppkey == lineitem.l_suppkey, "left_semi"
+    ).select("s_suppkey", "s_name")
+
+
+SQL_J3_SEMI = """
+SELECT s_suppkey, s_name FROM supplier
+WHERE EXISTS (SELECT 1 FROM lineitem WHERE l_suppkey = s_suppkey)
+"""
+
+
+# --- A1: min-fold scalar aggregate (manager.py:104-123) -------------------
+
+def q_a1_minfold(spark, sf_dir):
+    part = _t(spark, sf_dir, "part")
+    return part.agg(
+        F.min("p_retailprice").alias("min_price"),
+        F.max("p_retailprice").alias("max_price"),
+        F.countDistinct("p_brand").alias("n_brands"),
+        F.count("*").alias("n_parts"),
+    )
+
+
+SQL_A1 = """
+SELECT min(p_retailprice) AS min_price, max(p_retailprice) AS max_price,
+       CAST(count(DISTINCT p_brand) AS BIGINT) AS n_brands,
+       CAST(count(*) AS BIGINT) AS n_parts
+FROM part
+"""
+
+
+# --- A2: per-group error/total sums — TPC-H Q1 shape (comparison.py:161-168)
+
+def q_a2_group_sums(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("2024-09-01"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum("l_quantity").alias("sum_qty"),
+            F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("sum_base_price"),
+            F.sum(
+                (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,4)")
+            ).cast("double").alias("sum_disc_price"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+SQL_A2 = """
+SELECT l_returnflag, l_linestatus,
+       sum(l_quantity) AS sum_qty,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+       CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE)
+           AS sum_disc_price,
+       CAST(count(*) AS BIGINT) AS count_order
+FROM lineitem WHERE l_shipdate <= TIMESTAMP '2024-09-01 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+# --- W1: reading-order sort + top-k per group (microsoft.py:114-116) ------
+
+def q_w1_reading_order_topk(spark, sf_dir):
+    events = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    return (
+        events.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("user_id", "event_id", "rn")
+    )
+
+
+SQL_W1 = """
+SELECT user_id, event_id, rn FROM (
+  SELECT user_id, event_id,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC) AS rn
+  FROM events) WHERE rn <= 3
+"""
+
+
+# --- W2: grid index assignment (images.py:310-313) ------------------------
+
+def q_w2_grid_index(spark, sf_dir):
+    events = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    idx = F.row_number().over(w) - 1
+    return events.select(
+        "user_id",
+        "event_id",
+        F.pmod(idx, F.lit(4)).cast("int").alias("grid_h"),
+        F.floor(idx / 4).cast("int").alias("grid_v"),
+    )
+
+
+SQL_W2 = """
+SELECT user_id, event_id,
+       CAST((rn - 1) % 4 AS INT) AS grid_h,
+       CAST(floor((rn - 1) / 4.0) AS INT) AS grid_v
+FROM (SELECT user_id, event_id,
+             row_number() OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC) AS rn
+      FROM events)
+"""
+
+
+# --- W4: first-page-only limit per group (images.py:211-218) --------------
+
+def q_w4_first_per_group(spark, sf_dir):
+    events = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    return (
+        events.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "event_id", "event_type")
+    )
+
+
+SQL_W4 = """
+SELECT user_id, event_id, event_type FROM (
+  SELECT user_id, event_id, event_type,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC) AS rn
+  FROM events) WHERE rn = 1
+"""
+
+
+# --- A4: cumulative window sum (images.py:306-314 cumsum analog) ----------
+
+def q_a4_cumulative_sum(spark, sf_dir):
+    events = _t(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts").asc(), F.col("event_id").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return events.select(
+        "user_id",
+        "event_id",
+        F.round(F.sum(F.col("value").cast("decimal(18,2)")).over(w).cast("double"), 2)
+        .alias("running_value"),
+    )
+
+
+SQL_A4 = """
+SELECT user_id, event_id,
+       round(CAST(sum(CAST(value AS DECIMAL(18,2)))
+             OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE), 2)
+           AS running_value
+FROM events
+"""
+
+
+# --- SO1/SO2: set operations (manager.py:188; images.py:262) --------------
+
+def q_so1_union_distinct(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    s = _t(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    return c.union(s).distinct()
+
+
+SQL_SO1 = """
+SELECT c_nationkey AS nationkey FROM customer
+UNION
+SELECT s_nationkey AS nationkey FROM supplier
+"""
+
+
+def q_so2_except(spark, sf_dir):
+    """EXCEPT DISTINCT: users seen in 'click' events but never in
+    'error' events (display-kind set difference analog)."""
+    ev = _t(spark, sf_dir, "events")
+    clickers = ev.filter(F.col("event_type") == "click").select("user_id")
+    erroring = ev.filter(
+        (F.col("event_type") == "error") & (F.col("value") > 95)
+    ).select("user_id")
+    return clickers.subtract(erroring)
+
+
+SQL_SO2 = """
+SELECT user_id FROM events WHERE event_type = 'click'
+EXCEPT
+SELECT user_id FROM events WHERE event_type = 'error' AND value > 95
+"""
+
+
+def q_so3_intersect(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    s = _t(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    return c.intersect(s)
+
+
+SQL_SO3 = """
+SELECT c_nationkey AS nationkey FROM customer
+INTERSECT
+SELECT s_nationkey AS nationkey FROM supplier
+"""
+
+
+# --- C1-C5: string scalar functions ---------------------------------------
+
+def q_c_string_normalize(spark, sf_dir):
+    """C2 relax (lower+translate) + C3 whitespace squeeze on documents."""
+    docs = _t(spark, sf_dir, "documents")
+    relaxed = F.translate(F.lower(F.col("text")), ".,:;", "")
+    return docs.select(
+        "doc_id",
+        F.regexp_replace(F.trim(relaxed), r"\s+", " ").alias("relaxed_text"),
+        F.length("text").alias("n_chars_raw"),
+    )
+
+
+SQL_C_STRING = r"""
+SELECT doc_id,
+       regexp_replace(trim(translate(lower(text), '.,:;', '')), '\s+', ' ', 'g')
+           AS relaxed_text,
+       CAST(length(text) AS INT) AS n_chars_raw
+FROM documents
+"""
+
+
+def q_c4_levenshtein(spark, sf_dir):
+    """C4: built-in Levenshtein (Catalyst expression, reference
+    comparison.py:182-183)."""
+    cust = _t(spark, sf_dir, "customer")
+    return cust.select(
+        "c_custkey",
+        F.levenshtein(F.col("c_name"), F.lit("Customer#000000000")).alias("lev"),
+    )
+
+
+SQL_C4 = """
+SELECT c_custkey, CAST(levenshtein(c_name, 'Customer#000000000') AS INT) AS lev
+FROM customer
+"""
+
+
+def q_c5_cer_format(spark, sf_dir):
+    """C5: '%.2f' CER formatting (reference comparison.py:184-188)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.format_string("%.2f", F.col("l_discount") * 100).alias("cer"),
+    )
+
+
+SQL_C5 = """
+SELECT l_orderkey, l_linenumber, printf('%.2f', l_discount * 100) AS cer
+FROM lineitem
+"""
+
+
+# --- C7/C12/C13: coordinate & geometry math --------------------------------
+
+def q_c_geometry_math(spark, sf_dir):
+    """C7 percent->pixel corner scaling via floor(x+0.5) (round-half-up
+    on positives, avoiding Spark/DuckDB ROUND divergence) + C13 grid
+    geometry ceil(sqrt(n))."""
+    events = _t(spark, sf_dir, "events")
+    return events.groupBy("user_id").agg(
+        F.count("*").alias("n_events"),
+        F.ceil(F.sqrt(F.count("*"))).cast("bigint").alias("grid_cols"),
+        F.floor(F.max("value") * 64 / 100 + F.lit(0.5)).cast("bigint").alias("max_px"),
+    )
+
+
+SQL_C_GEOM = """
+SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+       CAST(ceil(sqrt(count(*))) AS BIGINT) AS grid_cols,
+       CAST(floor(max(value) * 64 / 100 + 0.5) AS BIGINT) AS max_px
+FROM events GROUP BY user_id
+"""
+
+
+# --- C10: JSON parse (manager.py:284, 321) ---------------------------------
+
+def q_c10_json_extract(spark, sf_dir):
+    events = _t(spark, sf_dir, "events")
+    return events.select(
+        "event_id",
+        F.get_json_object("props", "$.k").cast("int").alias("k_val"),
+    )
+
+
+SQL_C10 = """
+SELECT event_id, CAST(json_extract_string(props, '$.k') AS INT) AS k_val
+FROM events
+"""
+
+
+# --- time-bucketed aggregation (engine metrics surface) --------------------
+
+def q_time_bucket_agg(spark, sf_dir):
+    events = _t(spark, sf_dir, "events")
+    return (
+        events.groupBy(
+            F.unix_timestamp(F.date_trunc("hour", F.col("ts"))).alias("hour_epoch"),
+            "event_type",
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("total_value"),
+        )
+    )
+
+
+SQL_TIME_BUCKET = """
+SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_epoch, event_type,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+FROM events GROUP BY 1, 2
+"""
+
+
+QUERIES = {
+    "s2_whitelist_filter": q_s2_whitelist_filter,
+    "s3_artifact_exclusion": q_s3_artifact_exclusion,
+    "s4_window_dedup": q_s4_window_dedup,
+    "j1_broadcast_join": q_j1_broadcast_join,
+    "j2_cross_fanout": q_j2_cross_fanout,
+    "j3_anti_join": q_j3_anti_join,
+    "j3_semi_join": q_j3_semi_join,
+    "a1_minfold": q_a1_minfold,
+    "a2_group_sums": q_a2_group_sums,
+    "w1_reading_order_topk": q_w1_reading_order_topk,
+    "w2_grid_index": q_w2_grid_index,
+    "w4_first_per_group": q_w4_first_per_group,
+    "a4_cumulative_sum": q_a4_cumulative_sum,
+    "so1_union_distinct": q_so1_union_distinct,
+    "so2_except": q_so2_except,
+    "so3_intersect": q_so3_intersect,
+    "c_string_normalize": q_c_string_normalize,
+    "c4_levenshtein": q_c4_levenshtein,
+    "c5_cer_format": q_c5_cer_format,
+    "c_geometry_math": q_c_geometry_math,
+    "c10_json_extract": q_c10_json_extract,
+    "time_bucket_agg": q_time_bucket_agg,
+}
+
+ORACLES = {
+    "s2_whitelist_filter": SQL_S2,
+    "s3_artifact_exclusion": SQL_S3,
+    "s4_window_dedup": SQL_S4,
+    "j1_broadcast_join": SQL_J1,
+    "j2_cross_fanout": SQL_J2,
+    "j3_anti_join": SQL_J3,
+    "j3_semi_join": SQL_J3_SEMI,
+    "a1_minfold": SQL_A1,
+    "a2_group_sums": SQL_A2,
+    "w1_reading_order_topk": SQL_W1,
+    "w2_grid_index": SQL_W2,
+    "w4_first_per_group": SQL_W4,
+    "a4_cumulative_sum": SQL_A4,
+    "so1_union_distinct": SQL_SO1,
+    "so2_except": SQL_SO2,
+    "so3_intersect": SQL_SO3,
+    "c_string_normalize": SQL_C_STRING,
+    "c4_levenshtein": SQL_C4,
+    "c5_cer_format": SQL_C5,
+    "c_geometry_math": SQL_C_GEOM,
+    "c10_json_extract": SQL_C10,
+    "time_bucket_agg": SQL_TIME_BUCKET,
+}
