@@ -50,13 +50,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     Each callable takes (spark, sf_dir) and returns a DataFrame.
     Alias every computed/aggregate column so names match ``oracle_sql``.
     """
-    from handprint_spark.operators import dedup, relational, similarity, text_analysis
+    from handprint_spark.operators import (
+        compare,
+        dedup,
+        multimodal,
+        relational,
+        similarity,
+        text_analysis,
+    )
 
     out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
     out.update(relational.QUERIES)
     out.update(dedup.QUERIES)
     out.update(similarity.QUERIES)
     out.update(text_analysis.QUERIES)
+    out.update(compare.QUERIES)
+    out.update(multimodal.QUERIES)
     return out
 
 
@@ -67,11 +76,20 @@ def oracle_sql() -> dict[str, str]:
     embeddings). Omit for non-SQL-expressible ops → driver records a
     weaker rows-only check.
     """
-    from handprint_spark.operators import dedup, relational, similarity, text_analysis
+    from handprint_spark.operators import (
+        compare,
+        dedup,
+        multimodal,
+        relational,
+        similarity,
+        text_analysis,
+    )
 
     out: dict[str, str] = {}
     out.update(relational.ORACLES)
     out.update(dedup.ORACLES)
     out.update(similarity.ORACLES)
     out.update(text_analysis.ORACLES)
+    out.update(compare.ORACLES)
+    out.update(multimodal.ORACLES)
     return out

@@ -1,0 +1,117 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR on
+local[$SPARK_GRAFT_CPUS]. Prints ONE JSON line:
+  {"metric": ..., "value": <total sec>, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": <float>, ...extras}
+
+The flagship number is extraction docs/sec (the BASELINE.json metric);
+relational/dedup/similarity headliners ride along so plan regressions
+show up per-query.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+import pandas as pd
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
+
+    from handprint_spark.corpus import load_documents_spans
+    from handprint_spark.operators import dedup, relational, similarity, text_analysis
+    from handprint_spark.operators.extract import extract_documents
+    from handprint_spark.session import get_spark
+
+    spark = get_spark(app_name="handprint-spark-bench", master=f"local[{cpus}]")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    timings: dict[str, float] = {}
+    extras: dict[str, float] = {}
+
+    def timed(name, fn):
+        t0 = time.perf_counter()
+        out = fn()
+        timings[name] = round(time.perf_counter() - t0, 3)
+        return out
+
+    # Warm the JVM *and the Python worker pool* (a JVM-only warmup
+    # leaves per-worker pandas/pyarrow imports inside the first timed
+    # query; cluster executors are long-lived, so steady-state is the
+    # honest measurement).
+    from pyspark.sql import functions as F
+
+    @F.pandas_udf("long")
+    def _warm(s: pd.Series) -> pd.Series:
+        return s
+
+    spark.range(10_000, numPartitions=int(cpus)).select(
+        F.sum(_warm("id"))
+    ).collect()
+
+    n_docs = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+
+    # Materialize the interleaved-span input table once (untimed) —
+    # in production this is the pre-existing Iceberg documents table.
+    import tempfile
+
+    from handprint_spark.corpus import materialize_spans
+
+    spans_dir = os.path.join(tempfile.gettempdir(), f"handprint_spans_sf{sf}")
+    materialize_spans(spark, sf_dir, spans_dir, partitions=int(cpus) * 2)
+
+    def flagship():
+        df = extract_documents(spark.read.parquet(spans_dir))
+        return df.selectExpr(
+            "count(*) AS docs", "sum(n_media) AS media", "sum(n_errors) AS errs"
+        ).collect()[0]
+
+    row = timed("flagship_extract", flagship)
+    extras["docs_per_sec"] = round(n_docs / timings["flagship_extract"], 2)
+    extras["media_spans"] = int(row["media"])
+
+    heads = [
+        ("a2_group_sums", relational.QUERIES["a2_group_sums"]),
+        ("j1_broadcast_join", relational.QUERIES["j1_broadcast_join"]),
+        ("s4_window_dedup", relational.QUERIES["s4_window_dedup"]),
+        ("w1_reading_order_topk", relational.QUERIES["w1_reading_order_topk"]),
+        ("time_bucket_agg", relational.QUERIES["time_bucket_agg"]),
+        ("dd_exact", dedup.QUERIES["dd_exact"]),
+        ("dd_minhash_lsh_pairs", dedup.QUERIES["dd_minhash_lsh_pairs"]),
+        ("dd_simhash", dedup.QUERIES["dd_simhash"]),
+        ("sim_topk_bruteforce", similarity.QUERIES["sim_topk_bruteforce"]),
+        ("sim_lsh_ann", similarity.QUERIES["sim_lsh_ann"]),
+        ("ta_fingerprint", text_analysis.QUERIES["ta_fingerprint"]),
+        ("ta_quality", text_analysis.QUERIES["ta_quality"]),
+    ]
+    for name, q in heads:
+        timed(name, lambda q=q: q(spark, sf_dir).selectExpr("count(*)").collect())
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "handprint_spark extraction+curation suite wall time",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+                "docs": n_docs,
+                "docs_per_sec": extras["docs_per_sec"],
+                "media_spans": extras["media_spans"],
+                "cpus": int(cpus),
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -101,8 +101,8 @@ def encode_line_media(doc_id: int, line_index: int, line: str) -> bytes:
     data = codec.encode_media(
         line,
         fmt=media_format(ref),
-        width=min(512, 64 + 8 * len(line)),
-        height=48,
+        width=min(320, 64 + 8 * len(line)),
+        height=24,
         pad_to=pad_to,
     )
     if doc_id % CORRUPT_MOD == 0 and line_index == 0:
@@ -192,8 +192,32 @@ def spanify(documents: DataFrame) -> DataFrame:
     )
 
 
-def load_documents_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+def load_documents_spans(
+    spark: SparkSession, sf_dir: str, partitions: int | None = None
+) -> DataFrame:
     """Read the driver's documents parquet and derive the interleaved
-    span table (with inline media) for the extraction pipeline."""
+    span table (with inline media) for the extraction pipeline.
+
+    ``partitions`` repartitions the *raw* documents by hash(doc_id)
+    BEFORE span-ification: the rows are tiny there (id + text), so the
+    shuffle is cheap, and the expensive encode UDF then runs at full
+    parallelism instead of inheriting a single-file scan's one
+    partition. (Repartitioning after spanify would shuffle the media
+    BLOBs — orders of magnitude more bytes.)"""
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    if partitions:
+        docs = docs.repartition(partitions, F.hash("doc_id"))
     return spanify(docs)
+
+
+def materialize_spans(
+    spark: SparkSession, sf_dir: str, out_dir: str, partitions: int = 32
+) -> str:
+    """Write the derived interleaved-span table (with media) to
+    parquet — the stand-in for the north_rule's pre-existing Iceberg
+    documents table. Benchmarks read this so the flagship number
+    measures *extraction*, not corpus synthesis."""
+    load_documents_spans(spark, sf_dir, partitions=partitions).write.mode(
+        "overwrite"
+    ).parquet(out_dir)
+    return out_dir

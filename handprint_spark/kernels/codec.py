@@ -60,13 +60,12 @@ class MediaInfo(NamedTuple):
 
 
 def _stream(key: bytes, n: int) -> bytes:
-    """Deterministic pseudo-random byte stream keyed by ``key``."""
-    out = bytearray()
-    counter = 0
-    while len(out) < n:
-        out += hashlib.sha256(key + counter.to_bytes(8, "little")).digest()
-        counter += 1
-    return bytes(out[:n])
+    """Deterministic pseudo-random byte stream keyed by ``key``.
+    SHAKE-256 XOF: one C call for the whole stream (a sha256-counter
+    loop here was the pipeline's hottest Python loop)."""
+    if n <= 0:
+        return b""
+    return hashlib.shake_256(key).digest(n)
 
 
 def render_pixels(text: str, width: int, height: int, binarized: bool = False) -> np.ndarray:
@@ -110,10 +109,14 @@ def encode_media(
     return header + joined + struct.pack("<I", pad_len) + pixels + pad
 
 
-def decode_media(data: bytes) -> MediaInfo:
+def decode_media(data: bytes, verify_pixels: bool = True) -> MediaInfo:
     """Parse header + text of an HPM1 object; raises MediaError on
     empty/corrupt input (reference zero-byte guard manager.py:252-254
-    and corrupted-image fixture tests/data/bad-images/)."""
+    and corrupted-image fixture tests/data/bad-images/).
+
+    ``verify_pixels=False`` skips the zlib round-trip — only valid for
+    bytes this process just encoded itself (the normalize stage always
+    verifies; the decoder downstream of it need not re-verify)."""
     if data is None or len(data) == 0:
         raise MediaError("empty media content")
     if len(data) < _HEADER.size or data[:4] != MAGIC:
@@ -130,13 +133,14 @@ def decode_media(data: bytes) -> MediaInfo:
     off += textlen
     (pad_len,) = struct.unpack_from("<I", data, off)
     off += 4
-    pix_comp = data[off : len(data) - pad_len]
-    try:
-        raw = zlib.decompress(pix_comp)
-    except zlib.error as exc:
-        raise MediaError(f"corrupt pixel payload: {exc}") from exc
-    if len(raw) != width * height:
-        raise MediaError("pixel payload does not match dimensions")
+    if verify_pixels:
+        pix_comp = data[off : len(data) - pad_len]
+        try:
+            raw = zlib.decompress(pix_comp)
+        except zlib.error as exc:
+            raise MediaError(f"corrupt pixel payload: {exc}") from exc
+        if len(raw) != width * height:
+            raise MediaError("pixel payload does not match dimensions")
     return MediaInfo(
         fmt_b.rstrip(b"\0").decode("ascii"), width, height, npages, flags,
         page_texts[0], page_texts, len(data),

@@ -95,11 +95,14 @@ def decode_page(text: str) -> TRResult:
     return TRResult(full_text, boxes, None)
 
 
-def decode_media_bytes(data: bytes) -> TRResult:
+def decode_media_bytes(data: bytes, trusted: bool = False) -> TRResult:
     """media bytes -> TRResult; corrupt media becomes an error value
-    (row-level error policy), never an exception."""
+    (row-level error policy), never an exception.
+
+    ``trusted=True`` skips pixel re-verification — only for bytes the
+    normalize stage produced (it already fully verified them)."""
     try:
-        info = codec.decode_media(data)
+        info = codec.decode_media(data, verify_pixels=not trusted)
     except codec.MediaError as exc:
         return TRResult("", [], str(exc))
     return decode_page(info.text)

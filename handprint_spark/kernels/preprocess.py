@@ -42,7 +42,7 @@ def normalize_media_bytes(
     """Full I8 chain over one media object. Deterministic; returns
     (normalized_bytes, None) or (None, error_message)."""
     try:
-        info = codec.decode_media(data)
+        info = codec.decode_media(data)  # full verification happens HERE
     except codec.MediaError as exc:
         return None, str(exc)
 
@@ -57,6 +57,19 @@ def normalize_media_bytes(
         and needs_dimension_reduce(width, height, max_width, max_height)
     ):
         width, height = reduced_dimension_dims(width, height, max_width, max_height)
+
+    # Early-exit rewrite (reference images.py:149-152 / manager.py:357-372):
+    # already canonical PNG, single page, dims untouched, no stage flag
+    # change, within the byte cap -> pass the original bytes through
+    # with no re-encode.
+    if (
+        info.fmt == OUTPUT_FORMAT
+        and info.npages == 1
+        and (width, height) == (info.width, info.height)
+        and binarized == bool(info.flags & codec.FLAG_BINARIZED)
+        and (max_size is None or len(data) <= max_size)
+    ):
+        return data, None
 
     # Re-encode once as canonical PNG at the (possibly reduced) dims.
     out = codec.encode_media(

@@ -82,7 +82,7 @@ def extract_one(
                 continue
             normalized, err = normalize_media_bytes(content, max_size, max_width, max_height)
             if err is None:
-                tr = decode_media_bytes(normalized)
+                tr = decode_media_bytes(normalized, trusted=True)
                 err = tr.error
             if err is not None:
                 out.append({"kind": "error", "text": err, "media_ref": ref, "offset": offset})
@@ -134,12 +134,15 @@ def extract_documents(
     return df.mapInPandas(run, RESULT_SCHEMA)
 
 
-def extracted_text(results: DataFrame) -> DataFrame:
-    """Reading-order document text from a results table: the ocr/text
-    spans joined with newlines in offset order — pure JVM (array
-    functions), no Python."""
+def extracted_text(results: DataFrame, kinds: tuple[str, ...] = ("text", "ocr")) -> DataFrame:
+    """Reading-order document text from a results table: the selected
+    span kinds joined with newlines in offset order — pure JVM (array
+    functions), no Python. For ground-truth comparison pass
+    ``kinds=("ocr",)`` (the recognized text alone — the analog of
+    TRResult.text)."""
+    kinds_sql = ", ".join(f"'{k}'" for k in kinds)
     ordered = F.array_sort(
-        F.expr("filter(spans, s -> s.kind in ('text', 'ocr'))"),
+        F.expr(f"filter(spans, s -> s.kind in ({kinds_sql}))"),
         lambda a, b: F.when(a["offset"] < b["offset"], -1)
         .when(a["offset"] > b["offset"], 1)
         .otherwise(0),

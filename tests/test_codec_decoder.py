@@ -91,12 +91,24 @@ def test_normalize_chain_dimension_then_size_cap():
     assert info.text == TEXT  # text survives the whole chain
 
 
-def test_normalize_chain_size_cap():
+def test_normalize_chain_early_exit_passthrough():
+    # already-PNG within caps -> original bytes pass through untouched
+    # (reference early-exit images.py:149-152 + cached-artifact reuse I9)
     b = codec.encode_media(TEXT, width=100, height=50, pad_to=20000)
     out, err = normalize_media_bytes(b, max_size=100000, max_width=None, max_height=None)
     assert err is None
-    # padding is dropped on re-encode; already under cap
-    assert len(out) < 20000
+    assert out == b
+
+
+def test_normalize_chain_size_cap_fires():
+    # pixel payload alone exceeds the cap -> ratio-resized re-encode
+    b = codec.encode_media(TEXT, width=200, height=100)  # ~20 KB pixels
+    assert len(b) > 8000
+    out, err = normalize_media_bytes(b, max_size=8000, max_width=None, max_height=None)
+    assert err is None
+    assert len(out) <= 9000  # one-shot ratio lands near the cap
+    info = codec.decode_media(out)
+    assert info.text == TEXT and info.width < 200
 
 
 def test_normalize_chain_error_value():
