@@ -18,7 +18,12 @@ import os
 
 from pyspark.sql import SparkSession
 
-ARROW_BATCH_ROWS = 256  # media blobs ~0.1-2 MB each → ≤ ~0.5 GB per Arrow batch
+# Media blobs are ~0.1-6 MB per row; 64 rows bounds an Arrow batch at
+# tens of MB AND gives each task enough batches that the JVM feeder
+# and the Python worker pipeline (measured: 64-row batches beat
+# 256-row by ~15% on the extraction flagship — with ~2 batches/task
+# the worker idles during the first fill).
+ARROW_BATCH_ROWS = 64
 
 
 def get_spark(
@@ -41,9 +46,29 @@ def get_spark(
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", str(ARROW_BATCH_ROWS))
         .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
+        # BLOB-table guard: the vectorized parquet reader's default
+        # 4096-row batch is sized for scalar columns; with media rows
+        # of ~0.1-6 MB, 4096-row batches x n_cores OOM the heap. 128
+        # rows bounds a batch at tens of MB regardless of blob size.
+        .config("spark.sql.parquet.columnarReaderBatchSize", "128")
+        # Off-heap column vectors: the OnHeapColumnVector long-array
+        # copies SIGSEGV on this host's JIT stubs (hs_err in
+        # jlong_disjoint_arraycopy under 16+ threads); off-heap
+        # vectors bypass those stubs and are also the right choice for
+        # BLOB scans (no GC pressure from multi-MB rows).
+        .config("spark.sql.columnVector.offheap.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.ui.enabled", "false")
         .config("spark.ui.showConsoleProgress", "false")
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
+        # This sandbox's virtualized CPU advertises AVX-512 but the
+        # JIT'd avx3 arraycopy stubs SIGSEGV under load (observed:
+        # hs_err crashes in jlong_disjoint_arraycopy_avx3 at 16+
+        # threads). Cap the JIT at AVX2.
+        .config(
+            "spark.driver.extraJavaOptions",
+            "-XX:UseAVX=2 " + os.environ.get("SPARK_GRAFT_DRIVER_JAVA_OPTS", ""),
+        )
+        .config("spark.executor.extraJavaOptions", "-XX:UseAVX=2")
     )
     return builder.getOrCreate()

