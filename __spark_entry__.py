@@ -55,6 +55,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         dedup,
         multimodal,
         relational,
+        service_queries,
         similarity,
         text_analysis,
     )
@@ -66,6 +67,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out.update(text_analysis.QUERIES)
     out.update(compare.QUERIES)
     out.update(multimodal.QUERIES)
+    out.update(service_queries.QUERIES)
     return out
 
 
@@ -81,6 +83,7 @@ def oracle_sql() -> dict[str, str]:
         dedup,
         multimodal,
         relational,
+        service_queries,
         similarity,
         text_analysis,
     )
@@ -92,4 +95,5 @@ def oracle_sql() -> dict[str, str]:
     out.update(text_analysis.ORACLES)
     out.update(compare.ORACLES)
     out.update(multimodal.ORACLES)
+    out.update(service_queries.ORACLES)
     return out
