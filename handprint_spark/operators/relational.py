@@ -481,7 +481,41 @@ FROM events GROUP BY 1, 2
 """
 
 
+# --- C1: canonical format name (images.py:104-112) -------------------------
+
+_C1_FORMATS = ["JPG", "tif", "png", "Jpeg", "GIF", "jp2", "TIFF", "bmp"]
+
+
+def q_c1_format_canonical(spark, sf_dir):
+    """C1: jpg->jpeg, tif->tiff, lowercase — a CASE WHEN chain over a
+    deterministic format column (doc_id mod the format list)."""
+    docs = _t(spark, sf_dir, "documents")
+    fmt = F.element_at(
+        F.array(*[F.lit(x) for x in _C1_FORMATS]),
+        (F.col("doc_id") % len(_C1_FORMATS) + 1).cast("int"),
+    )
+    low = F.lower(fmt)
+    canon = (
+        F.when(low == "jpg", "jpeg").when(low == "tif", "tiff").otherwise(low)
+    )
+    return docs.select("doc_id", fmt.alias("fmt"), canon.alias("canonical"))
+
+
+_C1_LIST = ", ".join(f"'{x}'" for x in _C1_FORMATS)
+SQL_C1 = f"""
+WITH f AS (
+  SELECT doc_id, [{_C1_LIST}][CAST(doc_id % {len(_C1_FORMATS)} + 1 AS INT)] AS fmt
+  FROM documents
+)
+SELECT doc_id, fmt,
+       CASE lower(fmt) WHEN 'jpg' THEN 'jpeg' WHEN 'tif' THEN 'tiff'
+            ELSE lower(fmt) END AS canonical
+FROM f
+"""
+
+
 QUERIES = {
+    "c1_format_canonical": q_c1_format_canonical,
     "s2_whitelist_filter": q_s2_whitelist_filter,
     "s3_artifact_exclusion": q_s3_artifact_exclusion,
     "s4_window_dedup": q_s4_window_dedup,
@@ -507,6 +541,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "c1_format_canonical": SQL_C1,
     "s2_whitelist_filter": SQL_S2,
     "s3_artifact_exclusion": SQL_S3,
     "s4_window_dedup": SQL_S4,

@@ -74,9 +74,8 @@ def _ms_line(d: Column, text: Column, i: int) -> Column:
     )
 
 
-def q_x5_microsoft_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Three synthetic lines per document in scrambled spatial order;
-    the W1 comparator must recover top-to-bottom/left-to-right."""
+def _ms_parsed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Documents -> synthetic Microsoft JSON -> parse_microsoft."""
     d = F.col("doc_id")
     raw = F.to_json(
         F.struct(
@@ -92,7 +91,13 @@ def q_x5_microsoft_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     src = _docs(spark, sf_dir).select("doc_id", raw.alias("raw"))
-    parsed = parse_microsoft(src, "raw")
+    return parse_microsoft(src, "raw")
+
+
+def q_x5_microsoft_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Three synthetic lines per document in scrambled spatial order;
+    the W1 comparator must recover top-to-bottom/left-to-right."""
+    parsed = _ms_parsed(spark, sf_dir)
     return parsed.select(
         "doc_id",
         F.col("text").alias("reading_order_text"),
@@ -306,14 +311,54 @@ FROM documents
 """
 
 
+# --- F1/F2: nested box confidence-threshold + kind filters -------------------
+
+F1_THRESHOLD = 0.5
+
+
+def q_f1_f2_box_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F1 (score >= threshold, images.py:256) and F2 (kind selection,
+    images.py:259-267) as higher-order ``F.filter`` over the nested box
+    array — the filters run inside the array, no explode/re-group."""
+    parsed = _ms_parsed(spark, sf_dir)
+    kept = F.filter(
+        F.col("boxes"),
+        lambda b: (b["kind"] == "word") & (b["score"] >= F.lit(F1_THRESHOLD)),
+    )
+    return parsed.select(
+        "doc_id",
+        F.size(kept).alias("n_kept"),
+        _score_sum_x100(kept).alias("score_sum_x100"),
+    )
+
+
+# Word (i, j) score = ((doc_id + 10i + j) % 97)/100; kept when >= 0.5.
+# Line boxes (kind='line', score 1.0) are excluded by the kind filter.
+SQL_F1_F2 = f"""
+WITH w AS (
+  SELECT doc_id, (doc_id + 10*i + j) % 97 AS c
+  FROM documents
+  CROSS JOIN (SELECT unnest([0, 1, 2]) AS i)
+  CROSS JOIN (SELECT unnest([0, 1]) AS j)
+)
+SELECT doc_id,
+       CAST(count(*) FILTER (WHERE c >= {int(F1_THRESHOLD * 100)}) AS INT) AS n_kept,
+       CAST(coalesce(sum(c) FILTER (WHERE c >= {int(F1_THRESHOLD * 100)}), 0)
+            AS BIGINT) AS score_sum_x100
+FROM w GROUP BY doc_id
+"""
+
+
 QUERIES = {
     "x1_amazon_parse": q_x1_amazon_parse,
     "x4_google_parse": q_x4_google_parse,
     "x5_microsoft_parse": q_x5_microsoft_parse,
+    "f1_f2_box_filters": q_f1_f2_box_filters,
 }
 
 ORACLES = {
     "x1_amazon_parse": SQL_X1,
     "x4_google_parse": SQL_X4,
     "x5_microsoft_parse": SQL_X5,
+    "f1_f2_box_filters": SQL_F1_F2,
 }
