@@ -134,6 +134,24 @@ def extract_documents(
     return df.mapInPandas(run, RESULT_SCHEMA)
 
 
+def observed(results: DataFrame, observation=None) -> DataFrame:
+    """A5: job-level counters via ``df.observe`` — the Spark-native
+    form of the reference's count/pluralize reporting
+    (main_body.py:115-125). The metrics ride the action that consumes
+    ``results`` (no extra pass/shuffle). Pass a ``pyspark.sql.
+    Observation`` to read them on the driver after the action; with no
+    argument a named observation is attached for QueryExecutionListener
+    consumers — at cluster scale this is how per-run lineage metrics
+    reach the driver for free."""
+    return results.observe(
+        observation if observation is not None else "extract_metrics",
+        F.count(F.lit(1)).alias("docs"),
+        F.sum("n_media").alias("media"),
+        F.sum("n_errors").alias("errors"),
+        F.max("n_media").alias("max_media_per_doc"),
+    )
+
+
 def extracted_text(results: DataFrame, kinds: tuple[str, ...] = ("text", "ocr")) -> DataFrame:
     """Reading-order document text from a results table: the selected
     span kinds joined with newlines in offset order — pure JVM (array

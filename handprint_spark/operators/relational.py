@@ -514,8 +514,34 @@ FROM f
 """
 
 
+# --- K7: URL sidecar sink format (manager.py:481-482) ----------------------
+
+def q_k7_url_sidecar(spark, sf_dir):
+    """K7: the '[InternetShortcut]' sidecar body as a column —
+    filename mangling becomes a plain projection + sink."""
+    docs = _t(spark, sf_dir, "documents")
+    url = F.concat(
+        F.lit("https://corpus.example/"), F.col("source"),
+        F.lit("/"), F.col("doc_id").cast("string"),
+    )
+    return docs.select(
+        "doc_id",
+        F.format_string("[InternetShortcut]\nURL=%s\n", url).alias("sidecar"),
+    )
+
+
+SQL_K7 = """
+SELECT doc_id,
+       printf('[InternetShortcut]
+URL=%s
+', 'https://corpus.example/' || source || '/' || doc_id) AS sidecar
+FROM documents
+"""
+
+
 QUERIES = {
     "c1_format_canonical": q_c1_format_canonical,
+    "k7_url_sidecar": q_k7_url_sidecar,
     "s2_whitelist_filter": q_s2_whitelist_filter,
     "s3_artifact_exclusion": q_s3_artifact_exclusion,
     "s4_window_dedup": q_s4_window_dedup,
@@ -542,6 +568,7 @@ QUERIES = {
 
 ORACLES = {
     "c1_format_canonical": SQL_C1,
+    "k7_url_sidecar": SQL_K7,
     "s2_whitelist_filter": SQL_S2,
     "s3_artifact_exclusion": SQL_S3,
     "s4_window_dedup": SQL_S4,

@@ -109,3 +109,22 @@ def test_extracted_text_reading_order(spark, sf_tiny):
             s["text"] for s in ref[doc_id] if s["kind"] in ("text", "ocr")
         )
         assert text == exp
+
+
+def test_observed_metrics(spark, sf_tiny):
+    """A5: df.observe counters ride the consuming action (no extra
+    pass); totals must agree with a direct aggregation."""
+    from pyspark.sql import Observation
+
+    from handprint_spark.operators.extract import observed
+
+    results = extract_documents(load_documents_spans(spark, sf_tiny))
+    obs = Observation("extract_metrics_test")
+    n_rows = observed(results, obs).count()
+    got = obs.get
+    assert got["docs"] == n_rows > 0
+    direct = results.selectExpr(
+        "sum(n_media) AS media", "sum(n_errors) AS errors"
+    ).collect()[0]
+    assert got["media"] == direct["media"]
+    assert got["errors"] == direct["errors"]
