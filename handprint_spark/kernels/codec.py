@@ -69,12 +69,31 @@ def _stream(key: bytes, n: int) -> bytes:
 
 
 def render_pixels(text: str, width: int, height: int, binarized: bool = False) -> np.ndarray:
-    """Grayscale page render: a pure function of (text, width, height)."""
+    """Grayscale page render: a pure function of (text, width, height).
+
+    ~3% ink coverage: deterministic mark positions/intensities keyed by
+    (text, dims) on a zero background. Real document pages are mostly
+    background and their encodings compress (the reference's corpus is
+    JPEG/PNG page scans) — a corpus faithful to that profile keeps the
+    scan/Arrow-transport bytes proportional to *compressed* image size
+    while the decode/render compute still scales with the pixel count,
+    matching the CPU-per-byte shape of a real extraction pipeline."""
     n = width * height
     if n == 0:
         return np.zeros((height, width), dtype=np.uint8)
     key = b"HPM1-px|" + text.encode("utf-8") + b"|" + struct.pack("<II", width, height)
-    px = np.frombuffer(_stream(key, n), dtype=np.uint8).reshape(height, width)
+    m = max(1, n // 32)
+    raw = np.frombuffer(_stream(key, m * 5), dtype=np.uint8)
+    pos = (
+        (raw[0::5].astype(np.uint64) << 24)
+        | (raw[1::5].astype(np.uint64) << 16)
+        | (raw[2::5].astype(np.uint64) << 8)
+        | raw[3::5].astype(np.uint64)
+    ) % n
+    val = raw[4::5] | np.uint8(1)  # nonzero ink
+    px = np.zeros(n, dtype=np.uint8)
+    px[pos] = val
+    px = px.reshape(height, width)
     if binarized:
         px = np.where(px >= 128, np.uint8(255), np.uint8(0))
     return px
@@ -96,8 +115,10 @@ def encode_media(
     page_texts = pages if pages is not None else [text]
     joined = "\f".join(page_texts).encode("utf-8")
     flags = FLAG_BINARIZED if binarized else 0
+    # level 1: on the sparse ink plane the ratio loss vs level 6 is a few
+    # percent while deflate drops from ~35% of extraction CPU to ~10%
     pixels = zlib.compress(
-        render_pixels(page_texts[0], width, height, binarized).tobytes(), 6
+        render_pixels(page_texts[0], width, height, binarized).tobytes(), 1
     )
     header = _HEADER.pack(
         MAGIC, fmt.encode("ascii")[:8].ljust(8, b"\0"), width, height,

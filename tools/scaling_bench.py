@@ -42,7 +42,8 @@ spark.range(10_000, numPartitions=int(cores)).select(F.sum(_warm("id"))).collect
 
 df = spark.read.parquet(spans_dir)
 best = None
-for _ in range(2):  # two passes; keep the better (steady-state) one
+for _ in range(3):  # passes; keep the best (steady-state) one — the
+                    # high level JIT-converges slowly (pass 1 can read 2-3x)
     t0 = time.perf_counter()
     row = df.transform(extract_documents).selectExpr(
         "count(*) AS docs", "sum(n_media) AS media").collect()[0]
@@ -81,7 +82,7 @@ def main():
     args = [a for a in sys.argv[1:] if not a.startswith("--")]
     sf_dir = args[0] if args else os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     n = int(args[1]) if len(args) > 1 else 8
-    replicate = int(args[2]) if len(args) > 2 else 16
+    replicate = int(args[2]) if len(args) > 2 else 48
 
     # Materialize the input once, shared by both levels. The corpus is
     # replicated REPLICATE x (distinct doc_ids) so each level runs tens
