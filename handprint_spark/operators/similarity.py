@@ -209,11 +209,88 @@ WHERE e.vec_id <> 0 AND {_sql_bucket("e.embedding::DOUBLE[]")} = qb.b
 """
 
 
+# --- IVF ANN (coarse quantizer + probed inverted lists) ----------------------
+
+IVF_K = 16
+IVF_NPROBE = 2
+CENTROID_IDS = tuple(3 + 7 * i for i in range(IVF_K))
+
+
+def _cos_cols(a, b):
+    return F.round(_dot(a, b) / (F.sqrt(_dot(a, a)) * F.sqrt(_dot(b, b))), 4)
+
+
+def q_sim_ivf_ann(spark, sf_dir):
+    """IVF: a deterministic 16-centroid coarse quantizer (centroids =
+    fixed vec_ids, broadcast); every vector is assigned to its nearest
+    centroid (inverted lists); a query scores only the IVF_NPROBE
+    nearest lists. At 10^12 rows the assignment is a write-time
+    partition column (`PARTITIONED BY (cent_id)`) and a probe is a
+    partition-pruned scan of nprobe/K of the table; here the same
+    plan shape is a broadcast join + window argmin."""
+    emb = _emb(spark, sf_dir)
+    cents = emb.filter(F.col("vec_id").isin(list(CENTROID_IDS))).select(
+        F.col("vec_id").alias("cent_id"), F.col("v").alias("cv")
+    )
+    scored = emb.crossJoin(F.broadcast(cents)).withColumn(
+        "cos_c", _cos_cols(F.col("v"), F.col("cv"))
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.col("cos_c").desc(), F.col("cent_id").asc())
+    assign = (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "v", "cent_id")
+    )
+    qv = _query_vec(spark, sf_dir, 0)
+    q = _lit_vec(qv)
+    wp = Window.orderBy(F.round(_dot(F.col("cv"), q) / (F.sqrt(_dot(F.col("cv"), F.col("cv"))) * F.sqrt(_dot(q, q))), 4).desc(), F.col("cent_id").asc())
+    probes = (
+        cents.withColumn("rn", F.row_number().over(wp))
+        .filter(F.col("rn") <= IVF_NPROBE)
+        .select("cent_id")
+    )
+    return (
+        assign.join(F.broadcast(probes), "cent_id")
+        .filter(F.col("vec_id") != 0)
+        .withColumn("cos", _cos_to_query(assign, qv))
+        .select("vec_id", "cent_id", "cos")
+    )
+
+
+SQL_SIM_IVF = f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+c AS (SELECT vec_id AS cent_id, v AS cv FROM e
+      WHERE vec_id IN ({", ".join(map(str, CENTROID_IDS))})),
+assign AS (
+  SELECT vec_id, v, cent_id FROM (
+    SELECT e.vec_id, e.v, c.cent_id,
+           row_number() OVER (PARTITION BY e.vec_id
+             ORDER BY round(list_cosine_similarity(e.v, c.cv), 4) DESC,
+                      c.cent_id ASC) AS rn
+    FROM e CROSS JOIN c) WHERE rn = 1
+),
+q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+probes AS (
+  SELECT cent_id FROM (
+    SELECT c.cent_id,
+           row_number() OVER (ORDER BY
+             round(list_cosine_similarity(c.cv, q.qv), 4) DESC,
+             c.cent_id ASC) AS rn
+    FROM c, q) WHERE rn <= {IVF_NPROBE}
+)
+SELECT a.vec_id, a.cent_id,
+       round(list_cosine_similarity(a.v, q.qv), 4) AS cos
+FROM assign a JOIN probes USING (cent_id) CROSS JOIN q
+WHERE a.vec_id <> 0
+"""
+
+
 QUERIES = {
     "sim_topk_bruteforce": q_sim_topk_bruteforce,
     "sim_knn_join": q_sim_knn_join,
     "sim_lsh_buckets": q_sim_lsh_buckets,
     "sim_lsh_ann": q_sim_lsh_ann,
+    "sim_ivf_ann": q_sim_ivf_ann,
 }
 
 ORACLES = {
@@ -221,4 +298,5 @@ ORACLES = {
     "sim_knn_join": SQL_SIM_KNN,
     "sim_lsh_buckets": SQL_SIM_LSH_BUCKETS,
     "sim_lsh_ann": _sql_lsh_ann(),
+    "sim_ivf_ann": SQL_SIM_IVF,
 }

@@ -22,6 +22,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from ..corpus import spanify
 from ..operators.extract import extract_documents
@@ -43,6 +44,55 @@ def stream_documents(
         .parquet(source_dir)
     )
     return extract_documents(spanify(stream))
+
+
+def stream_first_seen(documents_stream: DataFrame) -> DataFrame:
+    """Custom stateful operator (``applyInPandasWithState``): exact
+    streaming dedup keyed by content hash. The first document carrying
+    a given md5(text) is emitted; every later duplicate increments the
+    keyed state and is suppressed. This is the streaming form of the
+    batch ``dd_exact`` groupBy — state = one long per distinct hash,
+    partitioned by the hash key exactly like the batch shuffle.
+
+    Input: a streaming DataFrame with (doc_id, text). Output:
+    (h, doc_id, n_chars) rows, one per first-seen hash.
+    """
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = T.StructType(
+        [
+            T.StructField("h", T.StringType()),
+            T.StructField("doc_id", T.StringType()),
+            T.StructField("n_chars", T.IntegerType()),
+        ]
+    )
+    state_schema = T.StructType([T.StructField("seen", T.LongType())])
+
+    def dedup(key, pdf_iter, state: GroupState):
+        import pandas as pd
+
+        first_rows = []
+        seen = state.get[0] if state.exists else 0
+        for pdf in pdf_iter:
+            if seen == 0 and len(pdf) > 0:
+                # deterministic first: smallest doc_id in this batch
+                row = pdf.sort_values("doc_id").iloc[0]
+                first_rows.append(
+                    {"h": key[0], "doc_id": str(row["doc_id"]),
+                     "n_chars": int(len(row["text"]))}
+                )
+            seen += len(pdf)
+        state.update((seen,))
+        yield pd.DataFrame(first_rows, columns=["h", "doc_id", "n_chars"])
+
+    keyed = documents_stream.select(
+        F.md5(F.col("text").cast("binary")).alias("h"),
+        F.col("doc_id").cast("string").alias("doc_id"),
+        F.col("text"),
+    )
+    return keyed.groupBy("h").applyInPandasWithState(
+        dedup, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
+    )
 
 
 def stream_event_counts(spark: SparkSession, events_stream: DataFrame) -> DataFrame:

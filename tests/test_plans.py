@@ -77,3 +77,21 @@ def test_skew_split_actually_triggers(spark, sf_tiny):
     spans = load_documents_spans(spark, sf_tiny)
     heavy = spans.filter(F.size("media") > 40).count()
     assert heavy >= 1
+
+
+def test_minhash_sigs_single_exchange(spark, sf_small):
+    """Pre-explode doc_id partitioning: the shingle explode + signature
+    groupBy must reuse one exchange — the exploded fan-out (the big
+    data) never shuffles."""
+    from handprint_spark.operators.dedup import _docs, _minhash_sigs
+
+    plan = plan_str(_minhash_sigs(_docs(spark, sf_small, spread=True)), "simple")
+    assert plan.count("Exchange") == 1
+
+
+def test_ivf_probes_broadcast(spark, sf_small):
+    """IVF probe join must broadcast the tiny probe/centroid side."""
+    from handprint_spark.operators.similarity import q_sim_ivf_ann
+
+    plan = plan_str(q_sim_ivf_ann(spark, sf_small))
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan

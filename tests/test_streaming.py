@@ -91,3 +91,37 @@ def test_windowed_counts_with_watermark(spark, sf_tiny, tmpdir):
         .collect()
     }
     assert got == expected
+
+
+def test_stateful_first_seen_dedup(spark, sf_tiny, tmpdir):
+    """applyInPandasWithState: exactly one emission per distinct text
+    hash across all microbatches, duplicates suppressed by keyed state."""
+    from handprint_spark.streaming.pipeline import stream_first_seen
+
+    src = f"{tmpdir}/dup_src"
+    docs = spark.read.parquet(f"{sf_tiny}/documents.parquet").limit(40)
+    # duplicate every doc's text under a shifted doc_id, split across
+    # files so duplicates arrive in *different* microbatches
+    dup = docs.selectExpr("doc_id + 100000 AS doc_id", "text")
+    docs.select("doc_id", "text").write.parquet(src)
+    dup.write.mode("append").parquet(src)
+
+    schema = spark.read.parquet(src).schema
+    stream = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(src)
+    )
+    q = (
+        stream_first_seen(stream)
+        .writeStream.format("memory")
+        .queryName("first_seen")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", f"{tmpdir}/ckpt3")
+        .start()
+    )
+    q.awaitTermination(120)
+
+    rows = spark.sql("select * from first_seen").collect()
+    n_distinct = docs.selectExpr("md5(cast(text as binary)) AS h").distinct().count()
+    assert len(rows) == n_distinct
+    assert len({r.h for r in rows}) == len(rows)  # one row per hash
