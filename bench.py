@@ -26,7 +26,13 @@ def main() -> None:
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
 
     from handprint_spark.corpus import load_documents_spans
-    from handprint_spark.operators import dedup, relational, similarity, text_analysis
+    from handprint_spark.operators import (
+        dedup,
+        relational,
+        service_queries,
+        similarity,
+        text_analysis,
+    )
     from handprint_spark.operators.extract import extract_documents
     from handprint_spark.session import get_spark
 
@@ -96,8 +102,10 @@ def main() -> None:
         ("dd_simhash", dedup.QUERIES["dd_simhash"]),
         ("sim_topk_bruteforce", similarity.QUERIES["sim_topk_bruteforce"]),
         ("sim_lsh_ann", similarity.QUERIES["sim_lsh_ann"]),
+        ("sim_ivf_ann", similarity.QUERIES["sim_ivf_ann"]),
         ("ta_fingerprint", text_analysis.QUERIES["ta_fingerprint"]),
         ("ta_quality", text_analysis.QUERIES["ta_quality"]),
+        ("x5_microsoft_parse", service_queries.QUERIES["x5_microsoft_parse"]),
     ]
     for name, q in heads:
         timed(name, lambda q=q: q(spark, sf_dir).selectExpr("count(*)").collect())
