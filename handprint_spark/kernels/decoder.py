@@ -23,6 +23,7 @@ box carries the min of line scores.
 from __future__ import annotations
 
 import hashlib
+from functools import lru_cache
 from typing import NamedTuple, Optional
 
 from . import codec
@@ -50,7 +51,12 @@ class TRResult(NamedTuple):
     error: Optional[str]
 
 
+@lru_cache(maxsize=65536)
 def word_confidence(word: str) -> float:
+    """Memoized per executor: natural-language vocabulary is Zipfian,
+    so the common-word hit rate stays high at any corpus size; the
+    cache is per-process and pure, so parallelism never changes
+    results."""
     h = int.from_bytes(hashlib.sha256(word.encode("utf-8")).digest()[:8], "big")
     return round(0.5 + (h % 500) / 1000.0, 3)
 
