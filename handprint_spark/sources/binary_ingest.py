@@ -26,9 +26,12 @@ from pyspark.sql.window import Window
 # accepted extensions (reference services/__init__.py:21-22)
 ACCEPTED_FORMATS = ("jpg", "jpeg", "jp2", "pdf", "png", "gif", "bmp", "tif", "tiff")
 
-# dedup priority: canonical output format wins (main_body.py:171-180
-# keeps the .png when both x.png and x.tif are present)
-_FMT_PRIORITY = {fmt: i for i, fmt in enumerate(("png", "jpeg", "jpg", *ACCEPTED_FORMATS))}
+# the canonical output format (reference main_body.py:34 _OUTPUT_EXT =
+# '.png'): S4 drops a file only when its .png sibling exists — any
+# other format mix (x.jpg + x.tif, no x.png) keeps ALL files, exactly
+# like the reference's `ext != _OUTPUT_EXT and base + _OUTPUT_EXT in
+# targets` test (main_body.py:174-179)
+_OUTPUT_FMT = "png"
 
 
 def read_binary_dir(spark: SparkSession, path: str, glob: str = "*") -> DataFrame:
@@ -44,7 +47,10 @@ def read_binary_dir(spark: SparkSession, path: str, glob: str = "*") -> DataFram
     return df.select(
         "path",
         file_name.alias("file_name"),
-        F.regexp_extract(file_name, r"^(.*)\.[^.]+$", 1).alias("base_name"),
+        # base includes the directory: the reference compares full paths
+        # (main_body.py:176 `base + _OUTPUT_EXT in targets`), so x/a.png
+        # must not shadow y/a.tif
+        F.regexp_extract(F.col("path"), r"^(.*)\.[^.]+$", 1).alias("base_name"),
         F.lower(F.regexp_extract(file_name, r"\.([^.]+)$", 1)).alias("ext"),
         "length",
         "content",
@@ -53,19 +59,17 @@ def read_binary_dir(spark: SparkSession, path: str, glob: str = "*") -> DataFram
 
 def enumerate_targets(files: DataFrame) -> DataFrame:
     """S2 + S3 + S4 over a `read_binary_dir` frame: whitelist the
-    extension, drop `.handprint` artifacts, and keep one file per
-    base name by format priority (then path, for a total order)."""
-    prio = F.create_map(
-        *[x for fmt, i in _FMT_PRIORITY.items() for x in (F.lit(fmt), F.lit(i))]
-    )
-    w = Window.partitionBy("base_name").orderBy(
-        prio[F.col("ext")].asc(), F.col("path").asc()
-    )
+    extension, drop `.handprint` artifacts, and drop any file whose
+    ``.png`` sibling (same directory + stem) is also a target — the
+    reference's exact rule (main_body.py:171-180). Files with no png
+    sibling all survive, whatever their format mix."""
+    w = Window.partitionBy("base_name")
+    has_png = F.max(F.when(F.col("ext") == _OUTPUT_FMT, 1).otherwise(0)).over(w)
     return (
         files.filter(F.col("ext").isin(list(ACCEPTED_FORMATS)))  # S2
         .filter(~F.col("file_name").contains(".handprint"))  # S3
         .filter(F.col("length") > 0)  # S7 zero-length guard
-        .withColumn("rn", F.row_number().over(w))  # S4
-        .filter(F.col("rn") == 1)
-        .drop("rn")
+        .withColumn("has_png", has_png)  # S4
+        .filter((F.col("ext") == _OUTPUT_FMT) | (F.col("has_png") == 0))
+        .drop("has_png")
     )
