@@ -100,6 +100,8 @@ def main() -> None:
         ("dd_exact", dedup.QUERIES["dd_exact"]),
         ("dd_minhash_lsh_pairs", dedup.QUERIES["dd_minhash_lsh_pairs"]),
         ("dd_simhash", dedup.QUERIES["dd_simhash"]),
+        ("dd_simhash_pairs", dedup.QUERIES["dd_simhash_pairs"]),
+        ("dd_embedding_neardup", dedup.QUERIES["dd_embedding_neardup"]),
         ("sim_topk_bruteforce", similarity.QUERIES["sim_topk_bruteforce"]),
         ("sim_lsh_ann", similarity.QUERIES["sim_lsh_ann"]),
         ("sim_ivf_ann", similarity.QUERIES["sim_ivf_ann"]),

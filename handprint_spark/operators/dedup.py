@@ -18,18 +18,33 @@ content-level dedup. Five strategies, each Spark-first:
                    the scale path: cost ~ bucket sizes, not n².
   * SimHash      — 16-bit simhash from per-word md5 bits (bitwise agg
                    in pure Catalyst expressions); near-dup candidates
-                   = pairs with hamming distance <= 2 via bit_count(xor).
-  * embedding    — cosine near-dup pairs over the embeddings table
-                   (see similarity.py for the ANN machinery).
+                   by PIGEONHOLE BANDING: the signature splits into
+                   HAMMING_MAX+1 bit chunks, and any pair within
+                   hamming distance HAMMING_MAX must agree exactly on
+                   at least one chunk, so candidates are an equi-join
+                   on (chunk_id, chunk_value) — exact recall, no n²
+                   compare. (At 16 bits the chunk value space is small;
+                   a production corpus uses the same construction over
+                   a 64-bit simhash with three 21/21/22-bit chunks.)
+  * embedding    — LSH-banded candidate generation + exact cosine
+                   verify: pairs sharing at least one 4-plane
+                   random-hyperplane band bucket, scored vectorized
+                   (numpy matmul in a pandas UDF) and kept at
+                   cos >= EMB_COS_THRESHOLD. The standard
+                   candidates-then-verify near-dup shape: recall is
+                   the banded-LSH tradeoff, cost ~ bucket sizes.
 
 At 10^12 docs: exact/minhash/simhash shuffle once on a well-spread
 key; the Jaccard self-join is bounded by shingle-frequency capping
 (drop shingles that occur in > MAX_DF docs — standard posting-list
-pruning, applied here too).
+pruning, applied here too); the two near-dup pair queries join only
+within chunk/band buckets (asserted by tests/test_plans.py: no
+CartesianProduct / BroadcastNestedLoopJoin in either plan).
 """
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
@@ -39,6 +54,12 @@ JACCARD_THRESHOLD = 0.5
 MINHASH_K = 4  # 2 bands x 2 rows
 SIM_BITS = 16
 HAMMING_MAX = 2
+# pigeonhole chunks: HAMMING_MAX+1 chunks covering the SIM_BITS bits;
+# <= HAMMING_MAX differing bits can dirty at most HAMMING_MAX chunks
+SIMHASH_CHUNK_BITS = (6, 5, 5)
+EMB_BANDS = 4
+EMB_BAND_BITS = 4
+EMB_COS_THRESHOLD = 0.3
 
 
 def _docs(spark: SparkSession, sf_dir: str, spread: bool = False) -> DataFrame:
@@ -232,23 +253,27 @@ FROM bands a JOIN bands b ON a.band_key = b.band_key AND a.doc_id < b.doc_id
 def _simhash_col():
     """16-bit simhash over the word multiset: bit k of the result is 1
     when more words hash (md5 16-bit prefix) with bit k set than not.
-    Pure Catalyst: transform + aggregate over a sequence of bits."""
-    words = F.split(F.col("text"), " ")
-    hashes = F.transform(
-        words,
-        lambda w: F.conv(F.substring(F.md5(w.cast("binary")), 1, 4), 16, 10).cast("long"),
-    )
-    def bit_vote(b):
-        ones = F.aggregate(
-            hashes,
-            F.lit(0).cast("long"),
-            lambda acc, h: acc + F.shiftright(h, b).bitwiseAND(F.lit(1)),
+    Pure Catalyst, ONE traversal of the word array: the fold
+    accumulates a SIM_BITS-long bit-count vector (zip_with add), and
+    the finish lambda votes each bit against the word count — 16x less
+    expression work than a per-bit aggregate pass."""
+    return F.expr(
+        f"""
+        aggregate(
+          transform(split(text, ' '),
+                    w -> cast(conv(substring(md5(cast(w as binary)), 1, 4), 16, 10) as bigint)),
+          array_repeat(cast(0 as bigint), {SIM_BITS}),
+          (acc, h) -> zip_with(acc,
+                               transform(sequence(0, {SIM_BITS - 1}), b -> shiftright(h, b) & 1),
+                               (c, bit) -> c + bit),
+          counts -> aggregate(
+            zip_with(counts, sequence(0, {SIM_BITS - 1}),
+                     (c, b) -> if(2 * c >= size(split(text, ' ')),
+                                  shiftleft(cast(1 as bigint), b), cast(0 as bigint))),
+            cast(0 as bigint), (a, x) -> a + x)
         )
-        return F.when(ones * 2 >= F.size(words), F.lit(2 ** b).cast("long")).otherwise(F.lit(0).cast("long"))
-    out = F.lit(0).cast("long")
-    for b in range(SIM_BITS):
-        out = out + bit_vote(b)
-    return out
+        """
+    )
 
 
 def q_dd_simhash(spark, sf_dir):
@@ -277,16 +302,50 @@ SELECT doc_id, CAST({_simhash_sql_expr()} AS BIGINT) AS simhash FROM h
 
 
 def q_dd_simhash_pairs(spark, sf_dir):
+    """Pigeonhole-banded hamming join: split the signature into
+    HAMMING_MAX+1 chunks; any pair within hamming HAMMING_MAX agrees
+    exactly on >= 1 chunk, so an equi-join on (chunk_id, chunk_value)
+    generates candidates with EXACT recall (same output set as the
+    all-pairs compare the DuckDB oracle runs), then the hamming filter
+    verifies. No cross join anywhere — cost ~ sum of chunk-bucket
+    sizes squared, not n²."""
     sigs = q_dd_simhash(spark, sf_dir)
-    a, b = sigs.alias("a"), sigs.alias("b")
+    chunks, off = [], 0
+    for k, width in enumerate(SIMHASH_CHUNK_BITS):
+        chunks.append(
+            F.struct(
+                F.lit(k).alias("ck"),
+                F.shiftright(F.col("simhash"), off)
+                .bitwiseAND(F.lit((1 << width) - 1))
+                .alias("cv"),
+            )
+        )
+        off += width
+    banded = sigs.select(
+        "doc_id", "simhash", F.explode(F.array(*chunks)).alias("c")
+    ).select("doc_id", "simhash", F.col("c.ck").alias("ck"), F.col("c.cv").alias("cv"))
+    a, b = banded.alias("a"), banded.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.ck") == F.col("b.ck"))
+            & (F.col("a.cv") == F.col("b.cv"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("d1"),
+            F.col("b.doc_id").alias("d2"),
+            F.col("a.simhash").alias("s1"),
+            F.col("b.simhash").alias("s2"),
+        )
+        .distinct()  # a pair may collide on several chunks
+    )
     return (
-        a.join(b, F.col("a.doc_id") < F.col("b.doc_id"))
-        .withColumn(
-            "hamming",
-            F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))).cast("int"),
+        cand.withColumn(
+            "hamming", F.bit_count(F.col("s1").bitwiseXOR(F.col("s2"))).cast("int")
         )
         .filter(F.col("hamming") <= HAMMING_MAX)
-        .select(F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2"), "hamming")
+        .select("d1", "d2", "hamming")
     )
 
 
@@ -301,34 +360,138 @@ WHERE bit_count(xor(a.simhash, b.simhash)) <= {HAMMING_MAX}
 
 # --- embedding cosine near-dup ------------------------------------------------
 
+def _emb_planes():
+    """EMB_BANDS x EMB_BAND_BITS deterministic hyperplanes (disjoint
+    from the similarity module's 8 index planes via the seed offset)."""
+    from .similarity import _plane
+
+    return [_plane(100 + i) for i in range(EMB_BANDS * EMB_BAND_BITS)]
+
+
+def _band_keys_udf():
+    """Vectorized banded-LSH signature: one numpy matmul against the
+    (EMB_BANDS*EMB_BAND_BITS) x DIM plane matrix per Arrow batch, then
+    a bit-fold per band — no interpreted per-row HOF work."""
+    import numpy as np
+
+    P = np.asarray(_emb_planes(), dtype=np.float64)
+    weights = 1 << np.arange(EMB_BAND_BITS)
+
+    @F.pandas_udf("array<int>")
+    def band_keys(v: pd.Series) -> pd.Series:
+        import numpy as np
+
+        M = np.stack(v.values).astype(np.float64)
+        S = (M @ P.T) >= 0.0  # n x (bands*bits) sign bits
+        keys = np.stack(
+            [
+                (S[:, b * EMB_BAND_BITS : (b + 1) * EMB_BAND_BITS] * weights).sum(axis=1)
+                for b in range(EMB_BANDS)
+            ],
+            axis=1,
+        ).astype("int32")
+        return pd.Series(list(keys))
+
+    return band_keys
+
+
+def _pair_cos_udf():
+    @F.pandas_udf("double")
+    def pair_cos(a: pd.Series, b: pd.Series) -> pd.Series:
+        import numpy as np
+
+        A = np.stack(a.values).astype(np.float64)
+        B = np.stack(b.values).astype(np.float64)
+        num = (A * B).sum(axis=1)
+        den = np.sqrt((A * A).sum(axis=1)) * np.sqrt((B * B).sum(axis=1))
+        return pd.Series(np.round(num / den, 4))
+
+    return pair_cos
+
+
 def q_dd_embedding_neardup(spark, sf_dir):
+    """Near-duplicate embedding pairs, candidates-then-verify:
+    candidate = the pair shares >= 1 of EMB_BANDS random-hyperplane
+    band buckets (equi-join on (band, key) — never an all-pairs
+    compare); verify = exact cosine >= EMB_COS_THRESHOLD, scored by a
+    vectorized pandas UDF. Recall below 1.0 on non-colliding pairs is
+    the standard banded-LSH tradeoff; the DuckDB oracle computes the
+    identical banded semantics from the same plane constants."""
+    import numpy as np
+
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
     )
-    dot = lambda x, y: F.aggregate(  # noqa: E731
-        F.zip_with(x, y, lambda a, b: a * b), F.lit(0.0), lambda acc, z: acc + z
+    keys_udf = _band_keys_udf()
+    banded = emb.withColumn("keys", keys_udf(F.col("v"))).select(
+        "vec_id", "v", "keys", F.posexplode("keys").alias("band", "key")
     )
-    norm = lambda x: F.sqrt(dot(x, x))  # noqa: E731
-    a, b = emb.alias("a"), emb.alias("b")
-    return (
-        a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
-        .withColumn(
-            "cos",
-            F.round(
-                dot(F.col("a.v"), F.col("b.v")) / (norm(F.col("a.v")) * norm(F.col("b.v"))), 4
-            ),
+
+    def score_bucket(pdf: pd.DataFrame) -> pd.DataFrame:
+        """All rows share one (band, key) bucket: score every in-bucket
+        pair with ONE n x n matmul; each vector crosses to Python once
+        per band it lands in, never once per candidate pair. A pair
+        colliding in several bands is emitted only by its FIRST
+        colliding band (dedup without a second shuffle)."""
+        empty = pd.DataFrame(
+            {
+                "v1": pd.Series(dtype="int64"),
+                "v2": pd.Series(dtype="int64"),
+                "cos": pd.Series(dtype="float64"),
+            }
         )
-        .filter(F.col("cos") >= 0.3)
-        .select(F.col("a.vec_id").alias("v1"), F.col("b.vec_id").alias("v2"), "cos")
+        n = len(pdf)
+        if n < 2:
+            return empty
+        pdf = pdf.sort_values("vec_id").reset_index(drop=True)
+        band = int(pdf["band"].iloc[0])
+        ids = pdf["vec_id"].to_numpy()
+        K = np.stack(pdf["keys"].values)  # n x EMB_BANDS
+        M = np.stack(pdf["v"].values).astype(np.float64)
+        norms = np.sqrt((M * M).sum(axis=1))
+        S = np.round((M @ M.T) / np.outer(norms, norms), 4)
+        iu, ju = np.triu_indices(n, k=1)  # vec_id-sorted: v1 < v2
+        first = (K[iu] == K[ju]).argmax(axis=1)  # first colliding band
+        keep = (first == band) & (S[iu, ju] >= EMB_COS_THRESHOLD)
+        return pd.DataFrame(
+            {"v1": ids[iu[keep]], "v2": ids[ju[keep]], "cos": S[iu, ju][keep]}
+        )
+
+    return banded.groupBy("band", "key").applyInPandas(
+        score_bucket, "v1 bigint, v2 bigint, cos double"
     )
 
 
-SQL_DD_EMB = """
-WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
-SELECT a.vec_id AS v1, b.vec_id AS v2,
-       round(list_cosine_similarity(a.v, b.v), 4) AS cos
-FROM e a JOIN e b ON a.vec_id < b.vec_id
-WHERE round(list_cosine_similarity(a.v, b.v), 4) >= 0.3
+def _sql_emb_band_key(vec_expr: str, band: int) -> str:
+    from .similarity import _sql_dot
+
+    planes = _emb_planes()
+    parts = [
+        f"(CASE WHEN {_sql_dot(vec_expr, planes[band * EMB_BAND_BITS + i])} >= 0 "
+        f"THEN {1 << i} ELSE 0 END)"
+        for i in range(EMB_BAND_BITS)
+    ]
+    return "(" + " + ".join(parts) + ")"
+
+
+def _sql_dd_emb() -> str:
+    bands = "\n  UNION ALL\n".join(
+        f"  SELECT vec_id, v, {b} AS band, {_sql_emb_band_key('v', b)} AS key FROM e"
+        for b in range(EMB_BANDS)
+    )
+    return f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+banded AS (
+{bands}
+),
+cand AS (
+  SELECT DISTINCT a.vec_id AS v1, b.vec_id AS v2
+  FROM banded a JOIN banded b
+    ON a.band = b.band AND a.key = b.key AND a.vec_id < b.vec_id
+)
+SELECT c.v1, c.v2, round(list_cosine_similarity(ea.v, eb.v), 4) AS cos
+FROM cand c JOIN e ea ON ea.vec_id = c.v1 JOIN e eb ON eb.vec_id = c.v2
+WHERE round(list_cosine_similarity(ea.v, eb.v), 4) >= {EMB_COS_THRESHOLD}
 """
 
 
@@ -349,5 +512,5 @@ ORACLES = {
     "dd_minhash_lsh_pairs": SQL_DD_MINHASH_LSH,
     "dd_simhash": SQL_DD_SIMHASH,
     "dd_simhash_pairs": SQL_DD_SIMHASH_PAIRS,
-    "dd_embedding_neardup": SQL_DD_EMB,
+    "dd_embedding_neardup": _sql_dd_emb(),
 }

@@ -90,8 +90,67 @@ def test_minhash_sigs_single_exchange(spark, sf_small):
 
 
 def test_ivf_probes_broadcast(spark, sf_small):
-    """IVF probe join must broadcast the tiny probe/centroid side."""
+    """IVF probe join must broadcast the tiny probe side (and never
+    fall back to a nested-loop join)."""
     from handprint_spark.operators.similarity import q_sim_ivf_ann
 
     plan = plan_str(q_sim_ivf_ann(spark, sf_small))
-    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+    assert "BroadcastHashJoin" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_neardup_pair_queries_no_cartesian(spark, sf_small):
+    """The two near-dup pair generators must join only within
+    chunk/band buckets — a cross or inequality-only join is the
+    10^24-comparison scale killer at 10^12 docs."""
+    from handprint_spark.operators.dedup import (
+        q_dd_embedding_neardup,
+        q_dd_simhash_pairs,
+    )
+
+    for q in (q_dd_simhash_pairs, q_dd_embedding_neardup):
+        plan = plan_str(q(spark, sf_small))
+        assert "CartesianProduct" not in plan, q.__name__
+        assert "BroadcastNestedLoopJoin" not in plan, q.__name__
+
+
+def test_ann_index_probe_partition_prunes(spark, sf_small, tmp_path):
+    """A probe of the materialized LSH index must read ONLY the query
+    bucket's partition: the scan's partition filter carries the bucket
+    predicate, and the pruned file count is a small fraction of the
+    index cells."""
+    from handprint_spark.operators.ann_index import build_ann_index, probe_lsh
+    from handprint_spark.operators.similarity import _query_vec, bucket_of
+
+    index_dir = build_ann_index(spark, sf_small, index_dir=str(tmp_path / "lsh"))
+    qv = _query_vec(spark, sf_small, 0)
+    probe = probe_lsh(spark, index_dir, qv, exclude_vec_id=0, prune="filter")
+    plan = plan_str(probe)
+    assert "PartitionFilters" in plan
+    assert f"bucket = {bucket_of(qv)}" in plan or "bucket#" in plan.split("PartitionFilters")[1][:200]
+    # and it returns exactly the oracle row set shape (vec_id, cos)
+    assert probe.columns == ["vec_id", "cos"]
+    # the manifest-prune stand-in (direct partition path) reads the
+    # same cell: identical row set
+    direct = probe_lsh(spark, index_dir, qv, exclude_vec_id=0, prune="path")
+    assert {(r.vec_id, r.cos) for r in direct.collect()} == {
+        (r.vec_id, r.cos) for r in probe.collect()
+    }
+
+
+def test_ivf_index_probe_matches_computed(spark, sf_small, tmp_path):
+    """probe_ivf over the materialized inverted lists returns the same
+    rows as the computed q_sim_ivf_ann plan."""
+    from handprint_spark.operators.ann_index import build_ivf_index, probe_ivf
+    from handprint_spark.operators.similarity import _query_vec, q_sim_ivf_ann
+
+    index_dir = build_ivf_index(spark, sf_small, index_dir=str(tmp_path / "ivf"))
+    qv = _query_vec(spark, sf_small, 0)
+    probed = {
+        (r.vec_id, r.cent_id, r.cos)
+        for r in probe_ivf(spark, sf_small, index_dir, qv, exclude_vec_id=0).collect()
+    }
+    computed = {
+        (r.vec_id, r.cent_id, r.cos) for r in q_sim_ivf_ann(spark, sf_small).collect()
+    }
+    assert probed == computed and len(probed) > 0
