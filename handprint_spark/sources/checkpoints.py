@@ -25,25 +25,17 @@ equal as sets — asserted by tests/test_resume.py.
 
 from __future__ import annotations
 
-from typing import Optional
-
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.utils import AnalysisException
+from pyspark.storagelevel import StorageLevel
 
 from ..operators.extract import extract_documents
-
-
-def _existing(spark: SparkSession, path: str) -> Optional[DataFrame]:
-    try:
-        return spark.read.parquet(path)
-    except AnalysisException:
-        return None
+from . import table_sink
 
 
 def pending_work(spark: SparkSession, spans_df: DataFrame, results_dir: str) -> DataFrame:
     """J3: input minus already-extracted doc_ids (left anti join)."""
-    done = _existing(spark, results_dir)
+    done = table_sink.load(spark, results_dir)
     if done is None:
         return spans_df
     return spans_df.join(done.select("doc_id").distinct(), "doc_id", "left_anti")
@@ -58,29 +50,55 @@ def run_batch(
     **extract_kwargs,
 ) -> dict:
     """One resumable batch: anti-join → extract → append results →
-    append per-partition lineage. Returns batch metrics."""
+    append per-partition lineage. Returns batch metrics.
+
+    Steady-state I/O contract (the shape that must hold at 10^12
+    rows): ONE read of the input, ONE write of results, ONE write of
+    lineage, ZERO reads of the (ever-growing) results table. The
+    per-partition lineage aggregates the batch's own (cached) output,
+    never a rescan of the sink, and the collected lineage rows (one
+    per partition — driver-small by construction) also supply the
+    return metrics, so no second aggregation pass exists at all.
+    ``results_dir``/``lineage_dir`` may be parquet paths or catalog
+    table identifiers (table_sink) — with an Iceberg catalog the two
+    appends become one atomic transaction."""
     todo = pending_work(spark, spans_df, results_dir)
     results = (
         extract_documents(todo, **extract_kwargs)
         .withColumn("batch_id", F.lit(batch_id))
         .withColumn("partition_id", F.spark_partition_id())
     )
-    results.write.mode("append").parquet(results_dir)
+    # cache so the results append reads this batch's output instead of
+    # recomputing it; results rows are text spans (no media blobs).
+    results.persist(StorageLevel.MEMORY_AND_DISK)
+    try:
+        # Lineage FIRST, append second: the plan under `results`
+        # anti-joins the results sink, so any recomputation after the
+        # append would see its own output and resolve to empty. Taking
+        # the lineage snapshot (which also materializes the cache)
+        # before the sink mutates keeps every recomputation of this
+        # plan equal to what gets written.
+        lineage_rows = (
+            results.groupBy("batch_id", "partition_id")
+            .agg(
+                F.count("*").alias("n_docs"),
+                F.sum("n_media").alias("n_media"),
+                F.sum("n_errors").alias("n_errors"),
+                F.min("doc_id").alias("min_doc"),
+                F.max("doc_id").alias("max_doc"),
+            )
+            .collect()  # one row per partition: driver-small
+        )
+        table_sink.append(results, results_dir)  # reads the cache
+    finally:
+        results.unpersist()
+    if lineage_rows:
+        lineage = spark.createDataFrame(lineage_rows)
+        table_sink.append(lineage, lineage_dir)
 
-    written = spark.read.parquet(results_dir).filter(F.col("batch_id") == batch_id)
-    lineage = written.groupBy("batch_id", "partition_id").agg(
-        F.count("*").alias("n_docs"),
-        F.sum("n_media").alias("n_media"),
-        F.sum("n_errors").alias("n_errors"),
-        F.min("doc_id").alias("min_doc"),
-        F.max("doc_id").alias("max_doc"),
-    )
-    lineage.write.mode("append").parquet(lineage_dir)
-
-    row = written.agg(
-        F.count("*").alias("docs"),
-        F.coalesce(F.sum("n_media"), F.lit(0)).alias("media"),
-        F.coalesce(F.sum("n_errors"), F.lit(0)).alias("errors"),
-    ).collect()[0]
-    return {"batch_id": batch_id, "docs": row["docs"], "media": row["media"],
-            "errors": row["errors"]}
+    return {
+        "batch_id": batch_id,
+        "docs": sum(r["n_docs"] for r in lineage_rows),
+        "media": int(sum(r["n_media"] for r in lineage_rows)),
+        "errors": int(sum(r["n_errors"] for r in lineage_rows)),
+    }

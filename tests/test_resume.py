@@ -52,6 +52,56 @@ def test_partial_then_resume_equals_single_run(spark, sf_tiny, dirs):
     assert resumed == fresh
 
 
+def test_catalog_table_sink_resume(spark, sf_tiny):
+    """Same protocol against catalog TABLE identifiers (the Iceberg
+    path on a cluster; the built-in session catalog here): writeTo
+    create-then-append, anti-join against the table, idempotent."""
+    # the in-memory catalog forgets tables between sessions but their
+    # warehouse files persist — clear both metadata AND files
+    warehouse = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+    for t in ("hp_results_t", "hp_lineage_t"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+        shutil.rmtree(f"{warehouse}/{t}", ignore_errors=True)
+    try:
+        spans = _spans(spark, sf_tiny)
+        m1 = run_batch(spark, spans.limit(30), "hp_results_t", "hp_lineage_t", batch_id=0)
+        assert m1["docs"] == 30
+        m2 = run_batch(spark, spans, "hp_results_t", "hp_lineage_t", batch_id=1)
+        assert m2["docs"] == spans.count() - 30
+        m3 = run_batch(spark, spans, "hp_results_t", "hp_lineage_t", batch_id=2)
+        assert m3["docs"] == 0
+        assert spark.read.table("hp_results_t").count() == spans.count()
+        lineage = spark.read.table("hp_lineage_t")
+        assert lineage.groupBy().sum("n_docs").collect()[0][0] == spans.count()
+    finally:
+        spark.sql("DROP TABLE IF EXISTS hp_results_t")
+        spark.sql("DROP TABLE IF EXISTS hp_lineage_t")
+
+
+def test_run_batch_never_rescans_results_sink(spark, sf_tiny, dirs, monkeypatch):
+    """Steady-state I/O contract: after the initial pending_work
+    anti-join scan, run_batch must not read the results sink again
+    (the old implementation re-read the whole growing table twice per
+    batch to derive lineage + metrics)."""
+    from handprint_spark.sources import checkpoints, table_sink
+
+    results_dir, lineage_dir = dirs
+    spans = _spans(spark, sf_tiny)
+    run_batch(spark, spans.limit(40), results_dir, lineage_dir, batch_id=0)
+
+    loads = []
+    orig = table_sink.load
+
+    def counting_load(s, target):
+        loads.append(target)
+        return orig(s, target)
+
+    monkeypatch.setattr(checkpoints.table_sink, "load", counting_load)
+    run_batch(spark, spans, results_dir, lineage_dir, batch_id=1)
+    # exactly one sink read: the pending_work anti-join
+    assert loads == [results_dir]
+
+
 def test_lineage_metrics(spark, sf_tiny, dirs):
     results_dir, lineage_dir = dirs
     spans = _spans(spark, sf_tiny)
