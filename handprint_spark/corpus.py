@@ -18,19 +18,24 @@ Span-ification rule (fixed; both implementations must agree):
   * sanitize: form feeds stripped from text (HPM1 uses \\f as its page
     separator — see .claude/skills/verify gotcha);
   * the document text splits into lines of WORDS_PER_LINE words;
-  * skewed docs (doc_id % SKEW_MOD == 0) repeat their line list
-    SKEW_FACTOR times — the multi-page-document skew slice the
+  * slice membership derives from a HASH OF THE STRING doc_id
+    (``doc_slice_hash``: 4-byte sha256 prefix — the input_hint types
+    doc_id as string, so non-numeric ids must select slices too; the
+    hash is SQL-expressible in both Spark and DuckDB so oracles can
+    re-derive membership);
+  * skewed docs (doc_slice_hash % SKEW_MOD == 0) repeat their line
+    list SKEW_FACTOR times — the multi-page-document skew slice the
     north_rule requires the partitioner to survive;
   * line *i* yields two spans: a text span at offset 2i and a media
     span (kind 'line_image', media_ref '<doc_id>/line-<i>') at 2i+1;
   * the media object for line *i* is HPM1-encoded from the line text,
     format chosen by content hash over ACCEPTED_FORMATS' raster subset,
     dims (64 + 8*len(line) capped at 512) x 48;
-  * corrupt-media slice: docs with doc_id % CORRUPT_MOD == 0 get their
-    line-0 media bytes truncated (error-path coverage, the analog of
-    the reference's corrupted-image fixture);
-  * oversize slice: docs with doc_id % PAD_MOD == 0 get line-0 media
-    padded to PAD_BYTES so the byte-size cap stage fires.
+  * corrupt-media slice: docs with doc_slice_hash % CORRUPT_MOD == 0
+    get their line-0 media bytes truncated (error-path coverage, the
+    analog of the reference's corrupted-image fixture);
+  * oversize slice: docs with doc_slice_hash % PAD_MOD == 0 get
+    line-0 media padded to PAD_BYTES so the byte-size cap stage fires.
 """
 
 from __future__ import annotations
@@ -75,6 +80,26 @@ MEDIA_TYPE = T.ArrayType(
 
 # --- pure-Python path (driver-side reference for equality tests) ---------
 
+def doc_slice_hash(doc_id: str) -> int:
+    """Slice selector over the STRING doc_id: 4-byte sha256 prefix.
+    SQL-expressible on both engines so slice membership can appear in
+    oracles: Spark ``conv(substring(sha2(doc_id, 256), 1, 8), 16, 10)``
+    / DuckDB ``('0x' || substr(sha256(doc_id), 1, 8))::BIGINT``."""
+    return int.from_bytes(hashlib.sha256(str(doc_id).encode()).digest()[:4], "big")
+
+
+def is_skewed(doc_id) -> bool:
+    return doc_slice_hash(doc_id) % SKEW_MOD == 0
+
+
+def is_corrupt(doc_id) -> bool:
+    return doc_slice_hash(doc_id) % CORRUPT_MOD == 0
+
+
+def is_padded(doc_id) -> bool:
+    return doc_slice_hash(doc_id) % PAD_MOD == 0
+
+
 def split_lines(text: str) -> list[str]:
     words = [w for w in text.replace("\f", " ").split(" ") if w]
     return [
@@ -83,9 +108,9 @@ def split_lines(text: str) -> list[str]:
     ]
 
 
-def doc_lines(doc_id: int, text: str) -> list[str]:
+def doc_lines(doc_id: str, text: str) -> list[str]:
     lines = split_lines(text)
-    if doc_id % SKEW_MOD == 0 and lines:
+    if is_skewed(doc_id) and lines:
         lines = lines * SKEW_FACTOR
     return lines
 
@@ -95,9 +120,9 @@ def media_format(media_ref: str) -> str:
     return MEDIA_FORMATS[h % len(MEDIA_FORMATS)]
 
 
-def encode_line_media(doc_id: int, line_index: int, line: str) -> bytes:
+def encode_line_media(doc_id: str, line_index: int, line: str) -> bytes:
     ref = f"{doc_id}/line-{line_index}"
-    pad_to = PAD_BYTES if (doc_id % PAD_MOD == 0 and line_index == 0) else None
+    pad_to = PAD_BYTES if (is_padded(doc_id) and line_index == 0) else None
     data = codec.encode_media(
         line,
         fmt=media_format(ref),
@@ -105,13 +130,14 @@ def encode_line_media(doc_id: int, line_index: int, line: str) -> bytes:
         height=24,
         pad_to=pad_to,
     )
-    if doc_id % CORRUPT_MOD == 0 and line_index == 0:
+    if is_corrupt(doc_id) and line_index == 0:
         data = data[: max(4, len(data) // 3)]  # truncated → MediaError downstream
     return data
 
 
-def build_doc(doc_id: int, text: str) -> tuple[str, list[dict], list[dict]]:
+def build_doc(doc_id, text: str) -> tuple[str, list[dict], list[dict]]:
     """Pure span-ification of one document: (doc_id, spans, media)."""
+    doc_id = str(doc_id)
     lines = doc_lines(doc_id, text)
     spans, media = [], []
     for i, line in enumerate(lines):
@@ -119,7 +145,7 @@ def build_doc(doc_id: int, text: str) -> tuple[str, list[dict], list[dict]]:
         spans.append({"kind": "text", "text": line, "media_ref": "", "offset": 2 * i})
         spans.append({"kind": "line_image", "text": "", "media_ref": ref, "offset": 2 * i + 1})
         media.append({"media_ref": ref, "content": encode_line_media(doc_id, i, line)})
-    return (str(doc_id), spans, media)
+    return (doc_id, spans, media)
 
 
 # --- Spark path -----------------------------------------------------------
@@ -131,11 +157,17 @@ def _encode_media_udf():
     def encode(doc_ids: pd.Series, lines_col: pd.Series) -> pd.Series:
         out = []
         for doc_id, lines in zip(doc_ids, lines_col):
-            d = int(doc_id)
-            out.append([encode_line_media(d, i, ln) for i, ln in enumerate(lines)])
+            out.append([encode_line_media(doc_id, i, ln) for i, ln in enumerate(lines)])
         return pd.Series(out)
 
     return encode
+
+
+def slice_hash_col(doc_id_col):
+    """JVM-side ``doc_slice_hash``: conv(sha2 4-byte prefix)."""
+    return F.conv(F.substring(F.sha2(doc_id_col.cast("string"), 256), 1, 8), 16, 10).cast(
+        "long"
+    )
 
 
 def spanify(documents: DataFrame) -> DataFrame:
@@ -156,11 +188,15 @@ def spanify(documents: DataFrame) -> DataFrame:
             F.slice(words, i * WORDS_PER_LINE + 1, WORDS_PER_LINE), " "
         ),
     )
-    df = documents.select(F.col("doc_id").cast("long").alias("doc_id_num"), lines.alias("lines"))
+    df = documents.select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        lines.alias("lines"),
+        slice_hash_col(F.col("doc_id")).alias("doc_hash"),
+    )
     df = df.withColumn(
         "lines",
         F.when(
-            (F.col("doc_id_num") % SKEW_MOD == 0) & (F.size("lines") > 0),
+            (F.col("doc_hash") % SKEW_MOD == 0) & (F.size("lines") > 0),
             F.flatten(F.expr(f"transform(sequence(1, {SKEW_FACTOR}), r -> lines)")),
         ).otherwise(F.col("lines")),
     )
@@ -170,25 +206,20 @@ def spanify(documents: DataFrame) -> DataFrame:
           named_struct('kind', 'text', 'text', line, 'media_ref', '',
                        'offset', cast(2 * i as int)),
           named_struct('kind', 'line_image', 'text', '',
-                       'media_ref', concat(cast(doc_id_num as string), '/line-', cast(i as string)),
+                       'media_ref', concat(doc_id, '/line-', cast(i as string)),
                        'offset', cast(2 * i + 1 as int)))))
         """
     )
     refs = F.expr(
-        "transform(lines, (line, i) -> concat(cast(doc_id_num as string), '/line-', cast(i as string)))"
+        "transform(lines, (line, i) -> concat(doc_id, '/line-', cast(i as string)))"
     )
     encode = _encode_media_udf()
-    df = df.select(
-        F.col("doc_id_num"),
-        spans.alias("spans"),
-        F.arrays_zip(
-            refs.alias("media_ref"), encode(F.col("doc_id_num"), F.col("lines")).alias("content")
-        ).cast(MEDIA_TYPE).alias("media"),
-    )
     return df.select(
-        F.col("doc_id_num").cast("string").alias("doc_id"),
-        F.col("spans").cast(SPAN_TYPE).alias("spans"),
-        "media",
+        "doc_id",
+        spans.cast(SPAN_TYPE).alias("spans"),
+        F.arrays_zip(
+            refs.alias("media_ref"), encode(F.col("doc_id"), F.col("lines")).alias("content")
+        ).cast(MEDIA_TYPE).alias("media"),
     )
 
 

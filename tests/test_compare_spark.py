@@ -5,7 +5,7 @@ behavior on the corrupt-media slice (missing HTR lines)."""
 import duckdb
 import pytest
 
-from handprint_spark.corpus import CORRUPT_MOD, split_lines
+from handprint_spark.corpus import is_corrupt, split_lines
 from handprint_spark.kernels.textcmp import text_comparison
 from handprint_spark.operators.compare import (
     compare_to_ground_truth,
@@ -40,7 +40,7 @@ def test_tsv_matches_kernel_exactly(spark, sf_tiny, htr_and_gt):
 def test_clean_docs_have_zero_errors(htr_and_gt):
     htr, gt = htr_and_gt
     totals = {r.doc_id: r.total_errors for r in comparison_totals(htr, gt).collect()}
-    clean = {d: e for d, e in totals.items() if int(d) % CORRUPT_MOD != 0}
+    clean = {d: e for d, e in totals.items() if not is_corrupt(d)}
     assert clean and all(e == 0 for e in clean.values())
 
 
@@ -49,10 +49,10 @@ def test_corrupt_docs_show_missing_lines(htr_and_gt):
     the empty gt line 0 aligns but later lines still match."""
     htr, gt = htr_and_gt
     lines = compare_to_ground_truth(htr, gt).collect()
-    corrupt = [r for r in lines if int(r.doc_id) % CORRUPT_MOD == 0]
+    corrupt = [r for r in lines if is_corrupt(r.doc_id)]
     assert corrupt
     assert any(r.distance > 0 for r in corrupt)
-    clean = [r for r in lines if int(r.doc_id) % CORRUPT_MOD != 0]
+    clean = [r for r in lines if not is_corrupt(r.doc_id)]
     assert all(r.distance == 0 and r.cer == "0.00" for r in clean)
 
 

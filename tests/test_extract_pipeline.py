@@ -6,10 +6,10 @@ import duckdb
 import pytest
 
 from handprint_spark.corpus import (
-    CORRUPT_MOD,
     SKEW_FACTOR,
-    SKEW_MOD,
     build_doc,
+    is_corrupt,
+    is_skewed,
     load_documents_spans,
 )
 from handprint_spark.kernels.formats import fold_limits
@@ -70,13 +70,13 @@ def test_distribution_invariance(spark, sf_tiny, results):
 def test_error_rows_not_failures(results):
     """Corrupt-media docs produce kind='error' spans; the job never
     fails (reference row-vs-job error policy)."""
-    corrupt_docs = [r for r in results if int(r.doc_id) % CORRUPT_MOD == 0 and r.n_media > 0]
+    corrupt_docs = [r for r in results if is_corrupt(r.doc_id) and r.n_media > 0]
     assert corrupt_docs
     for r in corrupt_docs:
         kinds = [s.kind for s in r.spans]
         assert "error" in kinds
         assert r.n_errors >= 1
-    clean = [r for r in results if int(r.doc_id) % CORRUPT_MOD != 0]
+    clean = [r for r in results if not is_corrupt(r.doc_id)]
     assert all(r.n_errors == 0 for r in clean)
 
 
@@ -91,8 +91,8 @@ def test_ocr_text_matches_source_line(results):
 
 
 def test_skew_slice_present(results):
-    skewed = [r for r in results if int(r.doc_id) % SKEW_MOD == 0]
-    normal = [r for r in results if int(r.doc_id) % SKEW_MOD != 0]
+    skewed = [r for r in results if is_skewed(r.doc_id)]
+    normal = [r for r in results if not is_skewed(r.doc_id)]
     assert skewed, "corpus must contain the skew slice"
     med = sorted(r.n_media for r in normal)[len(normal) // 2]
     # every skewed doc has SKEW_FACTOR x its base line count
@@ -109,6 +109,40 @@ def test_extracted_text_reading_order(spark, sf_tiny):
             s["text"] for s in ref[doc_id] if s["kind"] in ("text", "ocr")
         )
         assert text == exp
+
+
+def test_span_equality_non_numeric_doc_ids(spark):
+    """input_hint types doc_id as STRING: span-ification (including
+    skew/corrupt/pad slice selection, now hash-of-string based) must
+    agree between Spark and the sequential path on non-numeric ids."""
+    from handprint_spark.corpus import (
+        doc_slice_hash,
+        spanify,
+    )
+
+    # craft ids hitting each slice, plus plain ones (incl. unicode)
+    base = [f"doc-{i:04d}" for i in range(4000)]
+    ids = [d for d in base if doc_slice_hash(d) % 211 == 0][:2]
+    ids += [d for d in base if doc_slice_hash(d) % 101 == 0][:2]
+    ids += [d for d in base if doc_slice_hash(d) % 97 == 0][:2]
+    ids += ["a/b:c", "ümlaut-Ø", "doc-xyz"]
+    assert len(ids) == 9
+    text = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    docs = spark.createDataFrame([(d, text) for d in ids], "doc_id string, text string")
+    spark_rows = {
+        r.doc_id: (
+            [(s.kind, s.text, s.media_ref, s.offset) for s in r.spans],
+            [(m.media_ref, bytes(m.content)) for m in r.media],
+        )
+        for r in spanify(docs).collect()
+    }
+    for d in ids:
+        _, spans, media = build_doc(d, text)
+        exp = (
+            [(s["kind"], s["text"], s["media_ref"], s["offset"]) for s in spans],
+            [(m["media_ref"], m["content"]) for m in media],
+        )
+        assert spark_rows[d] == exp, d
 
 
 def test_observed_metrics(spark, sf_tiny):

@@ -72,7 +72,7 @@ def test_skew_aware_equals_plain(spark, sf_tiny):
 
 
 def test_skew_split_actually_triggers(spark, sf_tiny):
-    """The corpus skew slice (doc_id % 211 == 0) must exceed the
+    """The corpus skew slice (doc_slice_hash % 211 == 0) must exceed the
     threshold used above, so the chunk path is exercised."""
     spans = load_documents_spans(spark, sf_tiny)
     heavy = spans.filter(F.size("media") > 40).count()

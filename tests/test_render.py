@@ -64,7 +64,8 @@ def test_spark_annotated_and_grids(spark, sf_tiny):
     ok = [r for r in rows if r.error is None]
     corrupt = [r for r in rows if r.error is not None]
     assert ok and all(r.annotated is not None and r.n_boxes > 0 for r in ok)
-    assert all(int(r.doc_id) % 101 == 0 for r in corrupt)  # only corrupt slice errors
+    from handprint_spark.corpus import is_corrupt
+    assert all(is_corrupt(r.doc_id) for r in corrupt)  # only corrupt slice errors
 
     grids = {r.doc_id: r for r in doc_grids(ann).collect()}
     assert grids
