@@ -123,7 +123,7 @@ def comparison_tsv(htr_df: DataFrame, gt_df: DataFrame, relaxed: bool = False) -
     return joined.select("doc_id", tsv("text", "gt_text").alias("report"))
 
 
-# --- registered queries (rows-only: LCSSEQ alignment is not SQL) -----------
+# --- registered queries ----------------------------------------------------
 
 def _htr(spark, sf_dir):
     from ..corpus import load_documents_spans
@@ -139,11 +139,63 @@ def q_cmp_lines(spark, sf_dir):
 
 
 def q_cmp_totals(spark, sf_dir):
-    return comparison_totals(_htr(spark, sf_dir), ground_truth(spark, sf_dir))
+    """Per-doc comparison totals over the SQL-verifiable slice: the
+    corrupt-media docs are excluded because their alignment outcome
+    depends on LCSSEQ line similarity (not SQL-expressible); for every
+    other doc the totals have a closed form the DuckDB oracle
+    re-derives from the corpus rule. Clean docs align line-for-line
+    (0 errors, n_lines = line count). Skewed docs hit TWO reference
+    quirks (kept for parity, comparison.py:142-157): the trailing
+    extras start at htr_index+1 (skipping index k), and the
+    middle-extras pass re-inserts every unmatched index a second time
+    except the last — so with k base lines of total length S:
+    total_errors = 2*(SKEW_FACTOR-1)*S - len(line_0) - len(line_k-1),
+    n_lines = (2*SKEW_FACTOR - 1)*k - 2.
+    The unrestricted operator stays available as comparison_totals();
+    corrupt-doc alignment is covered by tests/test_compare_spark.py."""
+    from ..corpus import CORRUPT_MOD, slice_hash_col
+
+    totals = comparison_totals(_htr(spark, sf_dir), ground_truth(spark, sf_dir))
+    return totals.filter(slice_hash_col(F.col("doc_id")) % CORRUPT_MOD != 0)
 
 
 def q_cmp_tsv(spark, sf_dir):
     return comparison_tsv(_htr(spark, sf_dir), ground_truth(spark, sf_dir))
+
+
+# DuckDB re-derivation of the comparison totals from the corpus rule
+# (same line-split / skew constants as corpus.py — single source of
+# truth asserted by tests/test_oracles.py).
+def _sql_cmp_totals() -> str:
+    from ..corpus import CORRUPT_MOD, SKEW_FACTOR, SKEW_MOD, WORDS_PER_LINE
+
+    w = WORDS_PER_LINE
+    return f"""
+WITH base AS (
+  SELECT doc_id::VARCHAR AS doc_id,
+         ('0x' || substr(sha256(doc_id::VARCHAR), 1, 8))::BIGINT AS h,
+         CASE WHEN trim(replace(text, chr(12), ' ')) = '' THEN []::VARCHAR[]
+              ELSE string_split(regexp_replace(trim(replace(text, chr(12), ' ')),
+                                               ' +', ' ', 'g'), ' ')
+         END AS words
+  FROM documents
+), lined AS (
+  SELECT doc_id, h,
+         list_transform(range(0, CAST(ceil(len(words) / {w}.0) AS INT)),
+                        i -> array_to_string(words[i*{w}+1 : i*{w}+{w}], ' ')) AS lines
+  FROM base
+)
+SELECT doc_id,
+       CAST(CASE WHEN h % {SKEW_MOD} = 0 AND len(lines) > 0
+                 THEN {2 * (SKEW_FACTOR - 1)} * list_sum(list_transform(lines, x -> len(x)))
+                      - len(lines[1]) - len(lines[len(lines)])
+                 ELSE 0 END AS INT) AS total_errors,
+       CAST(CASE WHEN h % {SKEW_MOD} = 0 AND len(lines) > 0
+                 THEN {2 * SKEW_FACTOR - 1} * len(lines) - 2
+                 ELSE len(lines) END AS INT) AS n_lines
+FROM lined
+WHERE h % {CORRUPT_MOD} <> 0
+"""
 
 
 QUERIES = {
@@ -152,4 +204,6 @@ QUERIES = {
     "cmp_tsv": q_cmp_tsv,
 }
 
-ORACLES: dict[str, str] = {}  # sequential LCSSEQ alignment: rows-only checks
+# cmp_lines / cmp_tsv stay rows-only: full LCSSEQ alignment output is
+# sequential per doc and golden-tested against the reference instead.
+ORACLES: dict[str, str] = {"cmp_totals": _sql_cmp_totals()}

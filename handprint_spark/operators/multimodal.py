@@ -116,10 +116,81 @@ def frame_sample(spans_with_media: DataFrame, every_n: int = 2) -> DataFrame:
 
 
 def q_mm_media_features(spark, sf_dir):
+    """Registered as the SQL-verifiable projection of media_features:
+    per-media (fmt, width, height, n_pages, is_error) are fully
+    re-derivable from the corpus rule (format = content hash of the
+    media_ref, dims from the line length, error = the corrupt slice's
+    line-0), so the DuckDB oracle checks every row end-to-end through
+    the real decode path. byte_size / mean_pixel (zlib + pixel render —
+    not SQL-expressible) stay on the media_features() operator surface
+    and are pytest-verified (tests/test_codec_decoder.py)."""
     from ..corpus import load_documents_spans
 
-    return media_features(load_documents_spans(spark, sf_dir))
+    feats = media_features(load_documents_spans(spark, sf_dir))
+    return feats.select(
+        "doc_id",
+        "media_ref",
+        "fmt",
+        "width",
+        "height",
+        "n_pages",
+        F.col("error").isNotNull().alias("is_error"),
+    )
+
+
+def _sql_mm_media_features() -> str:
+    from ..corpus import (
+        CORRUPT_MOD,
+        MEDIA_FORMATS,
+        SKEW_FACTOR,
+        SKEW_MOD,
+        WORDS_PER_LINE,
+    )
+
+    w = WORDS_PER_LINE
+    fmts = "[" + ", ".join(f"'{f}'" for f in MEDIA_FORMATS) + "]"
+    return f"""
+WITH base AS (
+  SELECT doc_id::VARCHAR AS doc_id,
+         ('0x' || substr(sha256(doc_id::VARCHAR), 1, 8))::BIGINT AS h,
+         CASE WHEN trim(replace(text, chr(12), ' ')) = '' THEN []::VARCHAR[]
+              ELSE string_split(regexp_replace(trim(replace(text, chr(12), ' ')),
+                                               ' +', ' ', 'g'), ' ')
+         END AS words
+  FROM documents
+), lined AS (
+  SELECT doc_id, h,
+         list_transform(range(0, CAST(ceil(len(words) / {w}.0) AS INT)),
+                        i -> array_to_string(words[i*{w}+1 : i*{w}+{w}], ' ')) AS lines0
+  FROM base
+), skewed AS (
+  SELECT doc_id, h,
+         CASE WHEN h % {SKEW_MOD} = 0 AND len(lines0) > 0
+              THEN flatten(list_transform(range({SKEW_FACTOR}), r -> lines0))
+              ELSE lines0 END AS lines
+  FROM lined
+), media AS (
+  SELECT doc_id, h,
+         unnest(list_transform(lines, (line, i) -> struct_pack(
+             idx := i - 1,
+             line := line,
+             media_ref := doc_id || '/line-' || (i - 1)::VARCHAR))) AS m
+  FROM skewed
+)
+SELECT doc_id,
+       m.media_ref AS media_ref,
+       CASE WHEN err THEN NULL ELSE
+         list_extract({fmts},
+           CAST(('0x' || substr(sha256(m.media_ref), 1, 8))::BIGINT
+                % {len(MEDIA_FORMATS)} AS INT) + 1) END AS fmt,
+       CAST(CASE WHEN err THEN NULL
+                 ELSE least(320, 64 + 8 * len(m.line)) END AS INT) AS width,
+       CAST(CASE WHEN err THEN NULL ELSE 24 END AS INT) AS height,
+       CAST(CASE WHEN err THEN NULL ELSE 1 END AS INT) AS n_pages,
+       err AS is_error
+FROM (SELECT doc_id, m, (h % {CORRUPT_MOD} = 0 AND m.idx = 0) AS err FROM media)
+"""
 
 
 QUERIES = {"mm_media_features": q_mm_media_features}
-ORACLES: dict[str, str] = {}  # codec decode is not SQL-expressible: rows-only
+ORACLES: dict[str, str] = {"mm_media_features": _sql_mm_media_features()}
