@@ -132,4 +132,8 @@ def main() -> None:
 
 
 if __name__ == "__main__":
-    main()
+    # C15: the driver process exits with the reference's code mapping
+    # (handprint_spark.errors mirrors exit_codes.py:24-43)
+    from handprint_spark.errors import main_exit
+
+    main_exit(main)

@@ -24,6 +24,62 @@ from . import codec
 
 KIND_INTENSITY = {"para": 64, "line": 128, "word": 255}
 Z_ORDER = ("para", "line", "word")  # draw order: para under line under word
+LABEL_BG = 32  # the white-alpha-0.8 text background box, grayscale analog
+LABEL_H = 6
+LABEL_CHAR_W = 4
+
+POSSIBLE_DISPLAYS = (
+    "text", "bb", "bb-word", "bb-words", "bb-line", "bb-lines",
+    "bb-para", "bb-paragraph", "bb-paragraphs",
+)
+
+
+def resolve_display(display) -> tuple[set, bool]:
+    """The reference's display-selection matrix (__main__.py:476-482 +
+    images.py:259-267): ``text`` draws word labels; ``bb`` draws all
+    box kinds; ``bb-<kind>`` draws that kind. QUIRK KEPT: the plural
+    forms the CLI accepts (``bb-words``/``bb-lines``/...) split to
+    tokens like 'words' which match no box.kind, so they validate but
+    draw nothing — exactly what the reference does (images.py:262
+    ``flatten(d.split('-'))`` vs box.kind equality at :267)."""
+    display = list(display)
+    show_text = any(d == "text" for d in display)
+    show_bb: set = set()
+    if any(d.startswith("bb") for d in display):
+        if "bb" in display:  # 'bb' means all kinds (images.py:260-261)
+            show_bb = {"word", "line", "para"}
+        else:
+            parts: set = set()
+            for d in display:
+                parts.update(d.split("-"))
+            show_bb = parts - {"text", "bb"}
+    return show_bb, show_text
+
+
+def label_pixels(text: str) -> np.ndarray:
+    """Deterministic glyph stand-in: a LABEL_H x (LABEL_CHAR_W*len)
+    pixel block keyed by the label text (no fonts in this container;
+    the pixels are a pure function of the text, so tests can assert
+    exact label content)."""
+    w = max(1, LABEL_CHAR_W * len(text))
+    raw = codec._stream(b"HPM1-label|" + text.encode("utf-8"), LABEL_H * w)
+    px = np.frombuffer(raw, dtype=np.uint8).reshape(LABEL_H, w)
+    return (px | np.uint8(64)).astype(np.uint8)  # keep ink distinguishable from bg
+
+
+def _draw_label(px: np.ndarray, x: int, y: int, text: str) -> None:
+    """Word-label overlay (reference images.py:274-288): a background
+    box (facecolor white, alpha .8 → LABEL_BG band) then the label
+    glyphs, clipped at the page edge; anchor clamps to >= 0."""
+    h, w = px.shape
+    x, y = max(0, x), max(0, y)
+    if y >= h or x >= w:
+        return
+    glyphs = label_pixels(text)
+    gh, gw = glyphs.shape
+    gh, gw = min(gh, h - y), min(gw, w - x)
+    px[y : y + gh, x : x + gw] = LABEL_BG
+    px[y : y + gh, x : x + gw] = np.maximum(glyphs[:gh, :gw], np.uint8(LABEL_BG))
 
 
 def _draw_rect(px: np.ndarray, bb: list, value: int) -> None:
@@ -44,24 +100,52 @@ def annotate(
     data: bytes,
     boxes: list[dict],
     score_threshold: float = 0.0,
-    kinds: tuple[str, ...] = ("para", "line", "word"),
+    kinds: tuple[str, ...] | None = ("para", "line", "word"),
+    display=None,
+    shift: tuple[int, int] = (0, 0),
 ) -> bytes:
-    """Overlay box outlines on an HPM1 page; returns a new HPM1 object
-    whose pixel payload is the annotated render (text preserved).
-    F1: boxes below ``score_threshold`` are dropped; F2: only ``kinds``
-    are drawn; W5: para < line < word draw order."""
+    """Overlay box outlines and/or word-text labels on an HPM1 page;
+    returns a new HPM1 object whose pixel payload is the annotated
+    render (text preserved).
+
+    F1: boxes below ``score_threshold`` are dropped (images.py:256);
+    F2/F5: ``display`` selects what draws via the reference matrix
+    (resolve_display; e.g. ``['text']`` = word labels only — the
+    reference default, ``['bb']`` = all outlines, ``['bb-word',
+    'text']`` = word outlines + labels, reference images.py:258-288);
+    ``kinds`` is the pre-display-matrix API (outlines of those kinds)
+    and is ignored when ``display`` is given. W5: para < line < word
+    draw order with per-kind intensity (the grayscale analog of
+    _EDGE_COLOR green/blue/red, images.py:92-94); labels draw last
+    (zorder 10, images.py:288) anchored at the word box corner plus
+    ``shift``, clamped to the page."""
     info = codec.decode_media(data)
     px = codec.render_pixels(
         info.text, info.width, info.height, bool(info.flags & codec.FLAG_BINARIZED)
     ).copy()
+    if display is not None:
+        show_bb, show_text = resolve_display(display)
+    else:
+        show_bb, show_text = set(kinds or ()), False
+    passing = [b for b in boxes if b["score"] >= score_threshold]
     for kind in Z_ORDER:
-        if kind not in kinds:
+        if kind not in show_bb:
             continue
-        for b in boxes:
-            if b["kind"] != kind or b["score"] < score_threshold:
+        for b in passing:
+            if b["kind"] != kind:
                 continue
             if b["bb"] is not None and len(b["bb"]) >= 8:
                 _draw_rect(px, list(b["bb"]), KIND_INTENSITY[kind])
+    if show_text:
+        for b in passing:
+            if b["kind"] != "word" or b["bb"] is None or len(b["bb"]) < 2:
+                continue
+            _draw_label(
+                px,
+                int(b["bb"][0]) + int(shift[0]),
+                int(b["bb"][1]) + int(shift[1]),
+                b.get("text") or "",
+            )
     return _encode_with_pixels(info, px)
 
 

@@ -7,10 +7,10 @@ stages as Arrow-batched ``mapInPandas`` with explicit output schemas,
 and partition-preserving plumbing (no shuffle to featurize).
 
 The HPM1 codec stands in for image decode (this container has no
-image libraries); ``frame_sample`` below shows the video-style stage
-shape with the decode STUBBED — the Spark-side schema, batching, and
-partitioning are real and tested, the pixel work raises
-NotImplementedError exactly where a codec plug-in would go.
+image libraries); ``frame_sample`` below is the video-style stage over
+multi-page HPM1 objects (page = frame) — sampling, re-encode, and the
+one-row-to-N-frames fan-out are fully implemented; a real video codec
+would replace only the per-frame decode/encode calls.
 """
 
 from __future__ import annotations
@@ -81,11 +81,15 @@ FRAME_SCHEMA = T.StructType(
 
 
 def frame_sample(spans_with_media: DataFrame, every_n: int = 2) -> DataFrame:
-    """Video-style frame sampling stage — STUB. The Spark plumbing
-    (schema, Arrow batching, fan-out of one media row to N frame rows)
-    is real; the actual frame decode is NotImplementedError because no
-    video codec exists in this environment. Multi-page HPM1 objects
-    stand in: each page is 'a frame'."""
+    """Video-style frame sampling: one media row fans out to one row
+    per sampled frame. Multi-page HPM1 objects stand in for video
+    (page = frame; the reference's multi-page formats are PDF/TIFF,
+    images.py:211-218): every ``every_n``-th page is re-encoded as a
+    standalone single-page object, so downstream stages (features,
+    annotate, grid) consume frames exactly like any other media. A
+    real video codec would replace only the decode/encode calls —
+    schema, Arrow batching, and the narrow no-shuffle fan-out are the
+    production shape."""
     exploded = spans_with_media.select(
         "doc_id", F.explode("media").alias("m")
     ).select("doc_id", F.col("m.media_ref").alias("media_ref"), F.col("m.content").alias("content"))
@@ -101,15 +105,19 @@ def frame_sample(spans_with_media: DataFrame, every_n: int = 2) -> DataFrame:
                 except codec.MediaError:
                     continue
                 if info.npages <= 1:
-                    # single-frame media: pass through frame 0
+                    # single-frame media: pass through frame 0 unchanged
                     rows.append((doc_id, ref, 0, bytes(content)))
                     continue
-                for i, page in enumerate(info.pages[::every_n]):
-                    raise NotImplementedError(
-                        "video/frame decode requires a codec plug-in; "
-                        "HPM1 multi-page stand-in reaches here only when a "
-                        "corpus with real multi-page media is wired up"
+                binarized = bool(info.flags & codec.FLAG_BINARIZED)
+                for i in range(0, len(info.pages), every_n):
+                    frame = codec.encode_media(
+                        info.pages[i],
+                        fmt=info.fmt,
+                        width=info.width,
+                        height=info.height,
+                        binarized=binarized,
                     )
+                    rows.append((doc_id, ref, i, frame))
             yield pd.DataFrame(rows, columns=[f.name for f in FRAME_SCHEMA.fields])
 
     return exploded.mapInPandas(run, FRAME_SCHEMA)

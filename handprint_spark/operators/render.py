@@ -40,9 +40,14 @@ def annotated_media(
     spans_with_media: DataFrame,
     score_threshold: float = 0.0,
     kinds: tuple[str, ...] = ("para", "line", "word"),
+    display: tuple[str, ...] | None = None,
+    shift: tuple[int, int] = (0, 0),
 ) -> DataFrame:
     """One annotated image per media object: decode boxes with the
-    deterministic decoder, overlay outlines, re-encode."""
+    deterministic decoder, overlay outlines and/or word-text labels
+    per the reference display matrix (``display``, e.g. ``('text',)``
+    or ``('bb-word', 'text')`` — kernels/render.resolve_display), and
+    re-encode."""
     exploded = spans_with_media.select(
         "doc_id", F.explode("media").alias("m")
     ).select(
@@ -64,7 +69,8 @@ def annotated_media(
                     continue
                 boxes = [b._asdict() for b in tr.boxes]
                 try:
-                    out = annotate(content, boxes, score_threshold, kinds)
+                    out = annotate(content, boxes, score_threshold, kinds,
+                                   display=display, shift=shift)
                     rows.append((doc_id, ref, out, len(boxes), None))
                 except codec.MediaError as exc:
                     rows.append((doc_id, ref, None, 0, str(exc)))

@@ -71,18 +71,28 @@ def stream_first_seen(documents_stream: DataFrame) -> DataFrame:
     def dedup(key, pdf_iter, state: GroupState):
         import pandas as pd
 
-        first_rows = []
         seen = state.get[0] if state.exists else 0
+        already_emitted = seen > 0
+        # Deterministic first: the smallest doc_id across ALL Arrow
+        # chunks of this batch's group (a group can span chunk
+        # boundaries — arrow maxRecordsPerBatch — so a per-chunk min
+        # would depend on chunking). Order key (len, str) sorts digit
+        # ids numerically and any other ids deterministically.
+        best = None
         for pdf in pdf_iter:
-            if seen == 0 and len(pdf) > 0:
-                # deterministic first: smallest doc_id in this batch
-                row = pdf.sort_values("doc_id").iloc[0]
-                first_rows.append(
-                    {"h": key[0], "doc_id": str(row["doc_id"]),
-                     "n_chars": int(len(row["text"]))}
-                )
+            if not already_emitted:
+                for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                    d = str(doc_id)
+                    k = (len(d), d)
+                    if best is None or k < best[0]:
+                        best = (k, d, int(len(text)))
             seen += len(pdf)
         state.update((seen,))
+        first_rows = (
+            [{"h": key[0], "doc_id": best[1], "n_chars": best[2]}]
+            if best is not None
+            else []
+        )
         yield pd.DataFrame(first_rows, columns=["h", "doc_id", "n_chars"])
 
     keyed = documents_stream.select(

@@ -1,0 +1,74 @@
+"""Multimodal column plumbing: media feature extraction and
+video-style frame sampling over multi-page HPM1 objects."""
+
+import pytest
+from pyspark.sql import types as T
+
+from handprint_spark.corpus import MEDIA_TYPE, SPAN_TYPE, load_documents_spans
+from handprint_spark.kernels import codec
+from handprint_spark.operators.multimodal import frame_sample, media_features
+
+SPANS_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.StringType()),
+        T.StructField("spans", SPAN_TYPE),
+        T.StructField("media", MEDIA_TYPE),
+    ]
+)
+
+
+def _df_with_media(spark, items):
+    rows = [
+        (doc_id, [], [{"media_ref": ref, "content": content}])
+        for doc_id, ref, content in items
+    ]
+    return spark.createDataFrame(rows, SPANS_SCHEMA)
+
+
+def test_media_features_corpus(spark, sf_tiny):
+    feats = media_features(load_documents_spans(spark, sf_tiny).limit(25)).collect()
+    assert feats
+    ok = [r for r in feats if r.error is None]
+    assert ok
+    for r in ok[:10]:
+        assert r.height == 24 and 64 <= r.width <= 320 and r.n_pages == 1
+        assert r.byte_size > 0 and r.mean_pixel is not None
+
+
+def test_frame_sample_multipage_every_second(spark):
+    """A 5-page object sampled every 2nd page yields frames 0, 2, 4,
+    each a standalone single-page object carrying that page's text."""
+    pages = [f"page {i} words here" for i in range(5)]
+    multi = codec.encode_media("", fmt="tiff", width=96, height=32, pages=pages)
+    single = codec.encode_media("solo page", width=64, height=24)
+    df = _df_with_media(
+        spark, [("d1", "d1/vid-0", multi), ("d2", "d2/img-0", single)]
+    )
+    out = frame_sample(df, every_n=2).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r.doc_id, []).append(r)
+
+    frames = sorted(by_doc["d1"], key=lambda r: r.frame_index)
+    assert [f.frame_index for f in frames] == [0, 2, 4]
+    for f in frames:
+        info = codec.decode_media(bytes(f.frame))
+        assert info.npages == 1
+        assert info.text == pages[f.frame_index]
+        assert (info.width, info.height, info.fmt) == (96, 32, "tiff")
+
+    # single-frame media passes through unchanged as frame 0
+    solo = by_doc["d2"]
+    assert len(solo) == 1 and solo[0].frame_index == 0
+    assert bytes(solo[0].frame) == single
+
+
+def test_frame_sample_skips_corrupt(spark):
+    multi = codec.encode_media("", pages=["a", "b", "c"])
+    df = _df_with_media(
+        spark,
+        [("d1", "d1/ok", multi), ("d2", "d2/bad", multi[:10])],
+    )
+    out = frame_sample(df, every_n=1).collect()
+    assert {r.doc_id for r in out} == {"d1"}
+    assert len(out) == 3

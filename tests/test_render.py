@@ -37,6 +37,72 @@ def test_annotate_f1_threshold_and_f2_kinds():
     assert vals <= {64}  # para intensity only
 
 
+def test_display_matrix_resolution():
+    """Reference display-selection parity (__main__.py:476-482,
+    images.py:258-267), plural-form quirk included."""
+    from handprint_spark.kernels.render import resolve_display
+
+    assert resolve_display(["text"]) == (set(), True)
+    assert resolve_display(["bb"]) == ({"word", "line", "para"}, False)
+    assert resolve_display(["bb-word"]) == ({"word"}, False)
+    assert resolve_display(["bb-word", "text"]) == ({"word"}, True)
+    assert resolve_display(["bb-line", "bb-para"]) == ({"line", "para"}, False)
+    # the quirk: plural forms validate in the CLI but match no box.kind
+    assert resolve_display(["bb-words"]) == ({"words"}, False)
+
+
+def test_label_pixels_differ_by_display_selection():
+    """F5/I6 parity: ['text'] draws word labels where ['bb-word'] draws
+    outlines — the two displays must differ exactly in the label
+    region, and the label pixels must be the deterministic function of
+    the word text."""
+    from handprint_spark.kernels.render import (
+        LABEL_BG,
+        label_pixels,
+        resolve_display,
+    )
+
+    data = _page()
+    tr = decode_page("alpha beta\ngamma")
+    boxes = [b._asdict() for b in tr.boxes]
+    base = codec.render_pixels("alpha beta\ngamma", 160, 64)
+
+    with_text = decode_pixels(annotate(data, boxes, display=["text"]))
+    with_bb = decode_pixels(annotate(data, boxes, display=["bb-word"]))
+    with_both = decode_pixels(annotate(data, boxes, display=["bb-word", "text"]))
+    assert (with_text != with_bb).any()
+
+    # label anchored at the first word box corner: exact glyph content
+    word = next(b for b in boxes if b["kind"] == "word")
+    x, y = int(word["bb"][0]), int(word["bb"][1])
+    glyphs = label_pixels(word["text"])
+    gh, gw = glyphs.shape
+    region = with_text[y : y + gh, x : x + gw]
+    assert (region == np.maximum(glyphs, np.uint8(LABEL_BG))).all()
+    # bb-only display leaves the label's interior untouched (outline
+    # pixels aside): interior of the region equals the base render
+    inner = with_bb[y + 1 : y + gh - 1, x + 1 : x + gw - 1]
+    assert (inner == base[y + 1 : y + gh - 1, x + 1 : x + gw - 1]).all()
+    # text draws last (z-order 10): combined display shows the label
+    assert (with_both[y : y + gh, x : x + gw] == region).all()
+    # plural-form quirk draws nothing at all
+    quirk = decode_pixels(annotate(data, boxes, display=["bb-words"]))
+    assert (quirk == base).all()
+
+
+def test_label_shift_clamps_to_page():
+    data = _page()
+    boxes = [b._asdict() for b in decode_page("alpha beta\ngamma").boxes]
+    # a large negative shift must clamp to (0, 0), not wrap or crash;
+    # every label collapses there, so the LAST word drawn wins
+    out = decode_pixels(annotate(data, boxes, display=["text"], shift=(-500, -500)))
+    last_word = [b for b in boxes if b["kind"] == "word"][-1]
+    from handprint_spark.kernels.render import LABEL_BG, label_pixels
+
+    glyphs = label_pixels(last_word["text"])
+    assert out[0, 0] == max(int(glyphs[0, 0]), LABEL_BG)
+
+
 def test_grid_geometry():
     tiles = [_page(f"x{i}", w=20 + 10 * i, h=30) for i in range(5)]
     grid = make_grid(tiles, max_horizontal=4)
