@@ -148,6 +148,14 @@ def main():
     tp_low = low["docs"] / low["sec"]
     tp_high = high["docs"] / high["sec"]
     eff = (tp_high / tp_low) / 4
+
+    # medians alongside best-of, so the record is robust to sample
+    # selection (a quiet-window best and a noisy median disagreeing is
+    # itself signal worth recording)
+    med = lambda xs: sorted(xs)[len(xs) // 2] if len(xs) % 2 else round(  # noqa: E731
+        (sorted(xs)[len(xs) // 2 - 1] + sorted(xs)[len(xs) // 2]) / 2, 3
+    )
+    med_eff = ((low["docs"] / med(high_samples)) / (low["docs"] / med(low_samples))) / 4
     result = {
         "sf_dir": sf_dir,
         "replicate": replicate,
@@ -160,7 +168,10 @@ def main():
         "docs_per_sec_4N": round(tp_high, 2),
         "samples_N": low_samples,
         "samples_4N": high_samples,
+        "median_sec_N": med(low_samples),
+        "median_sec_4N": med(high_samples),
         "scaling_efficiency": round(eff, 3),
+        "scaling_efficiency_median": round(med_eff, 3),
         "passes_0_8": eff >= 0.8,
     }
     print(json.dumps(result))
