@@ -168,6 +168,31 @@ def decode_media(data: bytes, verify_pixels: bool = True) -> MediaInfo:
     )
 
 
+def swap_format(data: bytes, to_format: str, info: MediaInfo | None = None) -> bytes | None:
+    """Header-only format rename. HPM1 pixels are a pure function of
+    (page-1 text, width, height, binarized), so when nothing but the
+    format NAME changes, the pixel payload a re-encode would produce
+    is already the payload in ``data`` — renaming the header is
+    equivalent to (and ~10x cheaper than) a render+deflate round trip.
+    Returns None when the rename is NOT equivalent to a re-encode
+    (multi-page object — a re-encode keeps only page 1 — or padded
+    payload — a re-encode drops the pad), so callers fall back."""
+    fmt = canonical_format_name(to_format)
+    if info is None:
+        info = decode_media(data, verify_pixels=False)
+    if info.npages != 1:
+        return None
+    textlen = len(info.text.encode("utf-8"))
+    (pad_len,) = struct.unpack_from("<I", data, _HEADER.size + textlen)
+    if pad_len:
+        return None
+    header = _HEADER.pack(
+        MAGIC, fmt.encode("ascii")[:8].ljust(8, b"\0"),
+        info.width, info.height, 1, info.flags, textlen,
+    )
+    return header + data[_HEADER.size :]
+
+
 def convert_media(data: bytes, to_format: str = "png") -> bytes:
     """Format normalization (reference images.py:197-240 / I5): re-encode
     as ``to_format``; multi-page sources keep only page 1 (the

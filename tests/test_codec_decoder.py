@@ -111,6 +111,19 @@ def test_normalize_chain_size_cap_fires():
     assert info.text == TEXT and info.width < 1000
 
 
+def test_swap_format_equals_reencode():
+    # the header-rename fast path must produce byte-identical output to
+    # a fresh encode at the target format (pure-pixel-function property)
+    b = codec.encode_media(TEXT, fmt="jpg", width=120, height=40)
+    swapped = codec.swap_format(b, "png")
+    assert swapped == codec.encode_media(TEXT, fmt="png", width=120, height=40)
+    out, err = normalize_media_bytes(b, max_size=None, max_width=None, max_height=None)
+    assert err is None and out == swapped
+    # padded / multi-page objects refuse the rename (re-encode differs)
+    assert codec.swap_format(codec.encode_media(TEXT, fmt="jpg", pad_to=9000), "png") is None
+    assert codec.swap_format(codec.encode_media("", fmt="tiff", pages=["a", "b"]), "png") is None
+
+
 def test_normalize_chain_error_value():
     out, err = normalize_media_bytes(b"garbage", 1000, None, None)
     assert out is None and err is not None
