@@ -52,6 +52,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """
     from handprint_spark.operators import (
         compare,
+        curation,
         dedup,
         multimodal,
         relational,
@@ -62,6 +63,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
     out.update(relational.QUERIES)
+    out.update(curation.QUERIES)
     out.update(dedup.QUERIES)
     out.update(similarity.QUERIES)
     out.update(text_analysis.QUERIES)
@@ -80,6 +82,7 @@ def oracle_sql() -> dict[str, str]:
     """
     from handprint_spark.operators import (
         compare,
+        curation,
         dedup,
         multimodal,
         relational,
@@ -90,6 +93,7 @@ def oracle_sql() -> dict[str, str]:
 
     out: dict[str, str] = {}
     out.update(relational.ORACLES)
+    out.update(curation.ORACLES)
     out.update(dedup.ORACLES)
     out.update(similarity.ORACLES)
     out.update(text_analysis.ORACLES)

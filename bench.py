@@ -27,6 +27,7 @@ def main() -> None:
 
     from handprint_spark.corpus import load_documents_spans
     from handprint_spark.operators import (
+        curation,
         dedup,
         relational,
         service_queries,
@@ -102,11 +103,13 @@ def main() -> None:
         ("dd_simhash", dedup.QUERIES["dd_simhash"]),
         ("dd_simhash_pairs", dedup.QUERIES["dd_simhash_pairs"]),
         ("dd_embedding_neardup", dedup.QUERIES["dd_embedding_neardup"]),
+        ("dd_dup_clusters", dedup.QUERIES["dd_dup_clusters"]),
         ("sim_topk_bruteforce", similarity.QUERIES["sim_topk_bruteforce"]),
         ("sim_lsh_ann", similarity.QUERIES["sim_lsh_ann"]),
         ("sim_ivf_ann", similarity.QUERIES["sim_ivf_ann"]),
         ("ta_fingerprint", text_analysis.QUERIES["ta_fingerprint"]),
         ("ta_quality", text_analysis.QUERIES["ta_quality"]),
+        ("cur_keep_list", curation.QUERIES["cur_keep_list"]),
         ("x5_microsoft_parse", service_queries.QUERIES["x5_microsoft_parse"]),
     ]
     for name, q in heads:

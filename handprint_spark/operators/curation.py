@@ -1,0 +1,59 @@
+"""End-to-end curation composition: the keep-list a training-data run
+actually materializes.
+
+A 100 TB curation pass is not one operator — it is quality gates ∧
+dedup-keeper membership composed over the corpus. This module wires
+the already-verified building blocks (text_analysis quality gates,
+dedup exact-hash keepers) into one declarative plan so the composition
+itself is oracle-checked end-to-end:
+
+    keep(doc) :=  passes_quality(doc)            (ta_quality gates)
+               ∧  doc == keeper(md5(text))       (exact-dedup winner)
+
+Both sides are single-shuffle aggregations on well-spread keys; the
+final membership tests are equi-joins on doc_id / hash — no new scale
+hazards beyond the parts already audited.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from .dedup import SQL_DD_EXACT, q_dd_exact
+from .text_analysis import SQL_TA_QUALITY, q_ta_quality
+
+
+def q_cur_keep_list(spark, sf_dir):
+    """(doc_id, n_tokens, n_copies) for every document that passes the
+    quality gates AND is its exact-duplicate group's keeper. n_copies
+    reports how many exact copies the kept doc represents."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", F.md5(F.col("text").cast("binary")).alias("h")
+    )
+    groups = q_dd_exact(spark, sf_dir)  # (h, n_docs, keeper)
+    quality = q_ta_quality(spark, sf_dir).filter(F.col("passes_quality"))
+    kept = (
+        docs.join(groups, "h")
+        .filter(F.col("doc_id") == F.col("keeper"))
+        .select("doc_id", F.col("n_docs").alias("n_copies"))
+    )
+    return kept.join(quality.select("doc_id", "n_tokens"), "doc_id").select(
+        "doc_id", "n_tokens", "n_copies"
+    )
+
+
+SQL_CUR_KEEP_LIST = f"""
+WITH groups AS ({SQL_DD_EXACT}),
+quality AS ({SQL_TA_QUALITY}),
+kept AS (
+  SELECT d.doc_id, g.n_docs AS n_copies
+  FROM documents d JOIN groups g ON md5(d.text) = g.h
+  WHERE d.doc_id = g.keeper
+)
+SELECT k.doc_id, q.n_tokens, k.n_copies
+FROM kept k JOIN quality q ON q.doc_id = k.doc_id
+WHERE q.passes_quality
+"""
+
+QUERIES = {"cur_keep_list": q_cur_keep_list}
+ORACLES = {"cur_keep_list": SQL_CUR_KEEP_LIST}

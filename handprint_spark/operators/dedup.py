@@ -495,6 +495,117 @@ WHERE round(list_cosine_similarity(ea.v, eb.v), 4) >= {EMB_COS_THRESHOLD}
 """
 
 
+# --- duplicate-cluster resolution (connected components) ---------------------
+
+MAX_CC_ITERS = 20
+
+
+def duplicate_clusters(pairs: DataFrame) -> DataFrame:
+    """Candidate pairs -> duplicate clusters -> keeper per cluster:
+    the step a real curation run performs AFTER near-dup pair
+    generation (drop every member but one per connected component).
+
+    Iterative min-label propagation with POINTER JUMPING over the
+    undirected pair graph: every node starts labeled with itself; each
+    round a node takes the minimum label among itself and its
+    neighbors (one hop), then compresses by taking its label's own
+    label (label-of-label shortcut), so convergence needs
+    O(log diameter) rounds instead of O(diameter). At fixpoint the
+    label is the component's minimum doc_id = the cluster id, and the
+    keeper is the node equal to its label. Deterministic (min over
+    strings); MAX_CC_ITERS bounds pathological graphs; each round
+    localCheckpoints so the plan stays flat and the convergence count
+    is a filter over the just-checkpointed frame (no extra join).
+
+    Returns (doc_id, cluster, is_keeper) for every doc in >= 1 pair.
+    """
+    edges = pairs.select(F.col("d1").alias("src"), F.col("d2").alias("dst"))
+    edges = edges.union(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).localCheckpoint()
+    labels = (
+        edges.select(F.col("src").alias("node")).distinct().withColumn("label", F.col("node"))
+    ).localCheckpoint()
+
+    def _step(lab):
+        """One propagation step: neighbor-min then label-of-label.
+        Preserves the ``prev`` column (round-start label) for the
+        join-free convergence filter."""
+        nmin = (
+            edges.join(lab, edges["src"] == lab["node"])
+            .groupBy("dst")
+            .agg(F.min("label").alias("nlabel"))
+            .withColumnRenamed("dst", "node")
+        )
+        stepped = lab.join(nmin, "node", "left").select(
+            "node",
+            F.least(F.col("label"), F.coalesce("nlabel", F.col("label"))).alias("label"),
+            "prev",
+        )
+        # pointer jumping: label <- label(label); the parent's label is
+        # never larger, so least() keeps the invariant monotone
+        parents = stepped.select(
+            F.col("node").alias("pnode"), F.col("label").alias("plabel")
+        )
+        return stepped.join(parents, stepped["label"] == parents["pnode"], "left").select(
+            "node",
+            F.least(
+                stepped["label"], F.coalesce(parents["plabel"], stepped["label"])
+            ).alias("label"),
+            "prev",
+        )
+
+    # two propagation steps per materialized round: at sandbox scale
+    # each round costs two fixed-overhead jobs (checkpoint + count), so
+    # folding steps halves job count; at cluster scale the same fold
+    # halves the number of barrier rounds.
+    for _ in range(MAX_CC_ITERS):
+        seeded = labels.select("node", "label", F.col("label").alias("prev"))
+        new_labels = _step(_step(seeded)).localCheckpoint()
+        changed = new_labels.filter(F.col("label") != F.col("prev")).count()
+        labels = new_labels.drop("prev")
+        if changed == 0:
+            break
+    return labels.select(
+        F.col("node").alias("doc_id"),
+        F.col("label").alias("cluster"),
+        (F.col("node") == F.col("label")).alias("is_keeper"),
+    )
+
+
+def q_dd_dup_clusters(spark, sf_dir):
+    """Sized-down shuffle for the iterative rounds: the pair graph is
+    ~0.1% of the corpus, so the session's corpus-sized shuffle
+    partition count would spend the whole round on empty-task
+    scheduling (AQE's coalescing does not apply to the localCheckpoint
+    materialization path). Scoped save/restore — queries run
+    sequentially under the driver/bench."""
+    prev_sp = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        return duplicate_clusters(q_dd_minhash_lsh_pairs(spark, sf_dir))
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_sp)
+
+
+SQL_DD_DUP_CLUSTERS = f"""
+WITH RECURSIVE lshpairs AS ({SQL_DD_MINHASH_LSH}),
+edges AS (
+  SELECT d1 AS src, d2 AS dst FROM lshpairs
+  UNION ALL
+  SELECT d2 AS src, d1 AS dst FROM lshpairs
+),
+nodes AS (SELECT DISTINCT src AS node FROM edges),
+reach(node, label) AS (
+  SELECT node, node FROM nodes
+  UNION
+  SELECT e.dst, r.label FROM reach r JOIN edges e ON e.src = r.node
+)
+SELECT node AS doc_id, min(label) AS cluster, (node = min(label)) AS is_keeper
+FROM reach GROUP BY node
+"""
+
+
 QUERIES = {
     "dd_exact": q_dd_exact,
     "dd_ngram_jaccard": q_dd_ngram_jaccard,
@@ -503,6 +614,7 @@ QUERIES = {
     "dd_simhash": q_dd_simhash,
     "dd_simhash_pairs": q_dd_simhash_pairs,
     "dd_embedding_neardup": q_dd_embedding_neardup,
+    "dd_dup_clusters": q_dd_dup_clusters,
 }
 
 ORACLES = {
@@ -513,4 +625,5 @@ ORACLES = {
     "dd_simhash": SQL_DD_SIMHASH,
     "dd_simhash_pairs": SQL_DD_SIMHASH_PAIRS,
     "dd_embedding_neardup": _sql_dd_emb(),
+    "dd_dup_clusters": SQL_DD_DUP_CLUSTERS,
 }

@@ -1,0 +1,50 @@
+"""Duplicate-cluster resolution + curation keep-list composition."""
+
+from pyspark.sql import functions as F
+
+from handprint_spark.operators.dedup import duplicate_clusters
+
+
+def test_duplicate_clusters_components(spark):
+    """Chain a-b-c, triangle x-y-z (+ redundant edge), isolated pair
+    p-q: every component resolves to its min id with one keeper."""
+    pairs = spark.createDataFrame(
+        [
+            ("a", "b"), ("b", "c"),            # chain
+            ("x", "y"), ("y", "z"), ("x", "z"),  # triangle
+            ("p", "q"),                          # pair
+        ],
+        "d1 string, d2 string",
+    )
+    out = {r.doc_id: (r.cluster, r.is_keeper) for r in duplicate_clusters(pairs).collect()}
+    assert out == {
+        "a": ("a", True), "b": ("a", False), "c": ("a", False),
+        "x": ("x", True), "y": ("x", False), "z": ("x", False),
+        "p": ("p", True), "q": ("p", False),
+    }
+
+
+def test_duplicate_clusters_long_chain_converges(spark):
+    """A 12-node path needs multiple propagation rounds; the fixpoint
+    loop must converge to a single component."""
+    ids = [f"n{i:02d}" for i in range(12)]
+    pairs = spark.createDataFrame(
+        list(zip(ids, ids[1:])), "d1 string, d2 string"
+    )
+    rows = duplicate_clusters(pairs).collect()
+    assert {r.cluster for r in rows} == {"n00"}
+    assert sum(r.is_keeper for r in rows) == 1 and len(rows) == 12
+
+
+def test_keep_list_members_pass_all_gates(spark, sf_small):
+    from handprint_spark.operators.curation import q_cur_keep_list
+    from handprint_spark.operators.dedup import q_dd_exact
+    from handprint_spark.operators.text_analysis import q_ta_quality
+
+    keep = {r.doc_id for r in q_cur_keep_list(spark, sf_small).collect()}
+    assert keep
+    quality_pass = {
+        r.doc_id for r in q_ta_quality(spark, sf_small).filter(F.col("passes_quality")).collect()
+    }
+    keepers = {r.keeper for r in q_dd_exact(spark, sf_small).collect()}
+    assert keep == quality_pass & keepers
