@@ -46,6 +46,46 @@ def stream_documents(
     return extract_documents(spanify(stream))
 
 
+def stream_to_results(
+    spark: SparkSession,
+    source_dir: str,
+    results_dir: str,
+    lineage_dir: str,
+    checkpoint_dir: str,
+    schema=None,
+    max_files_per_trigger: int = 1,
+):
+    """Continuous ingestion into the SAME results/lineage tables the
+    batch protocol writes: every micro-batch runs the full
+    ``checkpoints.run_batch`` path (anti-join → spanify → extract →
+    append results → append lineage), so batch and streaming writers
+    are interchangeable consumers of one sink. Exactly-once lands on
+    two independent guards: Structured Streaming's checkpointLocation
+    (no re-delivered files after restart) and the doc_id anti-join
+    (a replayed micro-batch re-selects zero documents) — either alone
+    suffices, together a crashed stream resumes exactly like a crashed
+    batch run. Returns an unstarted DataStreamWriter; callers pick the
+    trigger (tests use availableNow)."""
+    from ..sources.checkpoints import run_batch
+
+    if schema is None:
+        schema = spark.read.parquet(source_dir).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(source_dir)
+    )
+
+    def process(batch_df, batch_id: int):
+        run_batch(spark, spanify(batch_df), results_dir, lineage_dir, batch_id=batch_id)
+
+    return (
+        stream.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("update")
+    )
+
+
 def stream_first_seen(documents_stream: DataFrame) -> DataFrame:
     """Custom stateful operator (``applyInPandasWithState``): exact
     streaming dedup keyed by content hash. The first document carrying

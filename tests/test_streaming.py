@@ -93,6 +93,50 @@ def test_windowed_counts_with_watermark(spark, sf_tiny, tmpdir):
     assert got == expected
 
 
+def test_stream_to_results_checkpoint_protocol(spark, sf_tiny, tmpdir):
+    """Streaming ingestion writes through the SAME run_batch protocol
+    as batch mode: results equal a one-shot batch extraction; a second
+    stream run over the same source (fresh stream checkpoint, so every
+    file is re-delivered) appends nothing — the doc_id anti-join alone
+    provides idempotence."""
+    from handprint_spark.streaming.pipeline import stream_to_results
+
+    src = f"{tmpdir}/src"
+    results_dir, lineage_dir = f"{tmpdir}/results", f"{tmpdir}/lineage"
+    docs = spark.read.parquet(f"{sf_tiny}/documents.parquet").limit(50)
+    docs.repartition(2).write.parquet(src)
+
+    q = stream_to_results(
+        spark, src, results_dir, lineage_dir, checkpoint_dir=f"{tmpdir}/ck"
+    ).trigger(availableNow=True).start()
+    q.awaitTermination(180)
+
+    got = spark.read.parquet(results_dir)
+    assert got.count() == 50
+    from handprint_spark.corpus import spanify
+    from handprint_spark.operators.extract import extract_documents
+
+    expected = {
+        r.doc_id: r.sj
+        for r in extract_documents(spanify(docs))
+        .selectExpr("doc_id", "to_json(spans) AS sj")
+        .collect()
+    }
+    assert {
+        r.doc_id: r.sj for r in got.selectExpr("doc_id", "to_json(spans) AS sj").collect()
+    } == expected
+    # lineage covered every batch's docs
+    lineage = spark.read.parquet(lineage_dir)
+    assert lineage.groupBy().sum("n_docs").collect()[0][0] == 50
+
+    # replay with a FRESH stream checkpoint: anti-join idempotence
+    q2 = stream_to_results(
+        spark, src, results_dir, lineage_dir, checkpoint_dir=f"{tmpdir}/ck2"
+    ).trigger(availableNow=True).start()
+    q2.awaitTermination(180)
+    assert spark.read.parquet(results_dir).count() == 50
+
+
 def test_stateful_first_seen_dedup(spark, sf_tiny, tmpdir):
     """applyInPandasWithState: exactly one emission per distinct text
     hash across all microbatches, duplicates suppressed by keyed state."""
