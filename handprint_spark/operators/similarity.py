@@ -354,12 +354,58 @@ WHERE a.vec_id <> 0
 """
 
 
+# --- ANN recall evaluation ---------------------------------------------------
+
+def q_sim_ann_recall(spark, sf_dir):
+    """Recall@K of both ANN paths against the exact top-K: the
+    evaluation every ANN deployment tracks (index quality drift shows
+    up here first). One row per method (lsh, ivf) with candidate
+    count, hits inside the true top-K, and recall@K — computed
+    declaratively (semi-join + aggregate), no driver-side loops."""
+    topk = q_sim_topk_bruteforce(spark, sf_dir).select("vec_id")
+    lsh = q_sim_lsh_ann(spark, sf_dir).select("vec_id").withColumn("method", F.lit("lsh"))
+    ivf = q_sim_ivf_ann(spark, sf_dir).select("vec_id").withColumn("method", F.lit("ivf"))
+    cand = lsh.union(ivf)
+    marked = cand.join(topk.withColumn("is_true", F.lit(1)), "vec_id", "left")
+    return (
+        marked.groupBy("method")
+        .agg(
+            F.count("*").alias("n_candidates"),
+            F.coalesce(F.sum("is_true"), F.lit(0)).cast("long").alias("n_hits"),
+        )
+        .withColumn("k", F.lit(TOPK))
+        .withColumn("recall", F.round(F.col("n_hits") / TOPK, 4))
+    )
+
+
+def _sql_ann_recall() -> str:
+    return f"""
+WITH topk AS ({SQL_SIM_TOPK}),
+lsh AS ({_sql_lsh_ann()}),
+ivf AS ({SQL_SIM_IVF}),
+cand AS (
+  SELECT 'lsh' AS method, vec_id FROM lsh
+  UNION ALL
+  SELECT 'ivf' AS method, vec_id FROM ivf
+)
+SELECT method,
+       CAST(count(*) AS BIGINT) AS n_candidates,
+       CAST(sum(CASE WHEN vec_id IN (SELECT vec_id FROM topk)
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_hits,
+       CAST({TOPK} AS INT) AS k,
+       round(sum(CASE WHEN vec_id IN (SELECT vec_id FROM topk)
+                      THEN 1 ELSE 0 END)::DOUBLE / {TOPK}, 4) AS recall
+FROM cand GROUP BY method
+"""
+
+
 QUERIES = {
     "sim_topk_bruteforce": q_sim_topk_bruteforce,
     "sim_knn_join": q_sim_knn_join,
     "sim_lsh_buckets": q_sim_lsh_buckets,
     "sim_lsh_ann": q_sim_lsh_ann,
     "sim_ivf_ann": q_sim_ivf_ann,
+    "sim_ann_recall": q_sim_ann_recall,
 }
 
 ORACLES = {
@@ -368,4 +414,5 @@ ORACLES = {
     "sim_lsh_buckets": SQL_SIM_LSH_BUCKETS,
     "sim_lsh_ann": _sql_lsh_ann(),
     "sim_ivf_ann": SQL_SIM_IVF,
+    "sim_ann_recall": _sql_ann_recall(),
 }
