@@ -115,6 +115,11 @@ def run_with_exit_code(fn: Callable[[], object]) -> tuple[ExitCode, object]:
     can ``sys.exit(int(code))`` like the reference's main."""
     try:
         return ExitCode.success, fn()
+    except SystemExit:
+        # an entrypoint that exits itself (sys.exit(0), argparse --help)
+        # already chose its status — don't remap it to `exception`; the
+        # reference handler intercepts only Exception/KeyboardInterrupt
+        raise
     except BaseException as exc:  # noqa: BLE001 — the mapping IS the point
         return exit_code_for(exc), exc
 

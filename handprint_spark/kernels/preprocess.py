@@ -78,6 +78,15 @@ def normalize_media_bytes(
     # render+deflate round trip. This is most of the flagship corpus
     # (5/6 of media are non-png; caps rarely fire), measured ~1.9x on
     # the sequential kernel.
+    #
+    # TRUST ASSUMPTION (deliberate, scoped): decode_media above verified
+    # the pixel payload decompresses to width*height bytes but NOT that
+    # it equals render_pixels(text, dims) — a well-formed HPM1 object
+    # whose pixels were tampered to disagree with its text would pass
+    # through here unre-rendered, where a re-encode would canonicalize
+    # it. Every byte this engine ingests is self-encoded (corpus.py) so
+    # the case is unreachable today; if externally-sourced HPM1 media
+    # is ever ingested, gate this path on a pixel-payload checksum.
     if (
         (width, height) == (info.width, info.height)
         and binarized == bool(info.flags & codec.FLAG_BINARIZED)

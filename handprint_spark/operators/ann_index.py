@@ -18,13 +18,18 @@ times:
     coarse quantizer — partition column = nearest-centroid id, a probe
     reads the ``nprobe`` closest cells.
 
-Builds are cached per corpus dir (content key = corpus path + row
-count) so repeated probes amortize the one-time scan, exactly like a
-real index lifecycle.
+Builds are cached per corpus CONTENT (key = sha256 of the corpus path
++ the embeddings parquet file listing with sizes and mtimes) so
+repeated probes amortize the one-time scan, exactly like a real index
+lifecycle — and regenerating a corpus in place invalidates the cache
+instead of silently serving a stale index. The hash key is also
+collision-free across distinct directories (a path-mangling scheme
+like ``/``→``_`` is not).
 """
 
 from __future__ import annotations
 
+import hashlib
 import os
 import tempfile
 
@@ -39,6 +44,7 @@ from .similarity import (
     bucket_of,
     bucket_udf,
     cos_query_udf,
+    embeddings_fingerprint,
 )
 
 
@@ -47,7 +53,12 @@ def _index_root() -> str:
 
 
 def _index_dir(sf_dir: str, kind: str) -> str:
-    key = sf_dir.strip("/").replace("/", "_")
+    """Cache key = hash(abs corpus path + embeddings content
+    fingerprint): distinct dirs can never collide, and rewritten
+    corpus files change the key (no stale-index serves)."""
+    key = hashlib.sha256(
+        f"{os.path.abspath(sf_dir)}|{embeddings_fingerprint(sf_dir)}".encode()
+    ).hexdigest()[:16]
     return os.path.join(_index_root(), f"{kind}_{key}")
 
 

@@ -159,6 +159,23 @@ def q_cmp_totals(spark, sf_dir):
     return totals.filter(slice_hash_col(F.col("doc_id")) % CORRUPT_MOD != 0)
 
 
+def q_cmp_lines_clean(spark, sf_dir):
+    """J4 per-line alignment output restricted to the CLEAN slice
+    (non-skew, non-corrupt docs), where the alignment is identity by
+    construction: HTR decodes every line exactly, so line i aligns to
+    gt line i with distance 0 and cer '0.00'. That closed form makes
+    the full aligned-row shape (line_no, distance, cer, gt_line,
+    htr_line) SQL-derivable — the driver value-hash gate covers the
+    real compare_to_ground_truth plan end-to-end (join + align UDF +
+    explode), leaving only the genuinely sequential skew/corrupt
+    alignment cases to the byte-exact reference goldens
+    (tests/test_kernels_textcmp.py) and cmp_tsv."""
+    from ..corpus import CORRUPT_MOD, SKEW_MOD, slice_hash_col
+
+    h = slice_hash_col(F.col("doc_id"))
+    return q_cmp_lines(spark, sf_dir).filter((h % SKEW_MOD != 0) & (h % CORRUPT_MOD != 0))
+
+
 def q_cmp_tsv(spark, sf_dir):
     return comparison_tsv(_htr(spark, sf_dir), ground_truth(spark, sf_dir))
 
@@ -198,12 +215,54 @@ WHERE h % {CORRUPT_MOD} <> 0
 """
 
 
+# Clean-slice per-line oracle: identity alignment, derived from the
+# same corpus line rule as _sql_cmp_totals (single source of truth).
+def _sql_cmp_lines_clean() -> str:
+    from ..corpus import CORRUPT_MOD, SKEW_MOD, WORDS_PER_LINE
+
+    w = WORDS_PER_LINE
+    return f"""
+WITH base AS (
+  SELECT doc_id::VARCHAR AS doc_id,
+         ('0x' || substr(sha256(doc_id::VARCHAR), 1, 8))::BIGINT AS h,
+         CASE WHEN trim(replace(text, chr(12), ' ')) = '' THEN []::VARCHAR[]
+              ELSE string_split(regexp_replace(trim(replace(text, chr(12), ' ')),
+                                               ' +', ' ', 'g'), ' ')
+         END AS words
+  FROM documents
+), lined AS (
+  SELECT doc_id,
+         list_transform(range(0, CAST(ceil(len(words) / {w}.0) AS INT)),
+                        i -> array_to_string(words[i*{w}+1 : i*{w}+{w}], ' ')) AS lines
+  FROM base
+  WHERE h % {SKEW_MOD} <> 0 AND h % {CORRUPT_MOD} <> 0
+), rows_ AS (
+  SELECT doc_id,
+         unnest(list_transform(lines, (x, i) -> {{'line': x, 'i': i}})) AS u
+  FROM lined
+)
+SELECT doc_id,
+       CAST(u.i - 1 AS INT) AS line_no,
+       CAST(0 AS INT) AS distance,
+       '0.00' AS cer,
+       u.line AS gt_line,
+       u.line AS htr_line
+FROM rows_
+"""
+
+
 QUERIES = {
     "cmp_lines": q_cmp_lines,
+    "cmp_lines_clean": q_cmp_lines_clean,
     "cmp_totals": q_cmp_totals,
     "cmp_tsv": q_cmp_tsv,
 }
 
 # cmp_lines / cmp_tsv stay rows-only: full LCSSEQ alignment output is
-# sequential per doc and golden-tested against the reference instead.
-ORACLES: dict[str, str] = {"cmp_totals": _sql_cmp_totals()}
+# sequential per doc and golden-tested against the reference instead;
+# the clean slice (cmp_lines_clean) carries the value-hash gate for
+# the same plan.
+ORACLES: dict[str, str] = {
+    "cmp_totals": _sql_cmp_totals(),
+    "cmp_lines_clean": _sql_cmp_lines_clean(),
+}

@@ -7,25 +7,33 @@ content-level dedup. Five strategies, each Spark-first:
   * exact        — hash-groupBy on md5(text); map-side partial agg,
                    one shuffle on the hash key.
   * n-gram Jaccard — word-bigram shingles, exploded + self-joined on
-                   shingle, pair-level intersection counts vs a
-                   pre-aggregated per-doc shingle count (broadcast).
-                   Quadratic only within shingle buckets, never a full
-                   cross join.
+                   shingle; each posting row CARRIES its doc's shingle
+                   count, so the union-size denominator falls out of
+                   the pair aggregation itself — no per-doc sizes
+                   table, no second join (a broadcast of one-row-per-
+                   doc state is an OOM at corpus scale, not a
+                   broadcast). Quadratic only within shingle buckets,
+                   never a full cross join.
   * MinHash+LSH  — K min-hash signatures (lexicographic min of keyed
                    md5 over shingles — string mins, portable to any
                    SQL engine), banded into B buckets; candidate pairs
                    are an equi-join on (band_id, band_key). This is
                    the scale path: cost ~ bucket sizes, not n².
-  * SimHash      — 16-bit simhash from per-word md5 bits (bitwise agg
+  * SimHash      — 60-bit simhash from per-word md5 bits (bitwise agg
                    in pure Catalyst expressions); near-dup candidates
                    by PIGEONHOLE BANDING: the signature splits into
                    HAMMING_MAX+1 bit chunks, and any pair within
                    hamming distance HAMMING_MAX must agree exactly on
                    at least one chunk, so candidates are an equi-join
                    on (chunk_id, chunk_value) — exact recall, no n²
-                   compare. (At 16 bits the chunk value space is small;
-                   a production corpus uses the same construction over
-                   a 64-bit simhash with three 21/21/22-bit chunks.)
+                   compare. 60 bits (not 64) is deliberate: it is the
+                   widest signature whose value AND md5-prefix word
+                   hashes stay inside SIGNED int64 on both engines
+                   (Spark `conv(..,16,10)::bigint` and DuckDB
+                   `('0x'||..)::BIGINT` both return NULL/error past
+                   2^63), so the oracle recomputes the identical
+                   signature; the 20/20/20 chunks give the same
+                   hamming<=2 pigeonhole guarantee as 64/21-21-22.
   * embedding    — LSH-banded candidate generation + exact cosine
                    verify: pairs sharing at least one 4-plane
                    random-hyperplane band bucket, scored vectorized
@@ -52,11 +60,12 @@ from pyspark.sql.window import Window
 MAX_DF = 50  # drop shingles occurring in more docs than this (posting cap)
 JACCARD_THRESHOLD = 0.5
 MINHASH_K = 4  # 2 bands x 2 rows
-SIM_BITS = 16
+SIM_BITS = 60  # production width; 60 not 64: signed-int64-safe on both engines
+SIM_HEX_CHARS = SIM_BITS // 4  # md5 prefix chars for the per-word hash
 HAMMING_MAX = 2
 # pigeonhole chunks: HAMMING_MAX+1 chunks covering the SIM_BITS bits;
 # <= HAMMING_MAX differing bits can dirty at most HAMMING_MAX chunks
-SIMHASH_CHUNK_BITS = (6, 5, 5)
+SIMHASH_CHUNK_BITS = (20, 20, 20)
 EMB_BANDS = 4
 EMB_BAND_BITS = 4
 EMB_COS_THRESHOLD = 0.3
@@ -115,28 +124,35 @@ FROM documents GROUP BY md5(text)
 # --- n-gram Jaccard ---------------------------------------------------------
 
 def q_dd_ngram_jaccard(spark, sf_dir):
+    """Pair Jaccard without any per-doc sizes join: every posting row
+    carries its document's total shingle count (``n_sh`` is constant
+    per doc, so ``min()`` inside the pair aggregation recovers it
+    exactly), and the union size is n1 + n2 - |intersection|. One
+    self-join on the capped posting list + one aggregation — at corpus
+    scale there is no one-row-per-document side table to broadcast
+    (the round-2 plan broadcast exactly that; at 10^12 docs the
+    "small" side would be the whole corpus)."""
     docs = _docs(spark, sf_dir, spread=True).select("doc_id", _shingles_col().alias("sh"))
-    sizes = docs.select("doc_id", F.size("sh").alias("n_sh"))
     posting = (
-        docs.select("doc_id", F.explode("sh").alias("s"))
+        docs.select("doc_id", F.size("sh").alias("n_sh"), F.explode("sh").alias("s"))
         # posting-list cap: drop ubiquitous shingles (bounded join fan-out)
         .withColumn("df", F.count("*").over(Window.partitionBy("s")))
         .filter(F.col("df") <= MAX_DF)
-        .select("doc_id", "s")
+        .select("doc_id", "n_sh", "s")
     )
     a = posting.alias("a")
     b = posting.alias("b")
     inter = (
         a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") < F.col("b.doc_id")))
         .groupBy(F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2"))
-        .agg(F.count("*").alias("n_inter"))
+        .agg(
+            F.count("*").alias("n_inter"),
+            F.min(F.col("a.n_sh")).alias("n1"),
+            F.min(F.col("b.n_sh")).alias("n2"),
+        )
     )
-    s1 = sizes.select(F.col("doc_id").alias("d1"), F.col("n_sh").alias("n1"))
-    s2 = sizes.select(F.col("doc_id").alias("d2"), F.col("n_sh").alias("n2"))
-    out = (
-        inter.join(F.broadcast(s1), "d1")
-        .join(F.broadcast(s2), "d2")
-        .withColumn(
+    return (
+        inter.withColumn(
             "jaccard",
             F.round(
                 F.col("n_inter") / (F.col("n1") + F.col("n2") - F.col("n_inter")), 4
@@ -145,7 +161,6 @@ def q_dd_ngram_jaccard(spark, sf_dir):
         .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
         .select("d1", "d2", "jaccard")
     )
-    return out
 
 
 SQL_DD_JACCARD = f"""
@@ -251,17 +266,18 @@ FROM bands a JOIN bands b ON a.band_key = b.band_key AND a.doc_id < b.doc_id
 # --- SimHash ------------------------------------------------------------------
 
 def _simhash_col():
-    """16-bit simhash over the word multiset: bit k of the result is 1
-    when more words hash (md5 16-bit prefix) with bit k set than not.
-    Pure Catalyst, ONE traversal of the word array: the fold
-    accumulates a SIM_BITS-long bit-count vector (zip_with add), and
-    the finish lambda votes each bit against the word count — 16x less
-    expression work than a per-bit aggregate pass."""
+    """SIM_BITS-wide simhash over the word multiset: bit k of the
+    result is 1 when more words hash (md5 SIM_BITS-bit prefix) with
+    bit k set than not. Pure Catalyst, ONE traversal of the word
+    array: the fold accumulates a SIM_BITS-long bit-count vector
+    (zip_with add), and the finish lambda votes each bit against the
+    word count — SIM_BITS-times less expression work than a per-bit
+    aggregate pass."""
     return F.expr(
         f"""
         aggregate(
           transform(split(text, ' '),
-                    w -> cast(conv(substring(md5(cast(w as binary)), 1, 4), 16, 10) as bigint)),
+                    w -> cast(conv(substring(md5(cast(w as binary)), 1, {SIM_HEX_CHARS}), 16, 10) as bigint)),
           array_repeat(cast(0 as bigint), {SIM_BITS}),
           (acc, h) -> zip_with(acc,
                                transform(sequence(0, {SIM_BITS - 1}), b -> shiftright(h, b) & 1),
@@ -294,7 +310,7 @@ SQL_DD_SIMHASH = f"""
 WITH h AS (
   SELECT doc_id,
          list_transform(string_split(text, ' '),
-                        w -> ('0x' || substr(md5(w), 1, 4))::BIGINT) AS hs
+                        w -> ('0x' || substr(md5(w), 1, {SIM_HEX_CHARS}))::BIGINT) AS hs
   FROM documents
 )
 SELECT doc_id, CAST({_simhash_sql_expr()} AS BIGINT) AS simhash FROM h
@@ -498,9 +514,30 @@ WHERE round(list_cosine_similarity(ea.v, eb.v), 4) >= {EMB_COS_THRESHOLD}
 # --- duplicate-cluster resolution (connected components) ---------------------
 
 MAX_CC_ITERS = 20
+# the pair graph is a tiny fraction of the corpus (~0.1% of docs land
+# in any near-dup pair); fixed small round partitioning beats
+# inheriting a corpus-sized shuffle width for the iterative joins
+CC_PARTITIONS = 8
 
 
-def duplicate_clusters(pairs: DataFrame) -> DataFrame:
+def _cc_persist(df: DataFrame, reliable: bool) -> DataFrame:
+    """Materialize one CC round. ``reliable=False`` (sandbox default)
+    uses localCheckpoint — executor-memory blocks, fastest, but lineage
+    is unrecoverable if an executor dies. On a real cluster pass
+    ``reliable=True``: ``checkpoint()`` writes each round to the
+    (HDFS/object-store) checkpoint dir, so executor loss after round k
+    replays from durable state instead of failing the job."""
+    if not reliable:
+        return df.localCheckpoint()
+    sc = df.sparkSession.sparkContext
+    if sc.getCheckpointDir() is None:
+        import tempfile
+
+        sc.setCheckpointDir(tempfile.mkdtemp(prefix="handprint_cc_ckpt_"))
+    return df.checkpoint()
+
+
+def duplicate_clusters(pairs: DataFrame, reliable: bool = False) -> DataFrame:
     """Candidate pairs -> duplicate clusters -> keeper per cluster:
     the step a real curation run performs AFTER near-dup pair
     generation (drop every member but one per connected component).
@@ -513,19 +550,28 @@ def duplicate_clusters(pairs: DataFrame) -> DataFrame:
     O(log diameter) rounds instead of O(diameter). At fixpoint the
     label is the component's minimum doc_id = the cluster id, and the
     keeper is the node equal to its label. Deterministic (min over
-    strings); MAX_CC_ITERS bounds pathological graphs; each round
-    localCheckpoints so the plan stays flat and the convergence count
-    is a filter over the just-checkpointed frame (no extra join).
+    strings); MAX_CC_ITERS bounds pathological graphs — exhausting it
+    without convergence RAISES (a partially-propagated labeling is a
+    wrong answer, not a degraded one). Each round materializes via
+    ``_cc_persist`` so the plan stays flat, and the round frames are
+    explicitly repartitioned to CC_PARTITIONS on the join key — no
+    session-conf mutation (thread-safe under concurrent queries).
 
     Returns (doc_id, cluster, is_keeper) for every doc in >= 1 pair.
     """
     edges = pairs.select(F.col("d1").alias("src"), F.col("d2").alias("dst"))
-    edges = edges.union(
-        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    ).localCheckpoint()
-    labels = (
-        edges.select(F.col("src").alias("node")).distinct().withColumn("label", F.col("node"))
-    ).localCheckpoint()
+    edges = _cc_persist(
+        edges.union(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        .repartition(CC_PARTITIONS, "src"),
+        reliable,
+    )
+    labels = _cc_persist(
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+        .repartition(CC_PARTITIONS, "node"),
+        reliable,
+    )
 
     def _step(lab):
         """One propagation step: neighbor-min then label-of-label.
@@ -559,13 +605,22 @@ def duplicate_clusters(pairs: DataFrame) -> DataFrame:
     # each round costs two fixed-overhead jobs (checkpoint + count), so
     # folding steps halves job count; at cluster scale the same fold
     # halves the number of barrier rounds.
+    changed = -1
     for _ in range(MAX_CC_ITERS):
         seeded = labels.select("node", "label", F.col("label").alias("prev"))
-        new_labels = _step(_step(seeded)).localCheckpoint()
+        new_labels = _cc_persist(
+            _step(_step(seeded)).repartition(CC_PARTITIONS, "node"), reliable
+        )
         changed = new_labels.filter(F.col("label") != F.col("prev")).count()
         labels = new_labels.drop("prev")
         if changed == 0:
             break
+    if changed != 0:
+        raise RuntimeError(
+            f"duplicate_clusters did not converge in {MAX_CC_ITERS} rounds "
+            f"({changed} labels still changing) — pathological pair graph; "
+            "raise MAX_CC_ITERS or inspect the candidate generator"
+        )
     return labels.select(
         F.col("node").alias("doc_id"),
         F.col("label").alias("cluster"),
@@ -574,18 +629,11 @@ def duplicate_clusters(pairs: DataFrame) -> DataFrame:
 
 
 def q_dd_dup_clusters(spark, sf_dir):
-    """Sized-down shuffle for the iterative rounds: the pair graph is
-    ~0.1% of the corpus, so the session's corpus-sized shuffle
-    partition count would spend the whole round on empty-task
-    scheduling (AQE's coalescing does not apply to the localCheckpoint
-    materialization path). Scoped save/restore — queries run
-    sequentially under the driver/bench."""
-    prev_sp = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
-    try:
-        return duplicate_clusters(q_dd_minhash_lsh_pairs(spark, sf_dir))
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", prev_sp)
+    """Cluster resolution over the MinHash-LSH candidate pairs. The
+    iterative frames are explicitly repartitioned (CC_PARTITIONS)
+    inside duplicate_clusters — session conf is never touched, so the
+    query is safe under concurrent execution."""
+    return duplicate_clusters(q_dd_minhash_lsh_pairs(spark, sf_dir))
 
 
 SQL_DD_DUP_CLUSTERS = f"""

@@ -59,15 +59,38 @@ def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_VEC_CACHE: dict[tuple[str, int], list[float]] = {}
+def embeddings_fingerprint(sf_dir: str) -> str:
+    """Content fingerprint of the corpus's embeddings table: the
+    parquet file listing with sizes and mtimes. Cheap (one listdir, no
+    data read) and changes whenever the table is rewritten — the cache
+    key ingredient that keeps memoized scalars (query vectors,
+    centroids) and materialized ANN indexes from going stale when a
+    corpus is regenerated at the same path."""
+    import hashlib
+    import os
+
+    path = os.path.join(sf_dir, "embeddings.parquet")
+    parts = []
+    if os.path.isdir(path):
+        for name in sorted(os.listdir(path)):
+            st = os.stat(os.path.join(path, name))
+            parts.append(f"{name}:{st.st_size}:{st.st_mtime_ns}")
+    elif os.path.isfile(path):
+        st = os.stat(path)
+        parts.append(f"{os.path.basename(path)}:{st.st_size}:{st.st_mtime_ns}")
+    return hashlib.sha256("|".join(parts).encode()).hexdigest()[:16]
+
+
+_VEC_CACHE: dict[tuple[str, str, int], list[float]] = {}
 
 
 def _query_vec(spark, sf_dir, vec_id: int) -> list[float]:
-    """Scalar probe: one query vector. Memoized per (corpus, id) — in a
-    real probe workload the query vector is an *input*, not a lookup;
-    the table fetch here is test scaffolding and must not be re-paid
-    on every probe."""
-    key = (sf_dir, vec_id)
+    """Scalar probe: one query vector. Memoized per (corpus content,
+    id) — in a real probe workload the query vector is an *input*, not
+    a lookup; the table fetch here is test scaffolding and must not be
+    re-paid on every probe. The content fingerprint in the key drops
+    the memo when the corpus is rewritten in place."""
+    key = (sf_dir, embeddings_fingerprint(sf_dir), vec_id)
     if key not in _VEC_CACHE:
         row = (
             spark.read.parquet(f"{sf_dir}/embeddings.parquet")
@@ -257,15 +280,17 @@ IVF_NPROBE = 2
 CENTROID_IDS = tuple(3 + 7 * i for i in range(IVF_K))
 
 
-_CENTROID_CACHE: dict[str, tuple] = {}
+_CENTROID_CACHE: dict[tuple[str, str], tuple] = {}
 
 
 def _centroid_matrix(spark, sf_dir):
     """Driver-side centroid fetch: IVF_K rows — a scalar probe, not a
-    distributed collect. Memoized per corpus (the quantizer is fixed
-    at index-build time; refetching it per probe is pure overhead)."""
-    if sf_dir in _CENTROID_CACHE:
-        return _CENTROID_CACHE[sf_dir]
+    distributed collect. Memoized per corpus CONTENT (the quantizer is
+    fixed at index-build time; refetching it per probe is pure
+    overhead, but a rewritten corpus must refresh it)."""
+    cache_key = (sf_dir, embeddings_fingerprint(sf_dir))
+    if cache_key in _CENTROID_CACHE:
+        return _CENTROID_CACHE[cache_key]
     rows = (
         spark.read.parquet(f"{sf_dir}/embeddings.parquet")
         .filter(F.col("vec_id").isin(list(CENTROID_IDS)))
@@ -275,7 +300,7 @@ def _centroid_matrix(spark, sf_dir):
     rows.sort(key=lambda r: r[0])  # ascending cent_id: argmax tie -> lowest id
     ids = np.asarray([r[0] for r in rows], dtype=np.int64)
     C = np.asarray([list(r[1]) for r in rows], dtype=np.float64)
-    _CENTROID_CACHE[sf_dir] = (ids, C)
+    _CENTROID_CACHE[cache_key] = (ids, C)
     return ids, C
 
 

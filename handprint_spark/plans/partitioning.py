@@ -23,7 +23,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..corpus import SPAN_TYPE
-from ..operators.extract import extract_documents
+from ..operators.extract import MEDIA_KINDS, extract_documents
 
 
 def repartition_by_doc(df: DataFrame, partitions: int) -> DataFrame:
@@ -50,22 +50,66 @@ def extract_skew_aware(
     (spans + their media sliced together), extracted chunk-wise in
     parallel, then reassembled per doc_id (array_sort by offset keeps
     span order canonical). Output schema == extract_documents.
+
+    Chunk membership is derived from the spans themselves, for ANY
+    span/media interleave (not just the corpus's text+media-per-line
+    2:1 layout): span j belongs to chunk floor(m_before(j) / k), where
+    m_before(j) counts media-kind spans at offsets strictly before j —
+    so each chunk holds <= k media spans plus the non-media spans that
+    precede them, and trailing non-media spans clamp into the last
+    chunk. A chunk's media objects are selected by media_ref
+    membership in its own media spans, never by array position.
     """
     n_media = F.size("media")
     normal = spans_with_media.filter(n_media <= skew_threshold)
     heavy = spans_with_media.filter(n_media > skew_threshold)
 
     n_chunks = F.ceil(n_media / F.lit(media_per_chunk)).cast("int")
-    # chunk c takes media[c*k, (c+1)*k) and the spans that reference
-    # that media range or are text spans interleaved with them; spans
-    # are 2 per line (text + media), media 1 per line, so the span
-    # slice for chunk c is exactly 2x the media slice.
     k = media_per_chunk
+    kinds_sql = ", ".join(f"'{m}'" for m in MEDIA_KINDS)
+
+    ordered = F.array_sort(
+        F.col("spans"),
+        lambda a, b: F.when(a["offset"] < b["offset"], -1)
+        .when(a["offset"] > b["offset"], 1)
+        .otherwise(0),
+    )
+    # m_before per span index: one O(n) fold building the prefix-count
+    # array (Catalyst has no scan primitive; the concat-accumulate is
+    # the standard form and runs only on the rare heavy rows).
+    cum = F.expr(
+        f"""
+        aggregate(spans,
+                  struct(cast(array() as array<int>) as cum, cast(0 as int) as c),
+                  (acc, s) -> struct(
+                    concat(acc.cum, array(acc.c)),
+                    acc.c + if(s.kind in ({kinds_sql}), 1, 0)),
+                  acc -> acc.cum)
+        """
+    )
+    # spans tagged with their chunk id (clamped so trailing non-media
+    # spans land in the last chunk)
+    tagged = F.expr(
+        f"""
+        zip_with(spans, _cum, (s, m) ->
+          struct(s as s, least(cast(m / {k} as int), _nc - 1) as chunk))
+        """
+    )
+    chunk_spans = F.expr("transform(filter(_tagged, t -> t.chunk = chunk), t -> t.s)")
+    chunk_refs = F.expr(
+        f"transform(filter(spans, s -> s.kind in ({kinds_sql})), s -> s.media_ref)"
+    )
+    chunk_media = F.expr("filter(media, m -> array_contains(_refs, m.media_ref))")
     chunked = (
-        heavy.withColumn("chunk", F.explode(F.sequence(F.lit(0), n_chunks - 1)))
-        .withColumn("media", F.slice("media", F.col("chunk") * k + 1, k))
-        .withColumn("spans", F.slice("spans", F.col("chunk") * 2 * k + 1, 2 * k))
-        .drop("chunk")
+        heavy.withColumn("spans", ordered)
+        .withColumn("_cum", cum)
+        .withColumn("_nc", n_chunks)
+        .withColumn("_tagged", tagged)
+        .withColumn("chunk", F.explode(F.sequence(F.lit(0), F.col("_nc") - 1)))
+        .withColumn("spans", chunk_spans.cast(SPAN_TYPE))
+        .withColumn("_refs", chunk_refs)
+        .withColumn("media", chunk_media)
+        .drop("chunk", "_cum", "_nc", "_tagged", "_refs")
     )
 
     extracted_normal = extract_documents(normal, **extract_kwargs)

@@ -36,6 +36,30 @@ def test_duplicate_clusters_long_chain_converges(spark):
     assert sum(r.is_keeper for r in rows) == 1 and len(rows) == 12
 
 
+def test_duplicate_clusters_reliable_checkpoint(spark):
+    """reliable=True routes round state through reliable checkpoint()
+    (durable against executor loss on a real cluster) and must produce
+    the same labeling."""
+    ids = [f"m{i}" for i in range(6)]
+    pairs = spark.createDataFrame(list(zip(ids, ids[1:])), "d1 string, d2 string")
+    rows = duplicate_clusters(pairs, reliable=True).collect()
+    assert {r.cluster for r in rows} == {"m0"}
+    assert sum(r.is_keeper for r in rows) == 1 and len(rows) == 6
+
+
+def test_dup_clusters_query_leaves_session_conf_untouched(spark, sf_small):
+    """Building (and running) q_dd_dup_clusters must not mutate global
+    session conf — round-2's save/restore of shuffle.partitions was
+    racy under concurrent queries."""
+    from handprint_spark.operators.dedup import q_dd_dup_clusters
+
+    before = spark.conf.get("spark.sql.shuffle.partitions")
+    df = q_dd_dup_clusters(spark, sf_small)
+    assert spark.conf.get("spark.sql.shuffle.partitions") == before
+    assert df.count() > 0
+    assert spark.conf.get("spark.sql.shuffle.partitions") == before
+
+
 def test_keep_list_members_pass_all_gates(spark, sf_small):
     from handprint_spark.operators.curation import q_cur_keep_list
     from handprint_spark.operators.dedup import q_dd_exact

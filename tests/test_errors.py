@@ -61,6 +61,18 @@ def test_run_with_exit_code():
     assert code == ExitCode.file_error and isinstance(exc, CannotProceed)
 
 
+def test_run_with_exit_code_passes_system_exit_through():
+    """An entrypoint that sys.exit()s itself keeps its own status —
+    it must not be remapped to ExitCode.exception."""
+
+    def exits():
+        raise SystemExit(0)
+
+    with pytest.raises(SystemExit) as ei:
+        run_with_exit_code(exits)
+    assert ei.value.code == 0
+
+
 def test_main_exit_maps_code():
     with pytest.raises(SystemExit) as ei:
         errors.main_exit(lambda: (_ for _ in ()).throw(AuthFailure("x")))

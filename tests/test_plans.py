@@ -71,6 +71,43 @@ def test_skew_aware_equals_plain(spark, sf_tiny):
     spans.unpersist()
 
 
+def test_skew_aware_general_layout(spark):
+    """Chunking must not assume the corpus's 2-spans-per-media
+    interleave: a layout with 3 text spans per media, media-only runs,
+    and trailing text spans must chunk to the same result as the plain
+    path (round 2 hardcoded the 2:1 slice and would mis-assign here)."""
+    from handprint_spark.corpus import MEDIA_TYPE, SPAN_TYPE, encode_line_media
+    from pyspark.sql import types as T
+
+    spans, media = [], []
+    off = 0
+    for i in range(9):  # 9 media spans, threshold 4 -> 3 chunks of k=4
+        # three text spans before each media span (3:1, not 2:1)
+        for t in range(3):
+            spans.append({"kind": "text", "text": f"t{i}-{t}", "media_ref": "", "offset": off})
+            off += 1
+        ref = f"gdoc/line-{i}"
+        spans.append({"kind": "line_image", "text": "", "media_ref": ref, "offset": off})
+        off += 1
+        media.append({"media_ref": ref, "content": encode_line_media("gdoc", i, f"w{i}")})
+    # trailing text spans after the last media (must clamp to last chunk)
+    spans.append({"kind": "text", "text": "tail", "media_ref": "", "offset": off})
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.StringType()),
+            T.StructField("spans", SPAN_TYPE),
+            T.StructField("media", MEDIA_TYPE),
+        ]
+    )
+    df = spark.createDataFrame([("gdoc", spans, media)], schema)
+    plain = extract_documents(df).collect()[0]
+    skew = extract_skew_aware(df, media_per_chunk=4, skew_threshold=2).collect()[0]
+    key = lambda r: ([(s.kind, s.text, s.media_ref, s.offset) for s in r.spans],
+                     r.n_media, r.n_errors)
+    assert key(plain) == key(skew)
+    assert plain.n_media == 9 and plain.n_errors == 0
+
+
 def test_skew_split_actually_triggers(spark, sf_tiny):
     """The corpus skew slice (doc_slice_hash % 211 == 0) must exceed the
     threshold used above, so the chunk path is exercised."""
@@ -112,6 +149,24 @@ def test_neardup_pair_queries_no_cartesian(spark, sf_small):
         plan = plan_str(q(spark, sf_small))
         assert "CartesianProduct" not in plan, q.__name__
         assert "BroadcastNestedLoopJoin" not in plan, q.__name__
+
+
+def test_jaccard_single_join_no_sizes_broadcast(spark, sf_small):
+    """The pair-Jaccard plan must contain exactly ONE join (the capped
+    posting self-join): the per-doc sizes ride the posting rows, so
+    there is no one-row-per-document side table — broadcasting one
+    (round 2's plan) is a driver OOM at corpus scale, not a
+    broadcast."""
+    from handprint_spark.operators.dedup import q_dd_ngram_jaccard
+
+    df = q_dd_ngram_jaccard(spark, sf_small)
+    optimized = df._jdf.queryExecution().optimizedPlan().toString()
+    # exactly one Join node; whether the planner broadcasts a side of
+    # the POSTING self-join at toy scale is its call (both sides scale
+    # with data and AQE re-decides at runtime) — what must never exist
+    # is a second join against a per-doc aggregate
+    assert optimized.count("Join ") == 1, optimized
+    assert "Aggregate" not in optimized.split("Join ")[1], optimized
 
 
 def test_ann_index_probe_partition_prunes(spark, sf_small, tmp_path):
@@ -177,6 +232,29 @@ def test_bucketed_join_is_shuffle_free(spark, sf_tiny):
     finally:
         for t in ("hp_bk_results", "hp_bk_gt"):
             spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def test_ann_index_cache_key_tracks_content_and_path(tmp_path):
+    """The default index dir must change when the corpus content
+    changes (no stale-index serves after an in-place rewrite) and must
+    differ for distinct corpus dirs whose mangled names would collide."""
+    import shutil
+
+    from handprint_spark.operators.ann_index import _index_dir
+
+    corpus = tmp_path / "sf_a"
+    corpus.mkdir()
+    shutil.copy("/root/testdata/sf0.001/embeddings.parquet", corpus / "embeddings.parquet")
+    before = _index_dir(str(corpus), "lsh")
+    # in-place rewrite (content change) -> different cache dir
+    with open(corpus / "embeddings.parquet", "ab") as fh:
+        fh.write(b"x")
+    assert _index_dir(str(corpus), "lsh") != before
+    # underscore/slash mangling collision: distinct dirs, distinct keys
+    twin = tmp_path / "sf" / "a"
+    twin.mkdir(parents=True)
+    shutil.copy("/root/testdata/sf0.001/embeddings.parquet", twin / "embeddings.parquet")
+    assert _index_dir(str(twin), "lsh") != _index_dir(str(corpus), "lsh")
 
 
 def test_ivf_index_probe_matches_computed(spark, sf_small, tmp_path):
