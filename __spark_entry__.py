@@ -56,6 +56,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         dedup,
         multimodal,
         relational,
+        service_fanout,
         service_queries,
         similarity,
         text_analysis,
@@ -70,6 +71,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out.update(compare.QUERIES)
     out.update(multimodal.QUERIES)
     out.update(service_queries.QUERIES)
+    out.update(service_fanout.QUERIES)
     return out
 
 
@@ -86,6 +88,7 @@ def oracle_sql() -> dict[str, str]:
         dedup,
         multimodal,
         relational,
+        service_fanout,
         service_queries,
         similarity,
         text_analysis,
@@ -100,4 +103,5 @@ def oracle_sql() -> dict[str, str]:
     out.update(compare.ORACLES)
     out.update(multimodal.ORACLES)
     out.update(service_queries.ORACLES)
+    out.update(service_fanout.ORACLES)
     return out

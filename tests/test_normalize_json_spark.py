@@ -125,3 +125,24 @@ def test_empty_and_malformed_json(spark):
         for r in out:
             assert r.text == ""
             assert list(r.boxes) == []
+
+
+def test_xsvc_fanout_all_services_agree_on_box_counts(spark, sf_tiny):
+    """The (doc x service) fan-out: every doc yields exactly four
+    service rows, and all four normalizers see the same box population
+    (n_boxes identical across services for a given doc — the emitters
+    project the same decode)."""
+    from pyspark.sql import functions as F
+
+    from handprint_spark.operators.service_fanout import SERVICES, q_xsvc_results
+
+    out = q_xsvc_results(spark, sf_tiny)
+    agg = out.groupBy("doc_id").agg(
+        F.count("*").alias("n_services"),
+        F.countDistinct("n_boxes").alias("distinct_counts"),
+        F.countDistinct("service").alias("distinct_services"),
+    )
+    rows = agg.collect()
+    assert rows and all(r.n_services == len(SERVICES) for r in rows)
+    assert all(r.distinct_counts == 1 for r in rows)
+    assert all(r.distinct_services == len(SERVICES) for r in rows)
