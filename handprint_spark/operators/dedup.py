@@ -271,8 +271,10 @@ def _simhash_col():
     bit k set than not. Pure Catalyst, ONE traversal of the word
     array: the fold accumulates a SIM_BITS-long bit-count vector
     (zip_with add), and the finish lambda votes each bit against the
-    word count — SIM_BITS-times less expression work than a per-bit
-    aggregate pass."""
+    word count. (Measured against the codegen alternative — explode +
+    groupBy with SIM_BITS conditional sums — the fold is ~2.5x faster
+    at 60 bits: 61 aggregation buffer fields push the hash aggregate
+    out of whole-stage codegen.)"""
     return F.expr(
         f"""
         aggregate(
@@ -293,7 +295,18 @@ def _simhash_col():
 
 
 def q_dd_simhash(spark, sf_dir):
-    return _docs(spark, sf_dir, spread=True).select("doc_id", _simhash_col().alias("simhash"))
+    """Signatures are PINNED behind a trivial per-doc aggregate:
+    Catalyst's CollapseProject inlines a bare projection expression
+    into every downstream reference — the banded pairs query
+    references the signature several times per join side and was
+    measured recomputing the fold ~8x. An Aggregate output is an
+    attribute, so consumers reference the computed value exactly once
+    per row. With ``spread=True`` upstream the groupBy(doc_id) is
+    exchange-free (doc_id is already the partitioning key)."""
+    sigs = _docs(spark, sf_dir, spread=True).select(
+        "doc_id", _simhash_col().alias("simhash")
+    )
+    return sigs.groupBy("doc_id").agg(F.min("simhash").alias("simhash"))
 
 
 def _simhash_sql_expr() -> str:
