@@ -36,14 +36,16 @@ passes = int(sys.argv[3]) if len(sys.argv) > 3 else 3
 spark = get_spark(app_name=f"scale-{cores}", master=f"local[{cores}]")
 spark.sparkContext.setLogLevel("ERROR")
 
-# Size scan splits to ~6 tasks per core: the default 128 MB target plus
-# the 4 MB per-file open-cost padding packed these small files into so
-# few splits that the last wave ran 4 tasks on 32 cores (measured: 36
-# splits -> 2 waves + 4 stragglers). Fine splits bound the tail at both
-# levels; per-task overhead is ~ms.
+# Size scan splits to ~3 tasks per core. Two regimes bracketed by
+# measurement (x48 input, 32 cores, best-of-3): 1 split/core leaves a
+# straggler tail (12.5s), 6/core pays per-task pipeline fill/drain
+# (~6 ms/task python-worker Arrow warmup; 9.8s), 2-3/core is the
+# plateau (8.6-8.9s). The default 128 MB target plus the 4 MB
+# per-file open-cost padding would pack these small files into so few
+# splits that the last wave ran 4 tasks on 32 cores.
 total = sum(e.stat().st_size for e in os.scandir(spans_dir) if e.name.endswith(".parquet"))
 spark.conf.set("spark.sql.files.openCostInBytes", "0")
-spark.conf.set("spark.sql.files.maxPartitionBytes", str(max(1 << 20, total // (int(cores) * 6))))
+spark.conf.set("spark.sql.files.maxPartitionBytes", str(max(1 << 20, total // (int(cores) * 3))))
 
 @F.pandas_udf("long")
 def _warm(s: pd.Series) -> pd.Series:
