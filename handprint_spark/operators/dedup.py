@@ -534,20 +534,27 @@ CC_PARTITIONS = 8
 
 
 def _cc_persist(df: DataFrame, reliable: bool) -> DataFrame:
-    """Materialize one CC round. ``reliable=False`` (sandbox default)
-    uses localCheckpoint — executor-memory blocks, fastest, but lineage
-    is unrecoverable if an executor dies. On a real cluster pass
-    ``reliable=True``: ``checkpoint()`` writes each round to the
-    (HDFS/object-store) checkpoint dir, so executor loss after round k
-    replays from durable state instead of failing the job."""
+    """Lineage-truncate one CC round. ``reliable=False`` (sandbox
+    default) uses localCheckpoint — executor-memory blocks, fastest,
+    but lineage is unrecoverable if an executor dies. On a real
+    cluster pass ``reliable=True``: ``checkpoint()`` writes each round
+    to the (HDFS/object-store) checkpoint dir, so executor loss after
+    round k replays from durable state instead of failing the job.
+
+    Both paths are LAZY (``eager=False``): the caller's next action —
+    the per-round convergence count — materializes the checkpoint, so
+    each round costs ONE job instead of checkpoint-then-count two.
+    On this sandbox host a no-op job costs ~40-120 ms wall (vCPU
+    scheduling), so halving job count is the dominant lever for the
+    iterative loop."""
     if not reliable:
-        return df.localCheckpoint()
+        return df.localCheckpoint(eager=False)
     sc = df.sparkSession.sparkContext
     if sc.getCheckpointDir() is None:
         import tempfile
 
         sc.setCheckpointDir(tempfile.mkdtemp(prefix="handprint_cc_ckpt_"))
-    return df.checkpoint()
+    return df.checkpoint(eager=False)
 
 
 def duplicate_clusters(pairs: DataFrame, reliable: bool = False) -> DataFrame:
