@@ -55,5 +55,62 @@ FROM kept k JOIN quality q ON q.doc_id = k.doc_id
 WHERE q.passes_quality
 """
 
-QUERIES = {"cur_keep_list": q_cur_keep_list}
-ORACLES = {"cur_keep_list": SQL_CUR_KEEP_LIST}
+# --- deterministic stratified sampling ---------------------------------------
+#
+# Per-language keep rates in buckets-of-1000 (a training-data mix
+# decision: oversample low-resource strata). Hash-threshold sampling —
+# keep iff md5-bucket(doc_id) < rate[lang] — is the ONLY sampling shape
+# that survives 10^12 rows: no window, no global sort, no per-stratum
+# state; every row decides membership from its own bytes. (Quota
+# sampling via row_number over a per-lang window would shuffle the
+# whole corpus onto ~5 lang keys — a skew cliff, deliberately avoided.)
+SAMPLE_RATES = {"en": 150, "de": 400, "fr": 400, "es": 250, "zh": 250}
+SAMPLE_BUCKETS = 1000
+SAMPLE_DEFAULT = 100
+
+
+def q_cur_sample_strat(spark, sf_dir):
+    """Deterministic stratified sample: (doc_id, lang, bucket).
+    bucket = first-8-hex-digits of md5(doc_id) mod 1000; a doc is kept
+    iff bucket < the stratum's rate. Rerunning always selects the same
+    docs (resumable curation), and the expected stratum fractions are
+    rate/1000 exactly."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("long") % SAMPLE_BUCKETS
+    )
+    rate = F.lit(SAMPLE_DEFAULT)
+    for lang, r in SAMPLE_RATES.items():
+        rate = F.when(F.col("lang") == lang, F.lit(r)).otherwise(rate)
+    return (
+        docs.select("doc_id", "lang", bucket.alias("bucket"))
+        .filter(F.col("bucket") < rate)
+        .select("doc_id", "lang", F.col("bucket").cast("long").alias("bucket"))
+    )
+
+
+_RATE_CASE = " ".join(
+    f"WHEN lang = '{lang}' THEN {r}" for lang, r in SAMPLE_RATES.items()
+)
+
+SQL_CUR_SAMPLE = f"""
+WITH b AS (
+  SELECT doc_id, lang,
+         ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT % {SAMPLE_BUCKETS}
+             AS bucket
+  FROM documents
+)
+SELECT doc_id, lang, bucket
+FROM b
+WHERE bucket < (CASE {_RATE_CASE} ELSE {SAMPLE_DEFAULT} END)
+"""
+
+QUERIES = {
+    "cur_keep_list": q_cur_keep_list,
+    "cur_sample_strat": q_cur_sample_strat,
+}
+ORACLES = {
+    "cur_keep_list": SQL_CUR_KEEP_LIST,
+    "cur_sample_strat": SQL_CUR_SAMPLE,
+}

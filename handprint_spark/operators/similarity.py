@@ -424,6 +424,62 @@ FROM cand GROUP BY method
 """
 
 
+# --- per-label embedding centroids -------------------------------------------
+
+CENTROID_SCALE = 1_000_000  # micro-units: exact integer sums, engine-stable
+
+
+def q_sim_label_centroids(spark, sf_dir):
+    """Per-(label, dim) embedding centroid — the class-prototype /
+    cluster-center computation every embedding pipeline runs (IVF
+    training, per-domain prototypes, drift monitoring).
+
+    Scale shape: posexplode → groupBy (label, pos). The group key is
+    (label × dim) — thousands of well-spread cells, NOT a groupBy on
+    the bare low-cardinality label with whole vectors as state. Each
+    element is floored to exact micro-units BEFORE the sum, so the
+    aggregate is integer math: order-independent, engine-stable
+    (a float sum's value depends on reduction order — a hash-compare
+    hazard this formulation removes by construction)."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    exploded = emb.select(
+        "label", F.posexplode(F.col("embedding").cast("array<double>")).alias("dim", "v")
+    ).select(
+        "label",
+        "dim",
+        F.floor(F.col("v") * CENTROID_SCALE).cast("long").alias("micro"),
+    )
+    return exploded.groupBy("label", "dim").agg(
+        F.count("*").cast("long").alias("n_vecs"),
+        # + 0.0 canonicalizes IEEE -0.0 (a tiny negative mean rounds to
+        # -0.0, which value-hash compares format differently from 0.0)
+        (
+            F.round(F.sum("micro") / (F.lit(float(CENTROID_SCALE)) * F.count("*")), 4)
+            + F.lit(0.0)
+        ).alias("centroid"),
+    ).select(
+        F.col("label").cast("int").alias("label"),
+        F.col("dim").cast("int").alias("dim"),
+        "n_vecs",
+        "centroid",
+    )
+
+
+SQL_SIM_CENTROIDS = f"""
+WITH e AS (
+  SELECT label, u.i - 1 AS dim,
+         CAST(floor(u.v::DOUBLE * {CENTROID_SCALE}) AS BIGINT) AS micro
+  FROM (SELECT label,
+               unnest(list_transform(embedding, (x, i) -> {{'v': x, 'i': i}})) AS u
+        FROM embeddings)
+)
+SELECT label::INT AS label, dim::INT AS dim,
+       count(*)::BIGINT AS n_vecs,
+       round(sum(micro)::DOUBLE / ({CENTROID_SCALE}.0 * count(*)), 4) + 0.0 AS centroid
+FROM e GROUP BY label, dim
+"""
+
+
 QUERIES = {
     "sim_topk_bruteforce": q_sim_topk_bruteforce,
     "sim_knn_join": q_sim_knn_join,
@@ -431,6 +487,7 @@ QUERIES = {
     "sim_lsh_ann": q_sim_lsh_ann,
     "sim_ivf_ann": q_sim_ivf_ann,
     "sim_ann_recall": q_sim_ann_recall,
+    "sim_label_centroids": q_sim_label_centroids,
 }
 
 ORACLES = {
@@ -440,4 +497,5 @@ ORACLES = {
     "sim_lsh_ann": _sql_lsh_ann(),
     "sim_ivf_ann": SQL_SIM_IVF,
     "sim_ann_recall": _sql_ann_recall(),
+    "sim_label_centroids": SQL_SIM_CENTROIDS,
 }

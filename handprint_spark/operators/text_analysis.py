@@ -165,11 +165,179 @@ FROM documents
 """
 
 
+# --- repetition signals (duplicate-2-gram fraction) --------------------------
+
+def q_ta_rep_2gram(spark, sf_dir):
+    """Per-doc word-2-gram repetition stats — the Gopher/Dolma-style
+    "repetitious document" quality signal. The distinct/top counts are
+    computed DISTRIBUTED (explode → groupBy (doc_id, gram)), not with a
+    per-doc in-memory set: a pathological 1 GB document costs a wide
+    group, not an executor OOM. Keys are (doc_id, gram) — well spread,
+    one shuffle; the per-doc reduce is a second, narrower shuffle on
+    doc_id."""
+    docs = _docs(spark, sf_dir)
+    words = _words()
+    # NB: Spark sequence(1, 0) yields a DESCENDING [1, 0], not an empty
+    # array — 0/1-word docs must short-circuit to array() explicitly.
+    grams = F.expr(
+        "CASE WHEN size(split(text, ' ')) < 2 THEN array()"
+        " ELSE transform(sequence(1, size(split(text, ' ')) - 1),"
+        " i -> concat(element_at(split(text, ' '), i), ' ',"
+        "             element_at(split(text, ' '), i + 1))) END"
+    )
+    per_gram = (
+        docs.select("doc_id", F.explode(grams).alias("gram"))
+        .groupBy("doc_id", "gram")
+        .agg(F.count("*").alias("c"))
+    )
+    agg = per_gram.groupBy("doc_id").agg(
+        F.sum("c").alias("n_2grams"),
+        F.count("*").alias("n_distinct"),
+        F.max("c").alias("top_gram_n"),
+    )
+    # left join back so 0/1-word docs keep a row (zero grams)
+    return docs.select("doc_id").join(agg, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("n_2grams", F.lit(0)).cast("long").alias("n_2grams"),
+        F.coalesce("n_distinct", F.lit(0)).cast("long").alias("n_distinct"),
+        F.coalesce("top_gram_n", F.lit(0)).cast("long").alias("top_gram_n"),
+        F.when(
+            F.coalesce("n_2grams", F.lit(0)) > 0,
+            F.round(1 - F.col("n_distinct") / F.col("n_2grams"), 4),
+        ).otherwise(F.lit(0.0)).alias("dup_frac"),
+    )
+
+
+SQL_TA_REP = """
+WITH g AS (
+  SELECT doc_id, unnest(
+           list_transform(range(1, greatest(len(string_split(text, ' ')), 1)),
+                          i -> string_split(text, ' ')[i] || ' ' ||
+                               string_split(text, ' ')[i + 1])) AS gram
+  FROM documents
+), per_gram AS (
+  SELECT doc_id, gram, count(*) AS c FROM g GROUP BY doc_id, gram
+), agg AS (
+  SELECT doc_id, sum(c) AS n_2grams, count(*) AS n_distinct, max(c) AS top_gram_n
+  FROM per_gram GROUP BY doc_id
+)
+SELECT d.doc_id,
+       coalesce(a.n_2grams, 0)::BIGINT AS n_2grams,
+       coalesce(a.n_distinct, 0)::BIGINT AS n_distinct,
+       coalesce(a.top_gram_n, 0)::BIGINT AS top_gram_n,
+       CASE WHEN coalesce(a.n_2grams, 0) > 0
+            THEN round(1 - a.n_distinct::DOUBLE / a.n_2grams, 4)
+            ELSE 0.0 END AS dup_frac
+FROM documents d LEFT JOIN agg a USING (doc_id)
+"""
+
+
+# --- unigram entropy ---------------------------------------------------------
+
+def q_ta_entropy(spark, sf_dir):
+    """Per-doc unigram Shannon entropy H = ln(n) - (1/n)·Σ c·ln(c) —
+    the low-entropy (template/boilerplate) quality gate. Same
+    distributed explode→group shape as the repetition signal; every
+    input to the float math is an integer count, so the rounded result
+    is engine-stable."""
+    docs = _docs(spark, sf_dir)
+    per_word = (
+        docs.select("doc_id", F.explode(_words()).alias("w"))
+        .groupBy("doc_id", "w")
+        .agg(F.count("*").alias("c"))
+    )
+    return per_word.groupBy("doc_id").agg(
+        F.sum("c").cast("long").alias("n_tokens"),
+        F.round(
+            F.log(F.sum("c")) - F.sum(F.col("c") * F.log("c")) / F.sum("c"), 4
+        ).alias("entropy"),
+    )
+
+
+SQL_TA_ENTROPY = """
+WITH per_word AS (
+  SELECT doc_id, w, count(*) AS c
+  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents)
+  GROUP BY doc_id, w
+)
+SELECT doc_id,
+       sum(c)::BIGINT AS n_tokens,
+       round(ln(sum(c)) - sum(c * ln(c)) / sum(c), 4) AS entropy
+FROM per_word GROUP BY doc_id
+"""
+
+
+# --- TF-IDF top-k terms ------------------------------------------------------
+
+TFIDF_K = 3
+
+
+def q_ta_tfidf_topk(spark, sf_dir):
+    """Top-K terms per document by tf·idf, idf = ln((N+1)/(df+1)).
+    Shape: one well-spread shuffle for tf on (doc_id, term), one for
+    document frequency on term, an equi-join on term (AQE broadcasts
+    the df side when the vocabulary is small), and a per-doc window for
+    the top-K. The window partitions on doc_id — never on a low-
+    cardinality key. Ordering ties break on the term string, and the
+    rank compares the ROUNDED score so both engines rank identically."""
+    from pyspark.sql import Window
+
+    docs = _docs(spark, sf_dir)
+    tf = (
+        docs.select("doc_id", F.explode(_words()).alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    df_counts = tf.groupBy("term").agg(F.count("*").alias("df"))
+    n_docs = docs.agg(F.count("*").alias("n_total"))
+    scored = (
+        tf.join(df_counts, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn(
+            "tfidf",
+            F.round(F.col("tf") * F.log((F.col("n_total") + 1) / (F.col("df") + 1)), 4),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("term"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= TFIDF_K)
+        .select("doc_id", "term", F.col("tf").cast("long").alias("tf"),
+                F.col("df").cast("long").alias("df"), "tfidf",
+                F.col("rnk").cast("int").alias("rnk"))
+    )
+
+
+SQL_TA_TFIDF = f"""
+WITH tf AS (
+  SELECT doc_id, term, count(*) AS tf
+  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents)
+  GROUP BY doc_id, term
+), dfc AS (
+  SELECT term, count(*) AS df FROM tf GROUP BY term
+), n AS (SELECT count(*) AS n_total FROM documents),
+scored AS (
+  SELECT tf.doc_id, tf.term, tf.tf, dfc.df,
+         round(tf.tf * ln((n.n_total + 1)::DOUBLE / (dfc.df + 1)), 4) AS tfidf
+  FROM tf JOIN dfc USING (term) CROSS JOIN n
+), ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY doc_id
+                               ORDER BY tfidf DESC, term ASC) AS rnk
+  FROM scored
+)
+SELECT doc_id, term, tf::BIGINT AS tf, df::BIGINT AS df, tfidf, rnk::INT AS rnk
+FROM ranked WHERE rnk <= {TFIDF_K}
+"""
+
+
 QUERIES = {
     "ta_token_count": q_ta_token_count,
     "ta_quality": q_ta_quality,
     "ta_lang_id": q_ta_lang_id,
     "ta_fingerprint": q_ta_fingerprint,
+    "ta_rep_2gram": q_ta_rep_2gram,
+    "ta_entropy": q_ta_entropy,
+    "ta_tfidf_topk": q_ta_tfidf_topk,
 }
 
 ORACLES = {
@@ -177,4 +345,7 @@ ORACLES = {
     "ta_quality": SQL_TA_QUALITY,
     "ta_lang_id": SQL_TA_LANG,
     "ta_fingerprint": SQL_TA_FP,
+    "ta_rep_2gram": SQL_TA_REP,
+    "ta_entropy": SQL_TA_ENTROPY,
+    "ta_tfidf_topk": SQL_TA_TFIDF,
 }

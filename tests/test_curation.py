@@ -72,3 +72,42 @@ def test_keep_list_members_pass_all_gates(spark, sf_small):
     }
     keepers = {r.keeper for r in q_dd_exact(spark, sf_small).collect()}
     assert keep == quality_pass & keepers
+
+
+def test_rep_2gram_short_doc_guard(spark):
+    """Spark sequence(1, 0) is DESCENDING — 0/1-word docs must produce
+    zero 2-grams (and a row, via the left join), not a bogus gram."""
+    import pandas as pd
+
+    from handprint_spark.operators.text_analysis import q_ta_rep_2gram
+
+    class _FakeReader:
+        def __init__(self, df):
+            self._df = df
+
+        def parquet(self, _):
+            return self._df
+
+    docs = spark.createDataFrame(
+        pd.DataFrame(
+            {"doc_id": [1, 2, 3], "text": ["", "one", "a a a a"], "lang": ["en"] * 3}
+        )
+    )
+    real_read = spark.read
+
+    class _SparkProxy:
+        def __getattr__(self, item):
+            return getattr(spark, item)
+
+        @property
+        def read(self):
+            return _FakeReader(docs)
+
+    out = {
+        r["doc_id"]: r.asDict()
+        for r in q_ta_rep_2gram(_SparkProxy(), "ignored").collect()
+    }
+    assert out[1]["n_2grams"] == 0 and out[1]["dup_frac"] == 0.0
+    assert out[2]["n_2grams"] == 0
+    assert out[3]["n_2grams"] == 3 and out[3]["n_distinct"] == 1
+    assert out[3]["top_gram_n"] == 3 and abs(out[3]["dup_frac"] - 0.6667) < 1e-9

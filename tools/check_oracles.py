@@ -24,7 +24,7 @@ def norm(v):
     if isinstance(v, float):
         if math.isnan(v):
             return "NaN"
-        return round(v, 9)
+        return round(v, 9) + 0.0  # + 0.0: -0.0 and 0.0 must sort/repr the same
     if isinstance(v, bytes):
         return v.hex()
     if isinstance(v, list):
