@@ -337,8 +337,14 @@ def q_dd_simhash_pairs(spark, sf_dir):
     generates candidates with EXACT recall (same output set as the
     all-pairs compare the DuckDB oracle runs), then the hamming filter
     verifies. No cross join anywhere — cost ~ sum of chunk-bucket
-    sizes squared, not n²."""
-    sigs = q_dd_simhash(spark, sf_dir)
+    sizes squared, not n².
+
+    The signature table is materialized ONCE (lazy localCheckpoint —
+    (doc_id, 1 long) per doc, trivially small): a plain self-join
+    would evaluate the 60-bit fold subtree on BOTH sides. On a
+    cluster this is the sig table an incremental dedup pipeline
+    persists anyway."""
+    sigs = q_dd_simhash(spark, sf_dir).localCheckpoint(eager=False)
     chunks, off = [], 0
     for k, width in enumerate(SIMHASH_CHUNK_BITS):
         chunks.append(
