@@ -223,8 +223,12 @@ FROM posting GROUP BY doc_id
 def q_dd_minhash_lsh_pairs(spark, sf_dir):
     """LSH candidate pairs: 2 bands of 2 rows; a pair is a candidate
     when it collides in either band. The join key is (band, key) so
-    the shuffle spreads across bands — no n² compare."""
-    sigs = _minhash_sigs(_docs(spark, sf_dir, spread=True))
+    the shuffle spreads across bands — no n² compare. The sig table
+    ((doc_id, 4 hex strings) per doc) is materialized once (lazy
+    localCheckpoint) so the shingle-explode + min-agg subtree isn't
+    evaluated on both sides of the self-join — same rationale as
+    ``q_dd_simhash_pairs``."""
+    sigs = _minhash_sigs(_docs(spark, sf_dir, spread=True)).localCheckpoint(eager=False)
     bands = sigs.select(
         "doc_id",
         F.explode(
