@@ -534,6 +534,112 @@ WHERE round(list_cosine_similarity(ea.v, eb.v), 4) >= {EMB_COS_THRESHOLD}
 """
 
 
+# --- benchmark-contamination check (train vs eval n-gram overlap) ------------
+#
+# The cross-corpus variant of dedup every training run needs: before a
+# corpus ships, its documents are screened against the held-out
+# eval/benchmark set for shared word n-grams (the standard
+# decontamination step — GPT-3 appendix C / PaLM-style 8-13-gram
+# overlap). Same posting-list shape as the Jaccard join, but A×B
+# instead of a self-join: the eval side collapses to a DISTINCT gram
+# set (tiny next to the corpus — AQE broadcasts it when it fits, and
+# the equi-join on the well-spread gram key is safe when it does not),
+# so the cost is one explode + one equi-join, never n².
+
+CONTAM_N = 3  # word n-gram width. Sandbox value: the synthetic vocab is
+#     small enough that 3-grams collide across docs (signal to test);
+#     production decontamination uses 8-13-gram windows — only this
+#     constant changes, the plan is width-independent.
+CONTAM_EVAL_MOD = 37  # doc_id % MOD == 0 -> the held-out "benchmark" slice
+CONTAM_THRESHOLD = 0.05  # flag docs with >= 5% of their grams in eval
+
+
+def _contam_grams():
+    """Distinct word-CONTAM_N-grams of ``text`` (pure JVM zip_with
+    chain over shifted slices, same idiom as ``_shingles_col``).
+    Docs shorter than N grams short-circuit to array() — slice() with
+    a negative length errors, and CASE branches evaluate lazily."""
+    words = F.split(F.col("text"), " ")
+    n = F.size(words)
+    w = n - (CONTAM_N - 1)  # gram count when n >= CONTAM_N
+    grams = F.slice(words, 1, w)
+    for k in range(1, CONTAM_N):
+        grams = F.zip_with(
+            grams, F.slice(words, k + 1, w), lambda a, b: F.concat(a, F.lit(" "), b)
+        )
+    return F.when(n >= CONTAM_N, F.array_distinct(grams)).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+def q_dd_contamination(spark, sf_dir):
+    """(doc_id, n_grams, n_hit, contam_frac, contaminated) for every
+    TRAIN document (doc_id % CONTAM_EVAL_MOD != 0): how many of its
+    distinct word-3-grams appear anywhere in the eval slice. Grams are
+    distinct per doc by construction, so the per-doc hit count is one
+    count(*) after the gram equi-join; zero-hit docs keep a row via
+    the left join (a decontamination pass must emit keep AND drop)."""
+    docs = _docs(spark, sf_dir, spread=True).select(
+        "doc_id",
+        _contam_grams().alias("g"),
+        (F.col("doc_id") % CONTAM_EVAL_MOD == 0).alias("is_eval"),
+    )
+    grams = docs.select("doc_id", "is_eval", F.explode("g").alias("gram"))
+    eval_grams = grams.filter(F.col("is_eval")).select("gram").distinct()
+    hits = (
+        grams.filter(~F.col("is_eval"))
+        .join(eval_grams, "gram")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_hit"))
+    )
+    totals = docs.filter(~F.col("is_eval")).select("doc_id", F.size("g").alias("n_grams"))
+    frac = F.when(
+        F.col("n_grams") > 0, F.round(F.col("n_hit") / F.col("n_grams"), 4)
+    ).otherwise(F.lit(0.0))
+    return (
+        totals.join(hits, "doc_id", "left")
+        .withColumn("n_hit", F.coalesce("n_hit", F.lit(0)))
+        .select(
+            "doc_id",
+            F.col("n_grams").cast("long").alias("n_grams"),
+            F.col("n_hit").cast("long").alias("n_hit"),
+            frac.alias("contam_frac"),
+            (frac >= CONTAM_THRESHOLD).alias("contaminated"),
+        )
+    )
+
+
+SQL_DD_CONTAMINATION = f"""
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+g AS (
+  SELECT doc_id,
+         CASE WHEN len(w) >= {CONTAM_N} THEN
+           list_distinct(list_transform(range(1, len(w) - {CONTAM_N - 2}),
+                         i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))
+         ELSE [] END AS grams
+  FROM toks
+),
+ev AS (SELECT DISTINCT unnest(grams) AS gram FROM g
+       WHERE doc_id % {CONTAM_EVAL_MOD} = 0),
+tr AS (SELECT doc_id, unnest(grams) AS gram FROM g
+       WHERE doc_id % {CONTAM_EVAL_MOD} <> 0),
+hit AS (SELECT t.doc_id, count(*) AS n_hit
+        FROM tr t JOIN ev e USING (gram) GROUP BY t.doc_id),
+tot AS (SELECT doc_id, len(grams) AS n_grams FROM g
+        WHERE doc_id % {CONTAM_EVAL_MOD} <> 0)
+SELECT tot.doc_id,
+       CAST(tot.n_grams AS BIGINT) AS n_grams,
+       CAST(coalesce(hit.n_hit, 0) AS BIGINT) AS n_hit,
+       CASE WHEN tot.n_grams > 0
+            THEN round(coalesce(hit.n_hit, 0)::DOUBLE / tot.n_grams, 4)
+            ELSE 0.0 END AS contam_frac,
+       (CASE WHEN tot.n_grams > 0
+             THEN round(coalesce(hit.n_hit, 0)::DOUBLE / tot.n_grams, 4)
+             ELSE 0.0 END >= {CONTAM_THRESHOLD}) AS contaminated
+FROM tot LEFT JOIN hit USING (doc_id)
+"""
+
+
 # --- duplicate-cluster resolution (connected components) ---------------------
 
 MAX_CC_ITERS = 20
@@ -693,6 +799,7 @@ QUERIES = {
     "dd_simhash_pairs": q_dd_simhash_pairs,
     "dd_embedding_neardup": q_dd_embedding_neardup,
     "dd_dup_clusters": q_dd_dup_clusters,
+    "dd_contamination": q_dd_contamination,
 }
 
 ORACLES = {
@@ -704,4 +811,5 @@ ORACLES = {
     "dd_simhash_pairs": SQL_DD_SIMHASH_PAIRS,
     "dd_embedding_neardup": _sql_dd_emb(),
     "dd_dup_clusters": SQL_DD_DUP_CLUSTERS,
+    "dd_contamination": SQL_DD_CONTAMINATION,
 }
