@@ -20,7 +20,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from .dedup import SQL_DD_EXACT, q_dd_exact
-from .text_analysis import SQL_TA_QUALITY, q_ta_quality
+from .text_analysis import EN_STOP, SQL_TA_QUALITY, q_ta_quality
 
 
 def q_cur_keep_list(spark, sf_dir):
@@ -106,11 +106,74 @@ FROM b
 WHERE bucket < (CASE {_RATE_CASE} ELSE {SAMPLE_DEFAULT} END)
 """
 
+# --- corpus composition report -----------------------------------------------
+#
+# The dashboard aggregate a curation run publishes per stratum: how
+# big is each (lang, source) cell, how duplicated, how much survives
+# the quality gates, how long are its documents. One wide groupBy
+# over per-row scalars plus one exact-dup distinct — every input is an
+# already-oracle-verified signal, so the report composes, not invents.
+
+
+def q_cur_report(spark, sf_dir):
+    """(lang, source, n_docs, n_unique, dup_rate, quality_rate,
+    mean_tokens): per-stratum corpus composition. n_unique counts
+    distinct text hashes WITHIN the stratum (count_distinct is a
+    two-stage partial-agg in Spark — no per-group row materialization);
+    quality_rate applies the ta_quality gates inline (same predicate,
+    no join)."""
+    words = F.split(F.col("text"), " ")
+    n_tokens = F.size(words)
+    stop_arr = F.array(*[F.lit(w) for w in EN_STOP])
+    stop_ratio = F.round(
+        F.size(F.filter(words, lambda w: F.array_contains(stop_arr, w))) / n_tokens, 4
+    )
+    passes = (n_tokens >= 20) & (n_tokens <= 500) & (stop_ratio >= 0.05)
+    return (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .groupBy("lang", "source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.count_distinct(F.md5(F.col("text").cast("binary"))).alias("n_unique"),
+            F.round(
+                1 - F.count_distinct(F.md5(F.col("text").cast("binary"))) / F.count("*"),
+                4,
+            ).alias("dup_rate"),
+            F.round(F.avg(passes.cast("int")), 4).alias("quality_rate"),
+            F.round(F.avg(n_tokens), 4).alias("mean_tokens"),
+        )
+    )
+
+
+_EN_STOP_SQL = ", ".join(f"'{w}'" for w in EN_STOP)
+
+SQL_CUR_REPORT = f"""
+WITH t AS (
+  SELECT lang, source, md5(text) AS h,
+         len(string_split(text, ' ')) AS n_tokens,
+         round(len(list_filter(string_split(text, ' '),
+                               w -> w IN ({_EN_STOP_SQL})))::DOUBLE
+               / len(string_split(text, ' ')), 4) AS stop_ratio
+  FROM documents
+)
+SELECT lang, source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(count(DISTINCT h) AS BIGINT) AS n_unique,
+       round(1 - count(DISTINCT h)::DOUBLE / count(*), 4) AS dup_rate,
+       round(avg(CASE WHEN n_tokens BETWEEN 20 AND 500 AND stop_ratio >= 0.05
+                      THEN 1 ELSE 0 END), 4) AS quality_rate,
+       round(avg(n_tokens), 4) AS mean_tokens
+FROM t GROUP BY lang, source
+"""
+
+
 QUERIES = {
     "cur_keep_list": q_cur_keep_list,
     "cur_sample_strat": q_cur_sample_strat,
+    "cur_report": q_cur_report,
 }
 ORACLES = {
     "cur_keep_list": SQL_CUR_KEEP_LIST,
     "cur_sample_strat": SQL_CUR_SAMPLE,
+    "cur_report": SQL_CUR_REPORT,
 }

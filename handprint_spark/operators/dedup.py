@@ -640,6 +640,98 @@ FROM tot LEFT JOIN hit USING (doc_id)
 """
 
 
+# --- exact-substring duplication (Lee et al. 2022 style) ---------------------
+#
+# The within-corpus complement of the pair queries: instead of
+# doc-level near-dup pairs, find the exact W-word windows that appear
+# verbatim in more than one document ("Deduplicating Training Data
+# Makes Language Models Better" measures and removes exactly these).
+# A full suffix-array pass doesn't map to a DataFrame engine; the
+# sliding-window posting form below finds every duplicated span of
+# length >= W (any longer shared substring necessarily contains a
+# shared W-window), which is the quantity the curation decision needs.
+# One explode + one well-spread groupBy + one join back — the same
+# posting-list shape as the Jaccard join, no n² anywhere.
+
+SUBSTR_W = 8  # window width in words (production uses 50-token windows;
+#     only this constant changes — the sandbox corpus needs a width
+#     small enough that its ~100-word docs carry many windows)
+
+
+def q_dd_substring_dup(spark, sf_dir):
+    """(doc_id, n_windows, n_dup_windows, dup_frac) per document:
+    how much of the doc is covered by W-word windows that also appear
+    in at least one OTHER document. Window keys are md5 digests, not
+    the gram strings — at 10^12 docs the shuffle moves 16-byte keys
+    instead of ~50-byte grams, and the digest is portable SQL."""
+    docs = _docs(spark, sf_dir, spread=True)
+    words = F.split(F.col("text"), " ")
+    n = F.size(words)
+    w = F.lit(SUBSTR_W)
+    wins = F.when(
+        n >= SUBSTR_W,
+        F.transform(
+            F.sequence(F.lit(1), n - (SUBSTR_W - 1)),
+            lambda i: F.md5(F.array_join(F.slice(words, i, w), " ").cast("binary")),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    posting = docs.select("doc_id", F.explode(wins).alias("g"))
+    # windows present in >= 2 distinct docs; per-doc repeats of a gram
+    # collapse first (map-side-friendly two-key distinct)
+    shared = (
+        posting.distinct()
+        .groupBy("g")
+        .agg(F.count("*").alias("nd"))
+        .filter(F.col("nd") >= 2)
+        .select("g")
+    )
+    hits = posting.join(shared, "g").groupBy("doc_id").agg(
+        F.count("*").alias("n_dup_windows")
+    )
+    totals = docs.select("doc_id", F.size(wins).alias("n_windows"))
+    return (
+        totals.join(hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.col("n_windows").cast("long").alias("n_windows"),
+            F.coalesce("n_dup_windows", F.lit(0)).cast("long").alias("n_dup_windows"),
+            F.when(
+                F.col("n_windows") > 0,
+                F.round(F.coalesce("n_dup_windows", F.lit(0)) / F.col("n_windows"), 4),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("dup_frac"),
+        )
+    )
+
+
+SQL_DD_SUBSTRING_DUP = f"""
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+g AS (
+  SELECT doc_id,
+         CASE WHEN len(ws) >= {SUBSTR_W} THEN
+           [md5(array_to_string(ws[i:i+{SUBSTR_W}-1], ' '))
+            FOR i IN range(1, len(ws) - {SUBSTR_W} + 2)]
+         ELSE [] END AS wins
+  FROM toks
+),
+posting AS (SELECT DISTINCT doc_id, unnest(wins) AS w FROM g),
+shared AS (SELECT w FROM posting GROUP BY w HAVING count(*) >= 2),
+hits AS (
+  SELECT p.doc_id, count(*) AS n_dup
+  FROM (SELECT doc_id, unnest(wins) AS w FROM g) p
+  JOIN shared s USING (w) GROUP BY p.doc_id
+)
+SELECT g.doc_id,
+       CAST(len(g.wins) AS BIGINT) AS n_windows,
+       CAST(coalesce(h.n_dup, 0) AS BIGINT) AS n_dup_windows,
+       CASE WHEN len(g.wins) > 0
+            THEN round(coalesce(h.n_dup, 0)::DOUBLE / len(g.wins), 4)
+            ELSE 0.0 END AS dup_frac
+FROM g LEFT JOIN hits h USING (doc_id)
+"""
+
+
 # --- duplicate-cluster resolution (connected components) ---------------------
 
 MAX_CC_ITERS = 20
@@ -803,6 +895,7 @@ QUERIES = {
     "dd_embedding_neardup": q_dd_embedding_neardup,
     "dd_dup_clusters": q_dd_dup_clusters,
     "dd_contamination": q_dd_contamination,
+    "dd_substring_dup": q_dd_substring_dup,
 }
 
 ORACLES = {
@@ -815,4 +908,5 @@ ORACLES = {
     "dd_embedding_neardup": _sql_dd_emb(),
     "dd_dup_clusters": SQL_DD_DUP_CLUSTERS,
     "dd_contamination": SQL_DD_CONTAMINATION,
+    "dd_substring_dup": SQL_DD_SUBSTRING_DUP,
 }

@@ -330,6 +330,137 @@ FROM ranked WHERE rnk <= {TFIDF_K}
 """
 
 
+# --- PII redaction -----------------------------------------------------------
+#
+# Training corpora ship through a PII scrub (emails, phone numbers,
+# IPs, SSN-shaped ids). The corpus text is digit-free word soup, so —
+# as with the skew/corrupt slices — a deterministic doc_id-keyed slice
+# SYNTHESIZES the PII in both engines (append a contact line), and the
+# redaction machinery itself (pattern bank, sequential scrub, match
+# counting) runs for real. Everything stays JVM-side regexp ops; the
+# pattern dialect is the Java-regex ∩ RE2 subset so Spark and the
+# DuckDB oracle compile the identical patterns.
+
+PII_EMAIL_MOD = 11  # doc_id slice that gets an email + phone appended
+PII_IP_MOD = 13  # doc_id slice that gets an ip + ssn appended
+PII_TOKEN = "[PII]"
+# order matters: patterns are applied sequentially, each counting its
+# matches on the PREVIOUS pattern's output (deterministic composition)
+PII_PATTERNS = [
+    ("email", r"[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}"),
+    ("phone", r"\+1-555-[0-9]{4}"),
+    ("ipv4", r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b"),
+    ("ssn", r"\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b"),
+]
+
+
+def _pii_text():
+    """Document text with the deterministic synthetic contact line."""
+    did = F.col("doc_id")
+    email_line = F.concat(
+        F.lit(" contact user"), did, F.lit("@example.com or +1-555-"),
+        F.lpad((did % 10000).cast("string"), 4, "0"),
+    )
+    ip_line = F.concat(
+        F.lit(" from 10."), (did % 256).cast("string"),
+        F.lit(".0.1 id 123-45-"), F.lpad((did % 10000).cast("string"), 4, "0"),
+    )
+    return F.concat(
+        F.col("text"),
+        F.when(did % PII_EMAIL_MOD == 0, email_line)
+        .when(did % PII_IP_MOD == 0, ip_line)
+        .otherwise(F.lit("")),
+    )
+
+
+def q_ta_pii_redact(spark, sf_dir):
+    """(doc_id, n_pii, has_pii, clean_len) — sequential multi-pattern
+    scrub: pattern i counts and redacts on the output of patterns
+    0..i-1. Narrow per-row regexp work (no shuffle); at 100 TB this is
+    the same zero-exchange map shape as the flagship."""
+    t = _pii_text()
+    counts = []
+    for _name, pat in PII_PATTERNS:
+        counts.append(F.size(F.regexp_extract_all(t, F.lit(pat), F.lit(0))))
+        t = F.regexp_replace(t, pat, PII_TOKEN)
+    n_pii = counts[0]
+    for c in counts[1:]:
+        n_pii = n_pii + c
+    return _docs(spark, sf_dir).select(
+        "doc_id",
+        n_pii.cast("int").alias("n_pii"),
+        (n_pii > 0).alias("has_pii"),
+        F.length(t).cast("int").alias("clean_len"),
+    )
+
+
+def _sql_ta_pii() -> str:
+    scrub = "pii"
+    counts = []
+    for i, (_name, pat) in enumerate(PII_PATTERNS):
+        counts.append(f"len(regexp_extract_all({scrub}, '{pat}'))")
+        scrub = f"regexp_replace({scrub}, '{pat}', '[PII]', 'g')"
+    total = " + ".join(counts)
+    return f"""
+WITH p AS (
+  SELECT doc_id,
+         text || CASE
+           WHEN doc_id % {PII_EMAIL_MOD} = 0 THEN
+             ' contact user' || doc_id || '@example.com or +1-555-' ||
+             lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+           WHEN doc_id % {PII_IP_MOD} = 0 THEN
+             ' from 10.' || CAST(doc_id % 256 AS VARCHAR) ||
+             '.0.1 id 123-45-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+           ELSE '' END AS pii
+  FROM documents
+)
+SELECT doc_id,
+       CAST({total} AS INT) AS n_pii,
+       ({total}) > 0 AS has_pii,
+       CAST(length({scrub}) AS INT) AS clean_len
+FROM p
+"""
+
+
+# --- per-language length quantiles -------------------------------------------
+
+LEN_QUANTILES = (0.5, 0.9, 0.99)
+
+
+def q_ta_len_quantiles(spark, sf_dir):
+    """Exact per-language token-length quantiles + mean — the corpus
+    length profile a mix designer reads before setting sampling rates.
+    Exact percentile (not approx_percentile): groups are per-language,
+    so the per-group state is bounded by language count × docs/lang
+    partial buffers; at 10^12 rows swap in approx_percentile(...,
+    accuracy) for fixed-size sketch state (same query shape), at the
+    cost of the oracle equality this variant keeps."""
+    qs = ", ".join(str(q) for q in LEN_QUANTILES)
+    return (
+        _docs(spark, sf_dir)
+        .select("lang", F.size(_words()).alias("n"))
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.round(F.avg("n"), 4).alias("mean_tokens"),
+            F.round(F.expr(f"percentile(n, array({qs}))")[0], 4).alias("p50"),
+            F.round(F.expr(f"percentile(n, array({qs}))")[1], 4).alias("p90"),
+            F.round(F.expr(f"percentile(n, array({qs}))")[2], 4).alias("p99"),
+        )
+    )
+
+
+SQL_TA_LEN_Q = f"""
+WITH t AS (SELECT lang, len(string_split(text, ' ')) AS n FROM documents)
+SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+       round(avg(n), 4) AS mean_tokens,
+       round(quantile_cont(n, {LEN_QUANTILES[0]}), 4) AS p50,
+       round(quantile_cont(n, {LEN_QUANTILES[1]}), 4) AS p90,
+       round(quantile_cont(n, {LEN_QUANTILES[2]}), 4) AS p99
+FROM t GROUP BY lang
+"""
+
+
 QUERIES = {
     "ta_token_count": q_ta_token_count,
     "ta_quality": q_ta_quality,
@@ -338,6 +469,8 @@ QUERIES = {
     "ta_rep_2gram": q_ta_rep_2gram,
     "ta_entropy": q_ta_entropy,
     "ta_tfidf_topk": q_ta_tfidf_topk,
+    "ta_pii_redact": q_ta_pii_redact,
+    "ta_len_quantiles": q_ta_len_quantiles,
 }
 
 ORACLES = {
@@ -348,4 +481,6 @@ ORACLES = {
     "ta_rep_2gram": SQL_TA_REP,
     "ta_entropy": SQL_TA_ENTROPY,
     "ta_tfidf_topk": SQL_TA_TFIDF,
+    "ta_pii_redact": _sql_ta_pii(),
+    "ta_len_quantiles": SQL_TA_LEN_Q,
 }
