@@ -111,3 +111,97 @@ def test_rep_2gram_short_doc_guard(spark):
     assert out[2]["n_2grams"] == 0
     assert out[3]["n_2grams"] == 3 and out[3]["n_distinct"] == 1
     assert out[3]["top_gram_n"] == 3 and abs(out[3]["dup_frac"] - 0.6667) < 1e-9
+
+
+def test_pii_redact_scrubs_and_counts(spark, sf_small):
+    """Docs in the synthetic-PII slice are fully scrubbed (n_pii > 0,
+    and re-scanning the clean text finds no pattern hits); docs outside
+    the slices report zero."""
+    from handprint_spark.operators.text_analysis import (
+        PII_EMAIL_MOD,
+        PII_IP_MOD,
+        PII_PATTERNS,
+        PII_TOKEN,
+        _pii_text,
+        q_ta_pii_redact,
+    )
+
+    rows = {r.doc_id: r for r in q_ta_pii_redact(spark, sf_small).collect()}
+    assert any(r.has_pii for r in rows.values())
+    for doc_id, r in rows.items():
+        in_slice = doc_id % PII_EMAIL_MOD == 0 or doc_id % PII_IP_MOD == 0
+        assert r.has_pii == in_slice, doc_id
+        assert (r.n_pii > 0) == in_slice, doc_id
+
+    # independently re-derive one slice doc's clean text and assert no
+    # residual pattern matches
+    import re
+
+    docs = spark.read.parquet(f"{sf_small}/documents.parquet")
+    sample = (
+        docs.filter(F.col("doc_id") % PII_EMAIL_MOD == 0)
+        .select("doc_id", _pii_text().alias("t"))
+        .first()
+    )
+    clean = sample.t
+    for _name, pat in PII_PATTERNS:
+        clean = re.sub(pat, PII_TOKEN, clean)
+    for _name, pat in PII_PATTERNS:
+        assert re.search(pat, clean) is None
+    assert rows[sample.doc_id].clean_len == len(clean)
+
+
+def test_substring_dup_detects_exact_copies(spark):
+    """Two docs sharing a verbatim 8-word run are flagged; a doc with
+    wholly unique text is not; a doc shorter than the window width
+    reports zero windows."""
+    from handprint_spark.operators import dedup as dd
+
+    base = "alpha beta gamma delta epsilon zeta eta theta"  # exactly W words
+    df = spark.createDataFrame(
+        [
+            (1, f"unique one {base} tail words here"),
+            (2, f"other prefix {base} different ending"),
+            (3, "completely disjoint vocabulary with no shared window at all"),
+            (4, "short doc"),
+        ],
+        "doc_id long, text string",
+    )
+    import tempfile, os
+
+    d = tempfile.mkdtemp(prefix="substr_dup_")
+    df.write.mode("overwrite").parquet(os.path.join(d, "documents.parquet"))
+    out = {r.doc_id: r for r in dd.q_dd_substring_dup(spark, d).collect()}
+    assert out[1].n_dup_windows >= 1 and out[2].n_dup_windows >= 1
+    assert out[3].n_dup_windows == 0
+    assert out[4].n_windows == 0 and out[4].dup_frac == 0.0
+
+
+def test_contamination_eval_slice_excluded(spark, sf_small):
+    """Decontamination output contains only train docs, and every
+    contam_frac is within [0, 1]."""
+    from handprint_spark.operators.dedup import CONTAM_EVAL_MOD, q_dd_contamination
+
+    rows = q_dd_contamination(spark, sf_small).collect()
+    assert rows
+    for r in rows:
+        assert r.doc_id % CONTAM_EVAL_MOD != 0
+        assert 0.0 <= r.contam_frac <= 1.0
+    assert any(r.contaminated for r in rows)
+
+
+def test_cur_report_composition(spark, sf_small):
+    """Report cells tie out against independent per-cell recomputation
+    on a sample stratum."""
+    from handprint_spark.operators.curation import q_cur_report
+
+    rep = {(r.lang, r.source): r for r in q_cur_report(spark, sf_small).collect()}
+    docs = spark.read.parquet(f"{sf_small}/documents.parquet")
+    lang, source = next(iter(rep))
+    cell = docs.filter((F.col("lang") == lang) & (F.col("source") == source))
+    n = cell.count()
+    uniq = cell.select(F.md5(F.col("text").cast("binary"))).distinct().count()
+    r = rep[(lang, source)]
+    assert r.n_docs == n and r.n_unique == uniq
+    assert abs(r.dup_rate - round(1 - uniq / n, 4)) < 1e-9
+    assert 0.0 <= r.quality_rate <= 1.0
