@@ -2,7 +2,11 @@
 
 Beyond the reference's operator set (its dedup is the S4 filename
 window, SURVEY.md §2.1), a 100 TB training-data pipeline needs
-content-level dedup. Five strategies, each Spark-first:
+content-level dedup. Seven strategies — five doc-level pairwise, plus
+benchmark decontamination (train×eval n-gram overlap) and exact
+W-word-window substring duplication (Lee et al. 2022), defined at
+their own section headers below. The five pairwise forms,
+each Spark-first:
 
   * exact        — hash-groupBy on md5(text); map-side partial agg,
                    one shuffle on the hash key.

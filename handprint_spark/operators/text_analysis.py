@@ -461,6 +461,114 @@ FROM t GROUP BY lang
 """
 
 
+# --- boilerplate strip (main-content extraction) -----------------------------
+#
+# The north_rule's first clause — main-content extraction / boilerplate
+# strip — re-expressed for the span corpus: a LINE that recurs across
+# many documents of the same source is chrome (header/footer/nav), not
+# content; the classic line-frequency heuristic (CCNet / jusText
+# lineage). Lines here are the corpus's own WORDS_PER_LINE
+# segmentation (the same rule the span builder uses), so the operator
+# works on the text column in both engines without private state.
+# Shape: one explode → one (source, line) groupBy on a well-spread key
+# → one membership join back — posting-list form again, no n².
+
+BP_WORDS_PER_LINE = 6  # = corpus.WORDS_PER_LINE (kept literal so the
+#     DuckDB oracle and the Spark plan share one constant source)
+BP_MIN_DOCS = 2  # line seen in >= this many distinct same-source docs =>
+#     chrome. Sandbox value (the synthetic corpus's only recurring
+#     same-source lines come from duplicated docs); a production web
+#     corpus uses a higher absolute count or a df-fraction threshold —
+#     only this constant changes.
+
+
+def q_ta_boilerplate_strip(spark, sf_dir):
+    """(doc_id, n_lines, n_boiler, clean_text): per-document content
+    extraction. clean_text keeps surviving lines in original order
+    (order restored by array_sort over (pos, line) structs — the
+    collect_list itself is unordered and may not be relied on)."""
+    w = BP_WORDS_PER_LINE
+    docs = _docs(spark, sf_dir)
+    words = _words()
+    n_lines = F.ceil(F.size(words) / w).cast("int")
+    lines = F.transform(
+        F.sequence(F.lit(0), n_lines - 1),
+        lambda i: F.struct(
+            i.alias("pos"), F.array_join(F.slice(words, i * w + 1, w), " ").alias("line")
+        ),
+    )
+    posting = docs.select(
+        "doc_id", "source", F.explode(lines).alias("l")
+    ).select("doc_id", "source", F.col("l.pos").alias("pos"), F.col("l.line").alias("line"))
+    chrome = (
+        posting.select("doc_id", "source", "line")
+        .distinct()
+        .groupBy("source", "line")
+        .agg(F.count("*").alias("nd"))
+        .filter(F.col("nd") >= BP_MIN_DOCS)
+        .select("source", "line")
+    )
+    kept = (
+        posting.join(chrome, ["source", "line"], "left_anti")
+        .groupBy("doc_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "line"))),
+                    lambda x: x["line"],
+                ),
+                " ",
+            ).alias("clean_text"),
+            F.count("*").alias("n_kept"),
+        )
+    )
+    totals = posting.groupBy("doc_id").agg(F.count("*").alias("n_lines"))
+    return (
+        totals.join(kept, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.col("n_lines").cast("int").alias("n_lines"),
+            (F.col("n_lines") - F.coalesce("n_kept", F.lit(0))).cast("int").alias(
+                "n_boiler"
+            ),
+            F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+        )
+    )
+
+
+SQL_TA_BOILERPLATE = f"""
+WITH toks AS (
+  SELECT doc_id, source, string_split(text, ' ') AS ws,
+         CAST(ceil(len(string_split(text, ' ')) / {BP_WORDS_PER_LINE}.0) AS INT) AS nl
+  FROM documents
+),
+posting AS (
+  SELECT doc_id, source, i AS pos,
+         array_to_string(ws[i*{BP_WORDS_PER_LINE}+1 : (i+1)*{BP_WORDS_PER_LINE}], ' ')
+             AS line
+  FROM toks, LATERAL unnest(range(0, nl)) AS t(i)
+),
+chrome AS (
+  SELECT source, line
+  FROM (SELECT DISTINCT doc_id, source, line FROM posting)
+  GROUP BY source, line HAVING count(*) >= {BP_MIN_DOCS}
+),
+kept AS (
+  SELECT p.doc_id,
+         string_agg(p.line, ' ' ORDER BY p.pos, p.line) AS clean_text,
+         count(*) AS n_kept
+  FROM posting p ANTI JOIN chrome c ON p.source = c.source AND p.line = c.line
+  GROUP BY p.doc_id
+),
+totals AS (SELECT doc_id, count(*) AS n_lines FROM posting GROUP BY doc_id)
+SELECT t.doc_id,
+       CAST(t.n_lines AS INT) AS n_lines,
+       CAST(t.n_lines - coalesce(k.n_kept, 0) AS INT) AS n_boiler,
+       coalesce(k.clean_text, '') AS clean_text
+FROM totals t LEFT JOIN kept k USING (doc_id)
+"""
+
+
 QUERIES = {
     "ta_token_count": q_ta_token_count,
     "ta_quality": q_ta_quality,
@@ -471,6 +579,7 @@ QUERIES = {
     "ta_tfidf_topk": q_ta_tfidf_topk,
     "ta_pii_redact": q_ta_pii_redact,
     "ta_len_quantiles": q_ta_len_quantiles,
+    "ta_boilerplate_strip": q_ta_boilerplate_strip,
 }
 
 ORACLES = {
@@ -483,4 +592,5 @@ ORACLES = {
     "ta_tfidf_topk": SQL_TA_TFIDF,
     "ta_pii_redact": _sql_ta_pii(),
     "ta_len_quantiles": SQL_TA_LEN_Q,
+    "ta_boilerplate_strip": SQL_TA_BOILERPLATE,
 }

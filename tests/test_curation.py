@@ -205,3 +205,30 @@ def test_cur_report_composition(spark, sf_small):
     assert r.n_docs == n and r.n_unique == uniq
     assert abs(r.dup_rate - round(1 - uniq / n, 4)) < 1e-9
     assert 0.0 <= r.quality_rate <= 1.0
+
+
+def test_boilerplate_strip_removes_recurring_lines(spark):
+    """Lines recurring across >= BP_MIN_DOCS same-source docs are
+    stripped; unique lines survive in original order; other-source
+    recurrence does not count."""
+    from handprint_spark.operators.text_analysis import q_ta_boilerplate_strip
+
+    chrome = "copyright footer nav menu home link"  # 6 words = one line
+    df = spark.createDataFrame(
+        [
+            (1, f"{chrome} unique alpha words for doc one", "s1"),
+            (2, f"{chrome} other beta words for doc two x", "s1"),
+            (3, f"{chrome} gamma text entirely different here", "s2"),
+        ],
+        "doc_id long, text string, source string",
+    )
+    import os, tempfile
+
+    d = tempfile.mkdtemp(prefix="boiler_")
+    df.write.mode("overwrite").parquet(os.path.join(d, "documents.parquet"))
+    out = {r.doc_id: r for r in q_ta_boilerplate_strip(spark, d).collect()}
+    # chrome line shared by docs 1+2 (source s1) -> stripped there
+    assert out[1].n_boiler == 1 and out[1].clean_text.startswith("unique alpha")
+    assert out[2].n_boiler == 1 and out[2].clean_text.startswith("other beta")
+    # doc 3 is the only s2 doc -> nothing stripped
+    assert out[3].n_boiler == 0 and out[3].clean_text.startswith(chrome)
