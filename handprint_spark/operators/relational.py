@@ -481,6 +481,76 @@ FROM events GROUP BY 1, 2
 """
 
 
+# --- gap-based sessionization over the event stream --------------------------
+
+SESSION_GAP_SEC = 3600  # a >1h silence starts a new session
+
+
+def q_ev_sessionize(spark, sf_dir):
+    """(user_id, session_id, n_events, start_epoch, end_epoch,
+    duration_sec, total_value): classic gap sessionization — lag over
+    (user_id ORDER BY ts, event_id), cumulative sum of new-session
+    flags, then one per-session aggregate. Both windows and the
+    groupBy share hashpartitioning(user_id), so the whole query is ONE
+    exchange; at web scale user_id is well-spread (power-user skew is
+    what AQE skew handling / salting in plans/partitioning covers)."""
+    from pyspark.sql.window import Window
+
+    events = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
+    new_s = F.when(gap.isNull() | (gap > SESSION_GAP_SEC), 1).otherwise(0)
+    return (
+        events.withColumn("session_id", F.sum(new_s).over(w))
+        .groupBy("user_id", "session_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.unix_timestamp(F.min("ts")).alias("start_epoch"),
+            F.unix_timestamp(F.max("ts")).alias("end_epoch"),
+            (F.unix_timestamp(F.max("ts")) - F.unix_timestamp(F.min("ts"))).alias(
+                "duration_sec"
+            ),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias(
+                "total_value"
+            ),
+        )
+        .select(
+            "user_id",
+            F.col("session_id").cast("long").alias("session_id"),
+            "n_events",
+            "start_epoch",
+            "end_epoch",
+            "duration_sec",
+            "total_value",
+        )
+    )
+
+
+SQL_EV_SESSIONIZE = f"""
+WITH g AS (
+  SELECT user_id, ts, event_id, value,
+         CASE WHEN lag(ts) OVER w IS NULL
+               OR floor(epoch(ts))::BIGINT - floor(epoch(lag(ts) OVER w))::BIGINT
+                  > {SESSION_GAP_SEC}
+              THEN 1 ELSE 0 END AS new_s
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+s AS (
+  SELECT user_id, ts, value,
+         sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS session_id
+  FROM g
+)
+SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(floor(epoch(min(ts))) AS BIGINT) AS start_epoch,
+       CAST(floor(epoch(max(ts))) AS BIGINT) AS end_epoch,
+       CAST(floor(epoch(max(ts))) - floor(epoch(min(ts))) AS BIGINT) AS duration_sec,
+       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+FROM s GROUP BY user_id, session_id
+"""
+
+
 # --- C1: canonical format name (images.py:104-112) -------------------------
 
 _C1_FORMATS = ["JPG", "tif", "png", "Jpeg", "GIF", "jp2", "TIFF", "bmp"]
@@ -564,6 +634,7 @@ QUERIES = {
     "c_geometry_math": q_c_geometry_math,
     "c10_json_extract": q_c10_json_extract,
     "time_bucket_agg": q_time_bucket_agg,
+    "ev_sessionize": q_ev_sessionize,
 }
 
 ORACLES = {
@@ -591,4 +662,5 @@ ORACLES = {
     "c_geometry_math": SQL_C_GEOM,
     "c10_json_extract": SQL_C10,
     "time_bucket_agg": SQL_TIME_BUCKET,
+    "ev_sessionize": SQL_EV_SESSIONIZE,
 }
