@@ -273,3 +273,35 @@ def test_ivf_index_probe_matches_computed(spark, sf_small, tmp_path):
         (r.vec_id, r.cent_id, r.cos) for r in q_sim_ivf_ann(spark, sf_small).collect()
     }
     assert probed == computed and len(probed) > 0
+
+
+def test_sessionize_single_exchange(spark, sf_small):
+    """Both windows and the per-session aggregate share
+    hashpartitioning(user_id): exactly ONE exchange in the plan."""
+    from handprint_spark.operators.relational import q_ev_sessionize
+
+    plan = plan_str(q_ev_sessionize(spark, sf_small), "simple")
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "CartesianProduct" not in plan
+
+
+def test_pii_redact_zero_exchange(spark, sf_small):
+    """The PII scrub is a pure narrow map — no shuffle at any width."""
+    from handprint_spark.operators.text_analysis import q_ta_pii_redact
+
+    assert "Exchange" not in plan_str(q_ta_pii_redact(spark, sf_small), "simple")
+
+
+@pytest.mark.parametrize(
+    "qname",
+    ["dd_substring_dup", "dd_contamination", "ta_boilerplate_strip"],
+)
+def test_posting_list_queries_no_quadratic_join(spark, sf_small, qname):
+    """The three posting-list queries join only on well-spread gram/
+    line keys: no cartesian, no broadcast nested loop anywhere."""
+    from handprint_spark.operators import dedup, text_analysis
+
+    q = {**dedup.QUERIES, **text_analysis.QUERIES}[qname]
+    plan = plan_str(q(spark, sf_small), "simple")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
