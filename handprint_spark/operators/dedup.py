@@ -579,37 +579,45 @@ def _contam_grams():
 def q_dd_contamination(spark, sf_dir):
     """(doc_id, n_grams, n_hit, contam_frac, contaminated) for every
     TRAIN document (doc_id % CONTAM_EVAL_MOD != 0): how many of its
-    distinct word-3-grams appear anywhere in the eval slice. Grams are
-    distinct per doc by construction, so the per-doc hit count is one
-    count(*) after the gram equi-join; zero-hit docs keep a row via
-    the left join (a decontamination pass must emit keep AND drop)."""
+    distinct word-3-grams appear anywhere in the eval slice.
+
+    Fused posting shape: grams are distinct per doc by construction,
+    so ONE groupBy over the flag-left-joined posting rows yields both
+    the denominator (count of grams) and the hit count — there is no
+    per-doc totals table and no second doc_id join (the same
+    carry-the-count idiom as the Jaccard posting rows). explode_outer
+    keeps sub-N-word train docs as a NULL-gram row so they still emit
+    their zero-hit verdict."""
     docs = _docs(spark, sf_dir, spread=True).select(
         "doc_id",
         _contam_grams().alias("g"),
         (F.col("doc_id") % CONTAM_EVAL_MOD == 0).alias("is_eval"),
     )
-    grams = docs.select("doc_id", "is_eval", F.explode("g").alias("gram"))
-    eval_grams = grams.filter(F.col("is_eval")).select("gram").distinct()
-    hits = (
-        grams.filter(~F.col("is_eval"))
-        .join(eval_grams, "gram")
-        .groupBy("doc_id")
-        .agg(F.count("*").alias("n_hit"))
+    grams = docs.select("doc_id", "is_eval", F.explode_outer("g").alias("gram"))
+    eval_grams = (
+        grams.filter(F.col("is_eval") & F.col("gram").isNotNull())
+        .select("gram")
+        .distinct()
+        .withColumn("hit", F.lit(1))
     )
-    totals = docs.filter(~F.col("is_eval")).select("doc_id", F.size("g").alias("n_grams"))
+    agg = (
+        grams.filter(~F.col("is_eval"))
+        .join(eval_grams, "gram", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("gram").alias("n_grams"),
+            F.sum(F.coalesce("hit", F.lit(0))).alias("n_hit"),
+        )
+    )
     frac = F.when(
         F.col("n_grams") > 0, F.round(F.col("n_hit") / F.col("n_grams"), 4)
     ).otherwise(F.lit(0.0))
-    return (
-        totals.join(hits, "doc_id", "left")
-        .withColumn("n_hit", F.coalesce("n_hit", F.lit(0)))
-        .select(
-            "doc_id",
-            F.col("n_grams").cast("long").alias("n_grams"),
-            F.col("n_hit").cast("long").alias("n_hit"),
-            frac.alias("contam_frac"),
-            (frac >= CONTAM_THRESHOLD).alias("contaminated"),
-        )
+    return agg.select(
+        "doc_id",
+        F.col("n_grams").cast("long").alias("n_grams"),
+        F.col("n_hit").cast("long").alias("n_hit"),
+        frac.alias("contam_frac"),
+        (frac >= CONTAM_THRESHOLD).alias("contaminated"),
     )
 
 
@@ -679,29 +687,33 @@ def q_dd_substring_dup(spark, sf_dir):
             lambda i: F.md5(F.array_join(F.slice(words, i, w), " ").cast("binary")),
         ),
     ).otherwise(F.array().cast("array<string>"))
-    posting = docs.select("doc_id", F.explode(wins).alias("g"))
-    # windows present in >= 2 distinct docs; per-doc repeats of a gram
-    # collapse first (map-side-friendly two-key distinct)
+    # Fused posting shape (see q_dd_contamination): explode_outer keeps
+    # sub-W-word docs as a NULL-window row, the shared-set membership
+    # rides back as a left-join flag, and ONE groupBy produces both the
+    # window total and the duplicated count — no totals table, no
+    # second doc_id join.
+    posting = docs.select("doc_id", F.explode_outer(wins).alias("g"))
     shared = (
-        posting.distinct()
+        posting.filter(F.col("g").isNotNull())
         .groupBy("g")
-        .agg(F.count("*").alias("nd"))
+        .agg(F.count_distinct("doc_id").alias("nd"))
         .filter(F.col("nd") >= 2)
-        .select("g")
+        .select("g", F.lit(1).alias("hit"))
     )
-    hits = posting.join(shared, "g").groupBy("doc_id").agg(
-        F.count("*").alias("n_dup_windows")
-    )
-    totals = docs.select("doc_id", F.size(wins).alias("n_windows"))
     return (
-        totals.join(hits, "doc_id", "left")
+        posting.join(shared, "g", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("g").alias("n_windows"),
+            F.sum(F.coalesce("hit", F.lit(0))).alias("n_dup_windows"),
+        )
         .select(
             "doc_id",
             F.col("n_windows").cast("long").alias("n_windows"),
-            F.coalesce("n_dup_windows", F.lit(0)).cast("long").alias("n_dup_windows"),
+            F.col("n_dup_windows").cast("long").alias("n_dup_windows"),
             F.when(
                 F.col("n_windows") > 0,
-                F.round(F.coalesce("n_dup_windows", F.lit(0)) / F.col("n_windows"), 4),
+                F.round(F.col("n_dup_windows") / F.col("n_windows"), 4),
             )
             .otherwise(F.lit(0.0))
             .alias("dup_frac"),

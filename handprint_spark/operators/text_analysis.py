@@ -501,37 +501,38 @@ def q_ta_boilerplate_strip(spark, sf_dir):
         "doc_id", "source", F.explode(lines).alias("l")
     ).select("doc_id", "source", F.col("l.pos").alias("pos"), F.col("l.line").alias("line"))
     chrome = (
-        posting.select("doc_id", "source", "line")
-        .distinct()
-        .groupBy("source", "line")
-        .agg(F.count("*").alias("nd"))
+        posting.groupBy("source", "line")
+        .agg(F.count_distinct("doc_id").alias("nd"))
         .filter(F.col("nd") >= BP_MIN_DOCS)
-        .select("source", "line")
+        .select("source", "line", F.lit(1).alias("chrome"))
     )
-    kept = (
-        posting.join(chrome, ["source", "line"], "left_anti")
+    # Fused shape: chrome membership rides back as a left-join flag and
+    # ONE groupBy yields line total, boiler count, and the surviving
+    # text (filter the flag inside the sorted collect) — no separate
+    # totals scan, no second doc_id join.
+    return (
+        posting.join(chrome, ["source", "line"], "left")
+        .withColumn("chrome", F.coalesce("chrome", F.lit(0)))
         .groupBy("doc_id")
         .agg(
+            F.count("*").alias("n_lines"),
+            F.sum("chrome").alias("n_boiler"),
             F.array_join(
                 F.transform(
-                    F.array_sort(F.collect_list(F.struct("pos", "line"))),
+                    F.filter(
+                        F.array_sort(F.collect_list(F.struct("pos", "chrome", "line"))),
+                        lambda x: x["chrome"] == 0,
+                    ),
                     lambda x: x["line"],
                 ),
                 " ",
             ).alias("clean_text"),
-            F.count("*").alias("n_kept"),
         )
-    )
-    totals = posting.groupBy("doc_id").agg(F.count("*").alias("n_lines"))
-    return (
-        totals.join(kept, "doc_id", "left")
         .select(
             "doc_id",
             F.col("n_lines").cast("int").alias("n_lines"),
-            (F.col("n_lines") - F.coalesce("n_kept", F.lit(0))).cast("int").alias(
-                "n_boiler"
-            ),
-            F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+            F.col("n_boiler").cast("int").alias("n_boiler"),
+            "clean_text",
         )
     )
 
