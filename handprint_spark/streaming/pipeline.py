@@ -145,6 +145,99 @@ def stream_first_seen(documents_stream: DataFrame) -> DataFrame:
     )
 
 
+def stream_sessionize(events_stream: DataFrame, gap_sec: int | None = None) -> DataFrame:
+    """Custom stateful operator: streaming gap sessionization — the
+    continuous form of the batch ``ev_sessionize`` window query
+    (operators/relational.py). Keyed state per user_id holds the open
+    session (start, last, n, total); an in-batch or cross-batch gap
+    > gap_sec closes and emits the session, and an EVENT-TIME timeout
+    (watermark-driven) closes sessions whose user simply goes quiet —
+    the case a batch window can only resolve by re-reading history.
+
+    State is O(1) per active user; partitioning is the same
+    hashpartitioning(user_id) the batch query shuffles on.
+
+    Input: a streaming DataFrame with (ts, event_id, user_id, value)
+    and a watermark already set on ts. Output (append-mode):
+    (user_id, start_epoch, end_epoch, n_events, total_value), one row
+    per CLOSED session.
+    """
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    from ..operators.relational import SESSION_GAP_SEC
+
+    gap = gap_sec if gap_sec is not None else SESSION_GAP_SEC
+
+    out_schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType()),
+            T.StructField("start_epoch", T.LongType()),
+            T.StructField("end_epoch", T.LongType()),
+            T.StructField("n_events", T.LongType()),
+            T.StructField("total_value", T.DoubleType()),
+        ]
+    )
+    state_schema = T.StructType(
+        [
+            T.StructField("start", T.LongType()),
+            T.StructField("last", T.LongType()),
+            T.StructField("n", T.LongType()),
+            T.StructField("total", T.DoubleType()),
+        ]
+    )
+
+    def sess(key, pdf_iter, state: GroupState):
+        import pandas as pd
+
+        uid = key[0]
+        closed = []
+
+        def close(s):
+            closed.append(
+                {
+                    "user_id": uid,
+                    "start_epoch": s[0],
+                    "end_epoch": s[1],
+                    "n_events": s[2],
+                    "total_value": round(s[3], 2),
+                }
+            )
+
+        if state.hasTimedOut:
+            if state.exists:
+                close(state.get)
+                state.remove()
+            return iter([pd.DataFrame(closed)] if closed else [])
+
+        cur = list(state.get) if state.exists else None
+        # one sorted pass over ALL of this batch's events for the user
+        # (a group can span Arrow chunks; per-chunk order is meaningless)
+        ev = pd.concat(list(pdf_iter), ignore_index=True)
+        ev = ev.sort_values(["ts", "event_id"])
+        for ts, val in zip(ev["ts"], ev["value"]):
+            t = int(ts.timestamp())
+            if cur is None:
+                cur = [t, t, 1, float(val)]
+            elif t - cur[1] > gap:
+                close(cur)
+                cur = [t, t, 1, float(val)]
+            else:
+                cur[1], cur[2], cur[3] = t, cur[2] + 1, cur[3] + float(val)
+        state.update(tuple(cur))
+        # close via event-time timeout once the watermark passes the gap
+        state.setTimeoutTimestamp((cur[1] + gap) * 1000)
+        return iter([pd.DataFrame(closed)] if closed else [])
+
+    # NB: no cast/re-alias of ts here — projecting a new attribute over
+    # the watermarked column silently DROPS the watermark tag and
+    # event-time timeout then fails analysis. The caller casts to
+    # timestamp BEFORE withWatermark.
+    keyed = events_stream.select("ts", "event_id", "user_id", "value")
+    return keyed.groupBy("user_id").applyInPandasWithState(
+        sess, out_schema, state_schema, "append", GroupStateTimeout.EventTimeTimeout
+    )
+
+
 def stream_event_counts(spark: SparkSession, events_stream: DataFrame) -> DataFrame:
     """Event-time tumbling-window counts with a watermark: the
     windowed-aggregation + late-data shape over the events table's

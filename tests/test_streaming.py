@@ -2,8 +2,10 @@
 pipeline on the same input; watermarked windowed aggregation equals
 the batch groupBy."""
 
+import os
 import shutil
 import tempfile
+import time
 
 import pytest
 from pyspark.sql import functions as F
@@ -169,3 +171,74 @@ def test_stateful_first_seen_dedup(spark, sf_tiny, tmpdir):
     n_distinct = docs.selectExpr("md5(cast(text as binary)) AS h").distinct().count()
     assert len(rows) == n_distinct
     assert len({r.h for r in rows}) == len(rows)  # one row per hash
+
+
+def test_stream_sessionize_in_batch_and_cross_batch(spark, tmpdir):
+    """Gap sessionization over a file stream: in-batch gaps close and
+    emit sessions; an open session carries across triggers as keyed
+    state and closes when the next file's events reveal the gap."""
+    import pandas as pd
+
+    from handprint_spark.streaming.pipeline import stream_sessionize
+
+    def events(rows):
+        return pd.DataFrame(
+            [
+                {
+                    "event_id": i,
+                    "ts": pd.Timestamp("2024-01-01") + pd.Timedelta(seconds=s),
+                    "user_id": u,
+                    "value": float(v),
+                }
+                for i, (u, s, v) in enumerate(rows)
+            ]
+        )
+
+    src = f"{tmpdir}/sess_src"
+    os.makedirs(src)
+    # file A: user 1 session (0-20s); user 2 lone event at 5s
+    events([(1, 0, 1.0), (1, 10, 2.0), (1, 20, 3.0), (2, 5, 9.0)]).to_parquet(
+        f"{src}/a.parquet", coerce_timestamps="us"
+    )
+    time.sleep(1.1)  # distinct mtime => deterministic trigger order
+    # file B: user 1 gap>100 closes session A, new session (200-210);
+    # then another gap closes it at 500; user 2 gap closes the lone event
+    events(
+        [(1, 200, 4.0), (1, 210, 5.0), (1, 500, 6.0), (2, 400, 7.0)]
+    ).to_parquet(f"{src}/b.parquet", coerce_timestamps="us")
+
+    stream = (
+        spark.readStream.schema(
+            "event_id long, ts timestamp, user_id long, value double"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .option("latestFirst", "false")
+        .parquet(src)
+        .withWatermark("ts", "0 seconds")
+    )
+    q = (
+        stream_sessionize(stream, gap_sec=100)
+        .writeStream.format("memory")
+        .queryName("stream_sessions")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", f"{tmpdir}/sess_ckpt")
+        .start()
+    )
+    q.awaitTermination(120)
+
+    base = int(pd.Timestamp("2024-01-01").timestamp())
+    got = {
+        (r.user_id, r.start_epoch - base): (
+            r.end_epoch - base,
+            r.n_events,
+            r.total_value,
+        )
+        for r in spark.sql("select * from stream_sessions").collect()
+    }
+    # closed sessions only; (1, 500) and (2, 400) stay open (no later
+    # batch reveals their gap)
+    assert got == {
+        (1, 0): (20, 3, 6.0),     # closed across the file boundary
+        (1, 200): (210, 2, 9.0),  # closed in-batch by the 500s event
+        (2, 5): (5, 1, 9.0),      # closed in-batch by the 400s event
+    }
