@@ -111,8 +111,12 @@ def main() -> None:
         ("sim_topk_bruteforce", similarity.QUERIES["sim_topk_bruteforce"]),
         ("sim_lsh_ann", similarity.QUERIES["sim_lsh_ann"]),
         ("sim_ivf_ann", similarity.QUERIES["sim_ivf_ann"]),
+        ("dd_substring_dup", dedup.QUERIES["dd_substring_dup"]),
+        ("dd_contamination", dedup.QUERIES["dd_contamination"]),
         ("ta_fingerprint", text_analysis.QUERIES["ta_fingerprint"]),
         ("ta_quality", text_analysis.QUERIES["ta_quality"]),
+        ("ta_boilerplate_strip", text_analysis.QUERIES["ta_boilerplate_strip"]),
+        ("ev_sessionize", relational.QUERIES["ev_sessionize"]),
         ("cur_keep_list", curation.QUERIES["cur_keep_list"]),
         ("x5_microsoft_parse", service_queries.QUERIES["x5_microsoft_parse"]),
     ]

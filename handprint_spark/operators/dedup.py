@@ -875,6 +875,21 @@ def duplicate_clusters(pairs: DataFrame, reliable: bool = False) -> DataFrame:
     )
 
 
+def q_dd_semantic_clusters(spark, sf_dir):
+    """Semantic duplicate clusters: connected components over the
+    embedding near-dup pair graph (cosine >= threshold within LSH
+    bands) — the "semantic dedup" a modern curation run performs after
+    lexical dedup. Same CC machinery as q_dd_dup_clusters; labels are
+    numeric vec_ids, so min-label propagation agrees with the numeric
+    recursive-CTE oracle."""
+    pairs = q_dd_embedding_neardup(spark, sf_dir).select(
+        F.col("v1").alias("d1"), F.col("v2").alias("d2")
+    )
+    return duplicate_clusters(pairs).select(
+        F.col("doc_id").alias("vec_id"), "cluster", "is_keeper"
+    )
+
+
 def q_dd_dup_clusters(spark, sf_dir):
     """Cluster resolution over the MinHash-LSH candidate pairs. The
     iterative frames are explicitly repartitioned (CC_PARTITIONS)
@@ -912,6 +927,7 @@ QUERIES = {
     "dd_dup_clusters": q_dd_dup_clusters,
     "dd_contamination": q_dd_contamination,
     "dd_substring_dup": q_dd_substring_dup,
+    "dd_semantic_clusters": q_dd_semantic_clusters,
 }
 
 ORACLES = {
@@ -925,4 +941,20 @@ ORACLES = {
     "dd_dup_clusters": SQL_DD_DUP_CLUSTERS,
     "dd_contamination": SQL_DD_CONTAMINATION,
     "dd_substring_dup": SQL_DD_SUBSTRING_DUP,
+    "dd_semantic_clusters": f"""
+WITH RECURSIVE embpairs AS ({_sql_dd_emb()}),
+edges AS (
+  SELECT v1 AS src, v2 AS dst FROM embpairs
+  UNION ALL
+  SELECT v2 AS src, v1 AS dst FROM embpairs
+),
+nodes AS (SELECT DISTINCT src AS node FROM edges),
+reach(node, label) AS (
+  SELECT node, node FROM nodes
+  UNION
+  SELECT e.dst, r.label FROM reach r JOIN edges e ON e.src = r.node
+)
+SELECT node AS vec_id, min(label) AS cluster, (node = min(label)) AS is_keeper
+FROM reach GROUP BY node
+""",
 }
