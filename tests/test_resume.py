@@ -5,6 +5,7 @@ import shutil
 import tempfile
 
 import pytest
+from pyspark.sql import functions as F
 
 from handprint_spark.corpus import load_documents_spans
 from handprint_spark.operators.extract import extract_documents
@@ -115,3 +116,41 @@ def test_lineage_metrics(spark, sf_tiny, dirs):
     assert sum(r.n_media for r in lineage) == total_media
     # per-partition rows carry doc ranges for audit
     assert all(r.min_doc <= r.max_doc for r in lineage)
+
+
+def test_curation_run_is_resumable(spark, sf_tiny, tmp_path):
+    """A partial curation run + a full run converge to exactly the full
+    keep list (no duplicates, nothing missing); the second full run
+    appends zero rows; lineage accounts for every kept doc."""
+    from handprint_spark.operators.curation import (
+        q_cur_keep_list,
+        run_curation_batch,
+    )
+    from handprint_spark.sources import table_sink
+
+    keep_dir = str(tmp_path / "keep")
+    lineage_dir = str(tmp_path / "lineage")
+
+    full = {r.doc_id for r in q_cur_keep_list(spark, sf_tiny).collect()}
+    assert full
+
+    # simulate a partial first run: pre-seed the sink with half the list
+    half = sorted(full)[: len(full) // 2]
+    seed = (
+        q_cur_keep_list(spark, sf_tiny)
+        .filter(F.col("doc_id").isin(half))
+        .withColumn("batch_id", F.lit(0))
+        .withColumn("partition_id", F.lit(0))
+    )
+    table_sink.append(seed, keep_dir)
+
+    m1 = run_curation_batch(spark, sf_tiny, keep_dir, lineage_dir, batch_id=1)
+    assert m1["kept"] == len(full) - len(half)
+
+    got = [r.doc_id for r in table_sink.load(spark, keep_dir).collect()]
+    assert sorted(got) == sorted(full)  # no dupes, nothing missing
+
+    m2 = run_curation_batch(spark, sf_tiny, keep_dir, lineage_dir, batch_id=2)
+    assert m2["kept"] == 0
+    got2 = [r.doc_id for r in table_sink.load(spark, keep_dir).collect()]
+    assert sorted(got2) == sorted(full)
