@@ -570,6 +570,55 @@ FROM totals t LEFT JOIN kept k USING (doc_id)
 """
 
 
+# --- unigram cross-entropy (perplexity-proxy quality signal) -----------------
+#
+# The CCNet/KenLM-style "perplexity filter" reduced to its distributed
+# skeleton: score each document by the mean negative log-probability
+# of its tokens under the CORPUS'S OWN unigram distribution. Documents
+# made of globally-rare tokens score high (gibberish / OCR noise);
+# boilerplate-like docs score low. The LM here is unigram (a 5-gram
+# KenLM would swap in the same join shape keyed by n-gram); what
+# matters at 10^12 rows is the plan: the vocabulary table is bounded
+# by VOCAB size, not corpus size, so the per-token logprob lookup is a
+# broadcast join, and the per-doc reduce is one well-spread groupBy.
+
+
+def q_ta_unigram_logprob(spark, sf_dir):
+    """(doc_id, n_tokens, avg_neg_logprob): mean -ln p(token) under
+    the corpus unigram MLE. Ratios are rounded at 6 places to absorb
+    engine summation-order wobble. The broadcast hint assumes a
+    bounded vocabulary (a trained LM's reality); for a raw open-vocab
+    web crawl drop the hint and the lookup degrades gracefully to a
+    sort-merge join on the well-spread token key."""
+    docs = _docs(spark, sf_dir)
+    toks = docs.select("doc_id", F.explode(_words()).alias("w"))
+    total = toks.count()  # scalar: one job, folded into the plan as a literal
+    vocab = toks.groupBy("w").agg(
+        (-F.log(F.count("*") / F.lit(total))).alias("neg_lp")
+    )
+    return (
+        toks.join(F.broadcast(vocab), "w")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("int").alias("n_tokens"),
+            F.round(F.avg("neg_lp"), 6).alias("avg_neg_logprob"),
+        )
+    )
+
+
+SQL_TA_UNIGRAM_LP = """
+WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+vocab AS (
+  SELECT w, -ln(count(*)::DOUBLE / (SELECT count(*) FROM toks)) AS neg_lp
+  FROM toks GROUP BY w
+)
+SELECT t.doc_id, CAST(count(*) AS INT) AS n_tokens,
+       round(avg(v.neg_lp), 6) AS avg_neg_logprob
+FROM toks t JOIN vocab v USING (w)
+GROUP BY t.doc_id
+"""
+
+
 QUERIES = {
     "ta_token_count": q_ta_token_count,
     "ta_quality": q_ta_quality,
@@ -581,6 +630,7 @@ QUERIES = {
     "ta_pii_redact": q_ta_pii_redact,
     "ta_len_quantiles": q_ta_len_quantiles,
     "ta_boilerplate_strip": q_ta_boilerplate_strip,
+    "ta_unigram_logprob": q_ta_unigram_logprob,
 }
 
 ORACLES = {
@@ -594,4 +644,5 @@ ORACLES = {
     "ta_pii_redact": _sql_ta_pii(),
     "ta_len_quantiles": SQL_TA_LEN_Q,
     "ta_boilerplate_strip": SQL_TA_BOILERPLATE,
+    "ta_unigram_logprob": SQL_TA_UNIGRAM_LP,
 }
