@@ -551,6 +551,73 @@ FROM s GROUP BY user_id, session_id
 """
 
 
+# --- as-of join (most-recent-earlier match) ----------------------------------
+
+
+def q_ev_asof_join(spark, sf_dir):
+    """As-of join — an operator Spark has no native form of: attach to
+    every 'click' event the user's most recent 'error' event at or
+    before it. A naive range join (c.ts >= e.ts) explodes into a
+    per-user cross product; the scalable form is the UNION + WINDOW
+    idiom: interleave both sides into one stream, sort per user by
+    (ts, side), and carry the last error timestamp forward with
+    last(..., ignorenulls) over an unbounded-preceding window — one
+    shuffle on user_id, linear in events, no pair blowup. Errors are
+    deduped to distinct (user, ts) so equal-timestamp markers cannot
+    make the match order-dependent. The DuckDB oracle is its native
+    ASOF LEFT JOIN (inclusive >=, matching the errors-before-clicks
+    sort at equal ts)."""
+    from pyspark.sql.window import Window
+
+    events = _t(spark, sf_dir, "events")
+    clicks = events.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", "event_id", F.lit(1).alias("is_click")
+    )
+    errs = (
+        events.filter(F.col("event_type") == "error")
+        .select("user_id", "ts")
+        .distinct()
+        .select("user_id", "ts", F.lit(None).cast("long").alias("event_id"),
+                F.lit(0).alias("is_click"))
+    )
+    merged = clicks.unionByName(errs).withColumn(
+        "err_ts", F.when(F.col("is_click") == 0, F.unix_timestamp("ts"))
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "is_click")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        merged.withColumn("last_err", F.last("err_ts", ignorenulls=True).over(w))
+        .filter(F.col("is_click") == 1)
+        .select(
+            "event_id",
+            "user_id",
+            F.unix_timestamp("ts").alias("click_epoch"),
+            F.col("last_err").alias("err_epoch"),
+            (F.unix_timestamp("ts") - F.col("last_err")).alias("gap_sec"),
+        )
+    )
+
+
+SQL_EV_ASOF = """
+WITH clicks AS (
+  SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'
+),
+errs AS (
+  SELECT DISTINCT user_id, ts FROM events WHERE event_type = 'error'
+)
+SELECT c.event_id, c.user_id,
+       CAST(floor(epoch(c.ts)) AS BIGINT) AS click_epoch,
+       CAST(floor(epoch(e.ts)) AS BIGINT) AS err_epoch,
+       CAST(floor(epoch(c.ts)) AS BIGINT) - CAST(floor(epoch(e.ts)) AS BIGINT)
+           AS gap_sec
+FROM clicks c ASOF LEFT JOIN errs e
+  ON c.user_id = e.user_id AND c.ts >= e.ts
+"""
+
+
 # --- C1: canonical format name (images.py:104-112) -------------------------
 
 _C1_FORMATS = ["JPG", "tif", "png", "Jpeg", "GIF", "jp2", "TIFF", "bmp"]
@@ -635,6 +702,7 @@ QUERIES = {
     "c10_json_extract": q_c10_json_extract,
     "time_bucket_agg": q_time_bucket_agg,
     "ev_sessionize": q_ev_sessionize,
+    "ev_asof_join": q_ev_asof_join,
 }
 
 ORACLES = {
@@ -663,4 +731,5 @@ ORACLES = {
     "c10_json_extract": SQL_C10,
     "time_bucket_agg": SQL_TIME_BUCKET,
     "ev_sessionize": SQL_EV_SESSIONIZE,
+    "ev_asof_join": SQL_EV_ASOF,
 }
