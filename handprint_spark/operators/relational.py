@@ -618,6 +618,82 @@ FROM clicks c ASOF LEFT JOIN errs e
 """
 
 
+# --- bucketed interval (range) join ------------------------------------------
+
+IV_N_WINDOWS = 100
+IV_STRIDE_SEC = 7200  # window k starts at base + k*stride
+IV_LEN_SEC = 1800  # ...and covers 30 minutes
+IV_BUCKET_SEC = 3600  # equi-join granularity
+IV_BASE = 1704067200  # floor(epoch('2024-01-01')) — the corpus event epoch
+
+
+def q_j_interval_join(spark, sf_dir):
+    """(w_id, n_events, total_value): events falling inside each
+    maintenance window — a RANGE join, the second classic operator
+    Spark lacks natively. A direct theta join (ws <= ts < we) is a
+    per-pair nested loop at scale; the scalable form is BUCKETING:
+    each interval explodes into the hour buckets it touches, events
+    key by their hour bucket, the join is an equi-join on the bucket,
+    and the exact containment predicate filters inside the joined
+    rows. Cost ~ events + intervals x buckets-per-interval; never
+    |events| x |intervals|. Zero-match windows keep their row via
+    conditional aggregation over the left join (a dashboard must show
+    empty windows)."""
+    wins = (
+        spark.range(IV_N_WINDOWS)
+        .select(
+            F.col("id").alias("w_id"),
+            (F.lit(IV_BASE) + F.col("id") * IV_STRIDE_SEC).alias("ws"),
+            (F.lit(IV_BASE) + F.col("id") * IV_STRIDE_SEC + IV_LEN_SEC).alias("we"),
+        )
+        .withColumn(
+            "bucket",
+            F.explode(
+                F.sequence(
+                    F.floor(F.col("ws") / IV_BUCKET_SEC),
+                    F.floor((F.col("we") - 1) / IV_BUCKET_SEC),
+                )
+            ),
+        )
+    )
+    ev = _t(spark, sf_dir, "events").select(
+        F.unix_timestamp("ts").alias("es"),
+        F.col("value").cast("decimal(18,2)").alias("v"),
+        F.floor(F.unix_timestamp("ts") / IV_BUCKET_SEC).alias("bucket"),
+    )
+    contained = (F.col("es") >= F.col("ws")) & (F.col("es") < F.col("we"))
+    return (
+        wins.join(ev, "bucket", "left")
+        .groupBy("w_id")
+        .agg(
+            F.sum(F.when(contained, 1).otherwise(0)).alias("n_events"),
+            F.coalesce(
+                F.sum(F.when(contained, F.col("v"))).cast("double"), F.lit(0.0)
+            ).alias("total_value"),
+        )
+    )
+
+
+SQL_J_INTERVAL = f"""
+WITH wins AS (
+  SELECT i AS w_id,
+         {IV_BASE} + i * {IV_STRIDE_SEC} AS ws,
+         {IV_BASE} + i * {IV_STRIDE_SEC} + {IV_LEN_SEC} AS we
+  FROM range(0, {IV_N_WINDOWS}) t(i)
+),
+ev AS (
+  SELECT CAST(floor(epoch(ts)) AS BIGINT) AS es,
+         CAST(value AS DECIMAL(18,2)) AS v
+  FROM events
+)
+SELECT w.w_id,
+       CAST(count(e.es) AS BIGINT) AS n_events,
+       CAST(coalesce(sum(e.v), 0) AS DOUBLE) AS total_value
+FROM wins w LEFT JOIN ev e ON e.es >= w.ws AND e.es < w.we
+GROUP BY w.w_id
+"""
+
+
 # --- C1: canonical format name (images.py:104-112) -------------------------
 
 _C1_FORMATS = ["JPG", "tif", "png", "Jpeg", "GIF", "jp2", "TIFF", "bmp"]
@@ -703,6 +779,7 @@ QUERIES = {
     "time_bucket_agg": q_time_bucket_agg,
     "ev_sessionize": q_ev_sessionize,
     "ev_asof_join": q_ev_asof_join,
+    "j_interval_join": q_j_interval_join,
 }
 
 ORACLES = {
@@ -732,4 +809,5 @@ ORACLES = {
     "time_bucket_agg": SQL_TIME_BUCKET,
     "ev_sessionize": SQL_EV_SESSIONIZE,
     "ev_asof_join": SQL_EV_ASOF,
+    "j_interval_join": SQL_J_INTERVAL,
 }
