@@ -305,3 +305,14 @@ def test_posting_list_queries_no_quadratic_join(spark, sf_small, qname):
     plan = plan_str(q(spark, sf_small), "simple")
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+@pytest.mark.parametrize("qname", ["ev_asof_join", "j_interval_join"])
+def test_missing_native_operators_avoid_pair_blowup(spark, sf_small, qname):
+    """The as-of and range joins must compile to window/equi-join
+    plans — no nested-loop or cartesian pair enumeration anywhere."""
+    from handprint_spark.operators import relational
+
+    plan = plan_str(relational.QUERIES[qname](spark, sf_small), "simple")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
