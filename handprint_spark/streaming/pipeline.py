@@ -20,6 +20,8 @@ Both run on any sink; tests drive them with in-memory sinks and
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -236,6 +238,88 @@ def stream_sessionize(events_stream: DataFrame, gap_sec: int | None = None) -> D
     return keyed.groupBy("user_id").applyInPandasWithState(
         sess, out_schema, state_schema, "append", GroupStateTimeout.EventTimeTimeout
     )
+
+
+def stream_decontaminate(
+    spark: SparkSession, docs_stream: DataFrame, sf_dir: str
+) -> DataFrame:
+    """Benchmark-decontamination gate at INGEST: score every incoming
+    document's distinct word-n-gram overlap against the held-out eval
+    slice, exactly matching the batch ``dd_contamination`` semantics
+    (operators/dedup.py) so a doc admitted by the stream gate and one
+    admitted by the batch screen agree.
+
+    The eval gram set is computed ONCE from the static corpus and
+    broadcast — sound because eval/benchmark sets are bounded (MBs,
+    not corpus-scale); the per-doc scoring is then a stateless
+    Arrow-batched map, the ideal streaming shape (no state store, no
+    watermark, no shuffle).
+
+    Output: (doc_id, n_grams, n_hit, contam_frac, keep).
+    """
+    import pandas as pd
+
+    from ..operators.dedup import (
+        CONTAM_EVAL_MOD,
+        CONTAM_N,
+        CONTAM_THRESHOLD,
+        _contam_grams,
+    )
+
+    eval_grams = frozenset(
+        r.gram
+        for r in spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .filter(F.col("doc_id") % CONTAM_EVAL_MOD == 0)
+        .select(F.explode(_contam_grams()).alias("gram"))
+        .distinct()
+        .collect()
+    )
+    bc = spark.sparkContext.broadcast(eval_grams)
+
+    out_schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("n_grams", T.LongType()),
+            T.StructField("n_hit", T.LongType()),
+            T.StructField("contam_frac", T.DoubleType()),
+            T.StructField("keep", T.BooleanType()),
+        ]
+    )
+
+    def score(batches):
+        ev = bc.value
+        for pdf in batches:
+            rows = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                words = text.split(" ")
+                grams = {
+                    " ".join(words[i : i + CONTAM_N])
+                    for i in range(len(words) - CONTAM_N + 1)
+                } if len(words) >= CONTAM_N else set()
+                n_hit = sum(1 for g in grams if g in ev)
+                # floor(x*1e4+0.5): Spark ROUND is HALF_UP; Python's
+                # round() is banker's and differs at exact .5 ulps
+                # (e.g. 1/32 -> 0.0312 vs Spark 0.0313)
+                frac = (
+                    math.floor(n_hit / len(grams) * 10000 + 0.5) / 10000
+                    if grams
+                    else 0.0
+                )
+                rows.append(
+                    {
+                        "doc_id": int(doc_id),
+                        "n_grams": len(grams),
+                        "n_hit": n_hit,
+                        "contam_frac": frac,
+                        "keep": frac < CONTAM_THRESHOLD,
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    train = docs_stream.filter(F.col("doc_id") % CONTAM_EVAL_MOD != 0).select(
+        "doc_id", "text"
+    )
+    return train.mapInPandas(score, out_schema)
 
 
 def stream_event_counts(spark: SparkSession, events_stream: DataFrame) -> DataFrame:

@@ -242,3 +242,47 @@ def test_stream_sessionize_in_batch_and_cross_batch(spark, tmpdir):
         (1, 200): (210, 2, 9.0),  # closed in-batch by the 500s event
         (2, 5): (5, 1, 9.0),      # closed in-batch by the 400s event
     }
+
+
+def test_stream_decontaminate_matches_batch(spark, sf_tiny, tmpdir):
+    """The streaming ingest gate emits exactly the batch
+    dd_contamination verdicts (same fractions, same keep set)."""
+    from handprint_spark.operators.dedup import (
+        CONTAM_THRESHOLD,
+        q_dd_contamination,
+    )
+    from handprint_spark.streaming.pipeline import stream_decontaminate
+
+    src = f"{tmpdir}/decon_src"
+    docs = spark.read.parquet(f"{sf_tiny}/documents.parquet")
+    docs.repartition(2).write.parquet(src)
+
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        stream_decontaminate(spark, stream, sf_tiny)
+        .writeStream.format("memory")
+        .queryName("stream_decon")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", f"{tmpdir}/decon_ckpt")
+        .start()
+    )
+    q.awaitTermination(120)
+
+    got = {
+        r.doc_id: (r.n_grams, r.n_hit, r.contam_frac, r.keep)
+        for r in spark.sql("select * from stream_decon").collect()
+    }
+    expected = {
+        r.doc_id: (
+            r.n_grams,
+            r.n_hit,
+            r.contam_frac,
+            r.contam_frac < CONTAM_THRESHOLD,
+        )
+        for r in q_dd_contamination(spark, sf_tiny).collect()
+    }
+    assert got == expected
