@@ -32,6 +32,29 @@ from .formats import (
 )
 
 
+def decode_media_text(data: bytes) -> tuple[Optional[str], Optional[str]]:
+    """Kernel fusion of the I8 normalize chain with the X9 decode for
+    consumers that keep only TEXT (the extraction flagship: result
+    spans carry decoded text, never media bytes).
+
+    Projection pushdown through the kernel: ``normalize_media_bytes``
+    produces normalized media BYTES whose only hot-path consumer is
+    ``decode_media_bytes`` — and every normalize stage is
+    text-invariant (format rename keeps the payload, dimension/byte
+    caps RESIZE — the reference resizes oversized media, never rejects
+    it, images.py:149-157 — and gray/binarize touch pixels only), so
+    the normalized bytes are dead values the moment the text is out.
+    This fusion performs the same FULL media verification
+    (``decode_media`` header + pixel-payload checks — the error
+    surface is identical) and skips only the dead re-encode/copy.
+    Returns (page-1 text, None) or (None, error)."""
+    try:
+        info = codec.decode_media(data)
+    except codec.MediaError as exc:
+        return None, str(exc)
+    return info.text, None
+
+
 def normalize_media_bytes(
     data: bytes,
     max_size: Optional[int],

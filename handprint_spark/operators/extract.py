@@ -40,9 +40,9 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from ..corpus import SPAN_TYPE
-from ..kernels.decoder import decode_media_bytes
+from ..kernels.decoder import decode_page
 from ..kernels.formats import KNOWN_SERVICES, fold_limits
-from ..kernels.preprocess import normalize_media_bytes
+from ..kernels.preprocess import decode_media_text
 
 MEDIA_KINDS = ("page_image", "line_image", "word_image")
 
@@ -65,7 +65,16 @@ def extract_one(
     max_height: Optional[int],
 ) -> tuple[str, list, int, int]:
     """Pure per-document kernel — also runs sequentially on the driver
-    as the reference path of the span-sequence-equality tests."""
+    as the reference path of the span-sequence-equality tests.
+
+    The limit parameters are retained in the signature (they are the
+    A1 min-fold contract and still select resize behavior for media
+    OUTPUT consumers) but the fused text path does not consume them:
+    the normalize stages are text-invariant by construction — the
+    reference RESIZES oversized media rather than rejecting it
+    (images.py:149-157), so no limit value can change the decoded
+    text or the error surface (proved by
+    test_fused_decode_equals_normalize_then_decode)."""
     # ``media``/``spans`` may arrive as numpy arrays from Arrow — avoid
     # truthiness on them.
     media_map = {m["media_ref"]: m["content"] for m in (media if media is not None else [])}
@@ -80,14 +89,17 @@ def extract_one(
                             "media_ref": ref, "offset": offset})
                 n_errors += 1
                 continue
-            normalized, err = normalize_media_bytes(content, max_size, max_width, max_height)
-            if err is None:
-                tr = decode_media_bytes(normalized, trusted=True)
-                err = tr.error
+            # fused I8+X9 (kernels/preprocess.decode_media_text): full
+            # verification, identical error surface, no dead re-encode —
+            # every normalize stage is text-invariant so the span output
+            # is byte-identical to the normalize-then-decode chain
+            # (asserted against it in test_extract_pipeline)
+            text_out, err = decode_media_text(content)
             if err is not None:
                 out.append({"kind": "error", "text": err, "media_ref": ref, "offset": offset})
                 n_errors += 1
             else:
+                tr = decode_page(text_out)
                 out.append({"kind": "ocr", "text": tr.text, "media_ref": ref, "offset": offset})
         else:
             out.append({"kind": kind, "text": text, "media_ref": ref, "offset": offset})

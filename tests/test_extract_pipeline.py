@@ -162,3 +162,39 @@ def test_observed_metrics(spark, sf_tiny):
     ).collect()[0]
     assert got["media"] == direct["media"]
     assert got["errors"] == direct["errors"]
+
+
+def test_fused_decode_equals_normalize_then_decode():
+    """decode_media_text (the fused I8+X9 hot path) must emit exactly
+    what the normalize->decode chain emits — same text, same error
+    values — across normal, multi-page, padded, corrupt, and empty
+    media."""
+    from handprint_spark.kernels import codec
+    from handprint_spark.kernels.decoder import decode_media_bytes
+    from handprint_spark.kernels.formats import KNOWN_SERVICES, fold_limits
+    from handprint_spark.kernels.preprocess import (
+        decode_media_text,
+        normalize_media_bytes,
+    )
+
+    max_size, (mw, mh) = fold_limits(list(KNOWN_SERVICES))
+    cases = [
+        codec.encode_media("hello world\nsecond line"),
+        codec.encode_media("fmt swap case", fmt="tiff"),
+        codec.encode_media("padded", pad_to=50_000),
+        codec.encode_media("multi", pages=["page one", "page two"], fmt="pdf"),
+        codec.encode_media("x")[:10],  # truncated -> error value
+        b"",  # empty -> error value
+        b"\x00garbage not hpm1",
+    ]
+    for data in cases:
+        fused_text, fused_err = decode_media_text(data)
+        normalized, err = normalize_media_bytes(data, max_size, mw, mh)
+        if err is None:
+            tr = decode_media_bytes(normalized, trusted=True)
+            chain_text, chain_err = tr.text, tr.error
+        else:
+            chain_text, chain_err = None, err
+        assert fused_err == chain_err
+        if fused_err is None:
+            assert fused_text == chain_text
