@@ -652,6 +652,56 @@ FROM tot LEFT JOIN hit USING (doc_id)
 """
 
 
+# --- LSH bucket diagnostics ---------------------------------------------------
+
+
+def q_dd_lsh_stats(spark, sf_dir):
+    """(band, n_buckets, n_docs, max_bucket, n_cand_pairs): per-band
+    bucket-size distribution of the MinHash LSH — the operational
+    metric a 10^12-row dedup run watches: a degenerate bucket (one
+    band key attracting a large doc population) turns the in-bucket
+    candidate join quadratic, and this aggregate — sum over buckets of
+    nb*(nb-1)/2 — IS the exact join cost of q_dd_minhash_lsh_pairs
+    before it runs. One groupBy on the banded key, one per-band
+    rollup; cost ~ docs x bands."""
+    sigs = _minhash_sigs(_docs(spark, sf_dir, spread=True))
+    bands = sigs.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                F.concat(F.lit("b0|"), "sig0", F.lit("|"), "sig1"),
+                F.concat(F.lit("b1|"), "sig2", F.lit("|"), "sig3"),
+            )
+        ).alias("band_key"),
+    ).select(F.substring("band_key", 1, 2).alias("band"), "band_key")
+    buckets = bands.groupBy("band", "band_key").agg(F.count("*").alias("nb"))
+    return buckets.groupBy("band").agg(
+        F.count("*").alias("n_buckets"),
+        F.sum("nb").cast("long").alias("n_docs"),
+        F.max("nb").cast("long").alias("max_bucket"),
+        F.sum(F.expr("nb * (nb - 1) DIV 2")).cast("long").alias("n_cand_pairs"),
+    )
+
+
+SQL_DD_LSH_STATS = f"""
+WITH b AS (
+  SELECT doc_id, unnest([ 'b0|' || sig0 || '|' || sig1,
+                          'b1|' || sig2 || '|' || sig3 ]) AS band_key
+  FROM ({SQL_DD_MINHASH_SIGS})
+),
+buckets AS (
+  SELECT substr(band_key, 1, 2) AS band, band_key, count(*) AS nb
+  FROM b GROUP BY 1, 2
+)
+SELECT band,
+       CAST(count(*) AS BIGINT) AS n_buckets,
+       CAST(sum(nb) AS BIGINT) AS n_docs,
+       CAST(max(nb) AS BIGINT) AS max_bucket,
+       CAST(sum((nb * (nb - 1)) // 2) AS BIGINT) AS n_cand_pairs
+FROM buckets GROUP BY band
+"""
+
+
 # --- exact-substring duplication (Lee et al. 2022 style) ---------------------
 #
 # The within-corpus complement of the pair queries: instead of
@@ -928,6 +978,7 @@ QUERIES = {
     "dd_contamination": q_dd_contamination,
     "dd_substring_dup": q_dd_substring_dup,
     "dd_semantic_clusters": q_dd_semantic_clusters,
+    "dd_lsh_stats": q_dd_lsh_stats,
 }
 
 ORACLES = {
@@ -941,6 +992,7 @@ ORACLES = {
     "dd_dup_clusters": SQL_DD_DUP_CLUSTERS,
     "dd_contamination": SQL_DD_CONTAMINATION,
     "dd_substring_dup": SQL_DD_SUBSTRING_DUP,
+    "dd_lsh_stats": SQL_DD_LSH_STATS,
     "dd_semantic_clusters": f"""
 WITH RECURSIVE embpairs AS ({_sql_dd_emb()}),
 edges AS (
