@@ -200,5 +200,130 @@ FROM (SELECT doc_id, m, (h % {CORRUPT_MOD} = 0 AND m.idx = 0) AS err FROM media)
 """
 
 
-QUERIES = {"mm_media_features": q_mm_media_features}
-ORACLES: dict[str, str] = {"mm_media_features": _sql_mm_media_features()}
+FRAME_TEXT_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.StringType()),
+        T.StructField("frame_index", T.IntegerType()),
+        T.StructField("frame_text", T.StringType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+    ]
+)
+
+
+def q_mm_frame_sample(spark, sf_dir):
+    """End-to-end frame sampling, driver-verifiable: build one
+    MULTI-PAGE media object per document (page = corpus line — the
+    video-proxy shape the reference's multi-page PDF/TIFF handling
+    implies, images.py:211-218), run it through ``frame_sample``
+    (every 2nd page re-encoded as a standalone frame), then DECODE
+    each sampled frame back. The projection (frame_index, frame_text,
+    dims) is fully re-derivable from the corpus rule, so the DuckDB
+    oracle checks the whole encode → sample → re-encode → decode path
+    per frame; the frame bytes themselves stay binary plumbing.
+    Narrow plan end-to-end: build, fan-out, and decode are all
+    per-row mapInPandas/pandas_udf stages — zero shuffles."""
+    from ..corpus import doc_lines, media_format
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        F.col("doc_id").cast("string").alias("doc_id"), "text"
+    )
+
+    @F.pandas_udf(T.BinaryType())
+    def build(doc_ids, texts):
+        import pandas as pd
+
+        out = []
+        for doc_id, text in zip(doc_ids, texts):
+            lines = doc_lines(doc_id, text or "")
+            if not lines:
+                out.append(None)
+                continue
+            width = min(320, 64 + 8 * max(len(ln) for ln in lines))
+            out.append(
+                codec.encode_media(
+                    lines[0],
+                    fmt=media_format(f"{doc_id}/video"),
+                    width=width,
+                    height=24,
+                    pages=lines,
+                )
+            )
+        return pd.Series(out)
+
+    with_media = (
+        docs.select("doc_id", build("doc_id", "text").alias("content"))
+        .where(F.col("content").isNotNull())
+        .select(
+            "doc_id",
+            F.array(
+                F.struct(
+                    F.concat("doc_id", F.lit("/video")).alias("media_ref"),
+                    F.col("content").alias("content"),
+                )
+            ).alias("media"),
+        )
+    )
+    frames = frame_sample(with_media, every_n=2)
+
+    def decode(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for doc_id, idx, frame in zip(pdf["doc_id"], pdf["frame_index"], pdf["frame"]):
+                info = codec.decode_media(bytes(frame))
+                rows.append((doc_id, int(idx), info.text, info.width, info.height))
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in FRAME_TEXT_SCHEMA.fields]
+            )
+
+    return frames.mapInPandas(decode, FRAME_TEXT_SCHEMA)
+
+
+def _sql_mm_frame_sample() -> str:
+    from ..corpus import SKEW_FACTOR, SKEW_MOD, WORDS_PER_LINE
+
+    w = WORDS_PER_LINE
+    return f"""
+WITH base AS (
+  SELECT doc_id::VARCHAR AS doc_id,
+         ('0x' || substr(sha256(doc_id::VARCHAR), 1, 8))::BIGINT AS h,
+         CASE WHEN trim(replace(text, chr(12), ' ')) = '' THEN []::VARCHAR[]
+              ELSE string_split(regexp_replace(trim(replace(text, chr(12), ' ')),
+                                               ' +', ' ', 'g'), ' ')
+         END AS words
+  FROM documents
+), lined AS (
+  SELECT doc_id, h,
+         list_transform(range(0, CAST(ceil(len(words) / {w}.0) AS INT)),
+                        i -> array_to_string(words[i*{w}+1 : i*{w}+{w}], ' ')) AS lines0
+  FROM base
+), skewed AS (
+  SELECT doc_id,
+         CASE WHEN h % {SKEW_MOD} = 0 AND len(lines0) > 0
+              THEN flatten(list_transform(range({SKEW_FACTOR}), r -> lines0))
+              ELSE lines0 END AS lines
+  FROM lined
+), docs AS (
+  SELECT doc_id, lines,
+         least(320, 64 + 8 * list_max(list_transform(lines, l -> len(l)))) AS width
+  FROM skewed WHERE len(lines) > 0
+)
+SELECT doc_id,
+       CAST(i AS INT) AS frame_index,
+       lines[CAST(i AS INT) + 1] AS frame_text,
+       CAST(width AS INT) AS width,
+       CAST(24 AS INT) AS height
+FROM (SELECT doc_id, lines, width, unnest(range(0, len(lines), 2)) AS i FROM docs)
+"""
+
+
+QUERIES = {
+    "mm_media_features": q_mm_media_features,
+    "mm_frame_sample": q_mm_frame_sample,
+}
+ORACLES: dict[str, str] = {
+    "mm_media_features": _sql_mm_media_features(),
+    "mm_frame_sample": _sql_mm_frame_sample(),
+}

@@ -480,6 +480,87 @@ FROM e GROUP BY label, dim
 """
 
 
+def q_sim_quantize_int8(spark, sf_dir):
+    """Scalar int8 quantization of the embedding column — the storage
+    form a 100 TB ANN index actually ships (4x less scan/transport
+    bandwidth than float32, and int8 dot products SIMD-vectorize).
+    Per vector: scale = max|v| / 127, q_i = round(v_i / scale)
+    (symmetric, zero-point-free; round-half-up via floor(x + 0.5) —
+    the synthetic embeddings hit exact .5 ties, where Spark HALF_UP
+    and DuckDB's tie handling diverge, so both sides use the same
+    floor form). Entirely JVM-side Catalyst HOFs — no Python, no
+    shuffle, one narrow pass over the table.
+
+    Driver-verified projection: the full quantized vector as an exact
+    md5 over its int values (element-exact without hashing an array
+    column), plus scale, sum/clip counts, and the max reconstruction
+    error. Every float op is double-precision IEEE on identical
+    operands, so the oracle matches bit-for-bit."""
+    v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    emb = (
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        .select("vec_id", v.alias("v"))
+        .select(
+            "vec_id",
+            "v",
+            (F.array_max(F.transform("v", F.abs)) / F.lit(127.0)).alias("scale"),
+        )
+    )
+    q = F.when(
+        F.col("scale") == 0.0, F.transform("v", lambda x: F.lit(0))
+    ).otherwise(
+        F.transform("v", lambda x: F.floor(x / F.col("scale") + F.lit(0.5)).cast("int"))
+    )
+    err = F.when(F.col("scale") == 0.0, F.lit(0.0)).otherwise(
+        F.array_max(
+            F.transform(
+                "v",
+                lambda x: F.abs(x - F.floor(x / F.col("scale") + F.lit(0.5)) * F.col("scale")),
+            )
+        )
+    )
+    # Materialize q once and derive the scalars from the named column
+    # with DISTINCT lambda variable names: nesting the q expression
+    # (whose transform lambda binds `x`) inside another HOF lambda also
+    # named `x` mis-binds the inner variable in PySpark's unresolved
+    # lambda naming and silently corrupts elements.
+    staged = emb.select("vec_id", "scale", q.alias("q"), err.alias("err"))
+    return staged.select(
+        "vec_id",
+        F.round("scale", 6).alias("scale"),
+        F.md5(
+            F.array_join(F.transform("q", lambda e: e.cast("string")), ",")
+        ).alias("q_md5"),
+        F.aggregate("q", F.lit(0).cast("long"), lambda acc, e: acc + e).alias("sum_q"),
+        F.size(F.filter("q", lambda e: F.abs(e) == 127)).alias("n_clip"),
+        F.round("err", 6).alias("max_recon_err"),
+    )
+
+
+SQL_SIM_QUANTIZE = """
+WITH s AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v,
+         list_max(list_transform(embedding::DOUBLE[], x -> abs(x))) / 127 AS scale
+  FROM embeddings
+), qd AS (
+  SELECT vec_id, scale,
+         CASE WHEN scale = 0 THEN list_transform(v, x -> 0)
+              ELSE list_transform(v, x -> CAST(floor(x / scale + 0.5) AS INT)) END AS q,
+         CASE WHEN scale = 0 THEN 0.0
+              ELSE list_max(list_transform(v,
+                     x -> abs(x - floor(x / scale + 0.5) * scale))) END AS err
+  FROM s
+)
+SELECT vec_id,
+       round(scale, 6) AS scale,
+       md5(array_to_string(q, ',')) AS q_md5,
+       CAST(list_sum(q) AS BIGINT) AS sum_q,
+       CAST(len(list_filter(q, x -> abs(x) = 127)) AS INT) AS n_clip,
+       round(err, 6) AS max_recon_err
+FROM qd
+"""
+
+
 QUERIES = {
     "sim_topk_bruteforce": q_sim_topk_bruteforce,
     "sim_knn_join": q_sim_knn_join,
@@ -488,6 +569,7 @@ QUERIES = {
     "sim_ivf_ann": q_sim_ivf_ann,
     "sim_ann_recall": q_sim_ann_recall,
     "sim_label_centroids": q_sim_label_centroids,
+    "sim_quantize_int8": q_sim_quantize_int8,
 }
 
 ORACLES = {
@@ -498,4 +580,5 @@ ORACLES = {
     "sim_ivf_ann": SQL_SIM_IVF,
     "sim_ann_recall": _sql_ann_recall(),
     "sim_label_centroids": SQL_SIM_CENTROIDS,
+    "sim_quantize_int8": SQL_SIM_QUANTIZE,
 }

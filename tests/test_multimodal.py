@@ -72,3 +72,34 @@ def test_frame_sample_skips_corrupt(spark):
     out = frame_sample(df, every_n=1).collect()
     assert {r.doc_id for r in out} == {"d1"}
     assert len(out) == 3
+
+
+def test_mm_frame_sample_query_matches_corpus_rule(spark, sf_tiny):
+    """End-to-end build -> sample -> re-encode -> decode: sampled
+    frames are exactly every 2nd corpus line, carrying the line text
+    and the doc-wide (max-line) width."""
+    from handprint_spark.corpus import doc_lines
+    from handprint_spark.operators.multimodal import q_mm_frame_sample
+
+    out = q_mm_frame_sample(spark, sf_tiny).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r.doc_id, []).append(r)
+
+    docs = {
+        str(r.doc_id): r.text
+        for r in spark.read.parquet(f"{sf_tiny}/documents.parquet").collect()
+    }
+    checked = 0
+    for doc_id, text in docs.items():
+        lines = doc_lines(doc_id, text or "")
+        got = sorted(by_doc.get(doc_id, []), key=lambda r: r.frame_index)
+        assert [g.frame_index for g in got] == list(range(0, len(lines), 2))
+        if not lines:
+            continue
+        width = min(320, 64 + 8 * max(len(ln) for ln in lines))
+        for g in got:
+            assert g.frame_text == lines[g.frame_index]
+            assert (g.width, g.height) == (width, 24)
+        checked += 1
+    assert checked >= 10

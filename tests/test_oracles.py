@@ -33,3 +33,16 @@ def test_oracle_parity(name, spark, sf_tiny, con):
         return
     msg = compare(name, df, ORACLES[name], con)
     assert msg.startswith("PASS"), msg
+
+
+def test_sim_quantize_int8_invariants(spark, sf_tiny):
+    """|q| <= 127, the max-|v| element hits exactly +/-127, and the
+    reconstruction error is bounded by scale/2."""
+    from handprint_spark.operators.similarity import q_sim_quantize_int8
+
+    rows = q_sim_quantize_int8(spark, sf_tiny).collect()
+    assert rows
+    for r in rows:
+        assert r.n_clip >= 1  # the max element quantizes to the rail
+        # both fields are rounded to 6 decimals -> 1e-6 slack
+        assert r.max_recon_err <= r.scale / 2 + 1e-6

@@ -316,3 +316,19 @@ def test_missing_native_operators_avoid_pair_blowup(spark, sf_small, qname):
     plan = plan_str(relational.QUERIES[qname](spark, sf_small), "simple")
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_frame_sample_query_is_shuffle_free(spark, sf_tiny):
+    """Build, 1->N frame fan-out, and decode are all narrow stages."""
+    from handprint_spark.operators.multimodal import q_mm_frame_sample
+
+    assert "Exchange" not in plan_str(q_mm_frame_sample(spark, sf_tiny), "simple")
+
+
+def test_quantize_int8_jvm_only_and_narrow(spark, sf_small):
+    """Quantization is pure Catalyst (no Python worker) and narrow."""
+    from handprint_spark.operators.similarity import q_sim_quantize_int8
+
+    plan = plan_str(q_sim_quantize_int8(spark, sf_small), "simple")
+    assert "Exchange" not in plan
+    assert "EvalPython" not in plan  # no ArrowEval/BatchEval stage
