@@ -480,22 +480,15 @@ FROM e GROUP BY label, dim
 """
 
 
-def q_sim_quantize_int8(spark, sf_dir):
-    """Scalar int8 quantization of the embedding column — the storage
-    form a 100 TB ANN index actually ships (4x less scan/transport
-    bandwidth than float32, and int8 dot products SIMD-vectorize).
-    Per vector: scale = max|v| / 127, q_i = round(v_i / scale)
-    (symmetric, zero-point-free; round-half-up via floor(x + 0.5) —
-    the synthetic embeddings hit exact .5 ties, where Spark HALF_UP
-    and DuckDB's tie handling diverge, so both sides use the same
-    floor form). Entirely JVM-side Catalyst HOFs — no Python, no
-    shuffle, one narrow pass over the table.
-
-    Driver-verified projection: the full quantized vector as an exact
-    md5 over its int values (element-exact without hashing an array
-    column), plus scale, sum/clip counts, and the max reconstruction
-    error. Every float op is double-precision IEEE on identical
-    operands, so the oracle matches bit-for-bit."""
+def _quantized(spark, sf_dir) -> DataFrame:
+    """(vec_id, scale, q, err): symmetric int8 scalar quantization of
+    every embedding — scale = max|v| / 127, q_i = floor(v_i/scale + .5)
+    (round-half-up via floor: the synthetic embeddings hit exact .5
+    ties, where Spark HALF_UP and DuckDB's tie handling diverge, so
+    both engines use the same floor form). Entirely JVM-side Catalyst
+    HOFs — no Python, no shuffle, one narrow pass. Shared by
+    sim_quantize_int8 (stats surface) and sim_quantized_topk (search
+    surface)."""
     v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
     emb = (
         spark.read.parquet(f"{sf_dir}/embeddings.parquet")
@@ -519,12 +512,25 @@ def q_sim_quantize_int8(spark, sf_dir):
             )
         )
     )
-    # Materialize q once and derive the scalars from the named column
-    # with DISTINCT lambda variable names: nesting the q expression
-    # (whose transform lambda binds `x`) inside another HOF lambda also
-    # named `x` mis-binds the inner variable in PySpark's unresolved
-    # lambda naming and silently corrupts elements.
-    staged = emb.select("vec_id", "scale", q.alias("q"), err.alias("err"))
+    # Materialize q once so consumers derive scalars from the named
+    # column with DISTINCT lambda variable names: nesting the q
+    # expression (whose transform lambda binds `x`) inside another HOF
+    # lambda also named `x` mis-binds the inner variable in PySpark's
+    # unresolved lambda naming and silently corrupts elements.
+    return emb.select("vec_id", "scale", q.alias("q"), err.alias("err"))
+
+
+def q_sim_quantize_int8(spark, sf_dir):
+    """Scalar int8 quantization of the embedding column — the storage
+    form a 100 TB ANN index actually ships (4x less scan/transport
+    bandwidth than float32, and int8 dot products SIMD-vectorize).
+
+    Driver-verified projection: the full quantized vector as an exact
+    md5 over its int values (element-exact without hashing an array
+    column), plus scale, sum/clip counts, and the max reconstruction
+    error. Every float op is double-precision IEEE on identical
+    operands, so the oracle matches bit-for-bit."""
+    staged = _quantized(spark, sf_dir)
     return staged.select(
         "vec_id",
         F.round("scale", 6).alias("scale"),
@@ -561,6 +567,65 @@ FROM qd
 """
 
 
+def q_sim_quantized_topk(spark, sf_dir):
+    """Top-K search over the int8-quantized table: score with the
+    INTEGER dot product of quantized vectors (the SIMD-friendly form a
+    quantized index executes), normalize by the integer norms, take
+    the top K. Every intermediate is an exact integer (|dot| <=
+    64 * 127^2 << 2^53), so the score is bit-reproducible in SQL and
+    the oracle verifies the entire quantize -> integer-score -> rank
+    path. Scoring is one numpy matmul per Arrow batch (exact: float64
+    holds these integers losslessly); plan shape matches
+    sim_topk_bruteforce — scan + narrow score + TakeOrdered."""
+    import math
+
+    qv = _query_vec(spark, sf_dir, 0)
+    m = max(abs(x) for x in qv)
+    qq = (
+        [0] * len(qv)
+        if m == 0
+        else [math.floor(x / (m / 127.0) + 0.5) for x in qv]
+    )
+    qarr = np.asarray(qq, dtype=np.float64)
+    qnorm = float(np.sqrt((qarr * qarr).sum()))
+
+    @F.pandas_udf("double")
+    def qcos(q: pd.Series) -> pd.Series:
+        M = np.stack(q.values).astype(np.float64)
+        den = np.sqrt((M * M).sum(axis=1)) * qnorm
+        return pd.Series(np.round((M @ qarr) / den, 4))
+
+    quant = _quantized(spark, sf_dir).filter(F.col("vec_id") != 0)
+    return (
+        quant.withColumn("qcos", qcos(F.col("q")))
+        .select("vec_id", "qcos")
+        .orderBy(F.col("qcos").desc(), F.col("vec_id").asc())
+        .limit(TOPK)
+    )
+
+
+SQL_SIM_QUANTIZED_TOPK = f"""
+WITH s AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v,
+         list_max(list_transform(embedding::DOUBLE[], x -> abs(x))) / 127 AS scale
+  FROM embeddings
+), qd AS (
+  SELECT vec_id,
+         CASE WHEN scale = 0 THEN list_transform(v, x -> 0)
+              ELSE list_transform(v, x -> CAST(floor(x / scale + 0.5) AS INT)) END AS q
+  FROM s
+), q0 AS (SELECT q FROM qd WHERE vec_id = 0)
+SELECT qd.vec_id,
+       round(list_sum(list_transform(range(1, {DIM} + 1),
+                                     i -> (qd.q[i] * q0.q[i])::DOUBLE))
+             / (sqrt(list_sum(list_transform(qd.q, x -> (x * x)::DOUBLE)))
+                * sqrt(list_sum(list_transform(q0.q, x -> (x * x)::DOUBLE)))),
+             4) AS qcos
+FROM qd, q0 WHERE qd.vec_id <> 0
+ORDER BY qcos DESC, qd.vec_id ASC LIMIT {TOPK}
+"""
+
+
 QUERIES = {
     "sim_topk_bruteforce": q_sim_topk_bruteforce,
     "sim_knn_join": q_sim_knn_join,
@@ -570,6 +635,7 @@ QUERIES = {
     "sim_ann_recall": q_sim_ann_recall,
     "sim_label_centroids": q_sim_label_centroids,
     "sim_quantize_int8": q_sim_quantize_int8,
+    "sim_quantized_topk": q_sim_quantized_topk,
 }
 
 ORACLES = {
@@ -581,4 +647,5 @@ ORACLES = {
     "sim_ann_recall": _sql_ann_recall(),
     "sim_label_centroids": SQL_SIM_CENTROIDS,
     "sim_quantize_int8": SQL_SIM_QUANTIZE,
+    "sim_quantized_topk": SQL_SIM_QUANTIZED_TOPK,
 }

@@ -46,3 +46,22 @@ def test_sim_quantize_int8_invariants(spark, sf_tiny):
         assert r.n_clip >= 1  # the max element quantizes to the rail
         # both fields are rounded to 6 decimals -> 1e-6 slack
         assert r.max_recon_err <= r.scale / 2 + 1e-6
+
+
+def test_sim_quantized_topk_close_to_exact(spark, sf_tiny):
+    """Quantized search is an approximation of exact cosine top-k:
+    at int8 resolution the two rankings must share most of the top-10
+    (recall@10 >= 0.8 on the synthetic corpus) and every quantized
+    score must sit within 2*max_recon_err-ish of the exact one."""
+    from handprint_spark.operators.similarity import (
+        q_sim_quantized_topk,
+        q_sim_topk_bruteforce,
+    )
+
+    exact = {r.vec_id: r.cos for r in q_sim_topk_bruteforce(spark, sf_tiny).collect()}
+    quant = {r.vec_id: r.qcos for r in q_sim_quantized_topk(spark, sf_tiny).collect()}
+    assert len(quant) == 10
+    overlap = len(set(exact) & set(quant))
+    assert overlap >= 8, (sorted(exact), sorted(quant))
+    for vid in set(exact) & set(quant):
+        assert abs(exact[vid] - quant[vid]) < 0.05
