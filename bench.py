@@ -29,6 +29,7 @@ def main() -> None:
     from handprint_spark.operators import (
         curation,
         dedup,
+        multimodal,
         relational,
         service_queries,
         similarity,
@@ -105,6 +106,8 @@ def main() -> None:
         ("sim_topk_bruteforce", similarity.QUERIES["sim_topk_bruteforce"]),
         ("sim_lsh_ann", similarity.QUERIES["sim_lsh_ann"]),
         ("sim_ivf_ann", similarity.QUERIES["sim_ivf_ann"]),
+        ("sim_quantized_topk", similarity.QUERIES["sim_quantized_topk"]),
+        ("mm_frame_sample", multimodal.QUERIES["mm_frame_sample"]),
         ("dd_substring_dup", dedup.QUERIES["dd_substring_dup"]),
         ("dd_contamination", dedup.QUERIES["dd_contamination"]),
         ("ta_fingerprint", text_analysis.QUERIES["ta_fingerprint"]),
