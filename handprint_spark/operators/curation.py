@@ -218,13 +218,84 @@ def run_curation_batch(spark, sf_dir, keep_dir, lineage_dir, batch_id: int) -> d
     }
 
 
+# --- shard assignment + token packing ----------------------------------------
+
+N_SHARDS = 8  # sandbox scale; a 100 TB run picks O(10^4) so one shard
+              # sorts within one executor's memory
+PACK_BUDGET = 2048  # tokens per pack stripe (a data-loader context window)
+
+
+def q_cur_shard_pack(spark, sf_dir):
+    """The step after the keep-list: materialize training shards.
+    Every kept doc is assigned a shard by content-stable hash
+    (reproducible across runs and engines), then packed into
+    fixed-token-budget stripes within its shard: docs are laid out in
+    deterministic (doc_id) order, each starting at the shard's running
+    token offset, and the stripe is ``floor(start / PACK_BUDGET)`` —
+    offset-based packing, the deterministic single-window form of
+    sequence packing (exact first-fit is inherently sequential; fixed
+    token stripes are what distributed loaders actually consume).
+
+    Scale shape: ONE shuffle (hash partition by shard) and a per-shard
+    sort — with O(10^4) shards each partition is executor-sized; no
+    driver involvement, no iteration."""
+    from pyspark.sql.window import Window
+
+    from ..corpus import slice_hash_col
+
+    kept = q_cur_keep_list(spark, sf_dir)
+    df = kept.select(
+        "doc_id",
+        "n_tokens",
+        (slice_hash_col(F.col("doc_id")) % N_SHARDS).cast("int").alias("shard"),
+    )
+    w = (
+        Window.partitionBy("shard")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return (
+        df.withColumn(
+            "start_tok", F.coalesce(F.sum("n_tokens").over(w), F.lit(0)).cast("long")
+        )
+        .withColumn(
+            "pack_bin", F.floor(F.col("start_tok") / F.lit(PACK_BUDGET)).cast("int")
+        )
+        .select("doc_id", "shard", "pack_bin", "start_tok", "n_tokens")
+    )
+
+
+SQL_CUR_SHARD_PACK = f"""
+WITH keep AS ({SQL_CUR_KEEP_LIST}),
+sharded AS (
+  SELECT doc_id, n_tokens,
+         CAST(('0x' || substr(sha256(doc_id::VARCHAR), 1, 8))::BIGINT
+              % {N_SHARDS} AS INT) AS shard
+  FROM keep
+), laid AS (
+  SELECT doc_id, shard, n_tokens,
+         CAST(coalesce(sum(n_tokens) OVER (
+                PARTITION BY shard ORDER BY doc_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+              AS BIGINT) AS start_tok
+  FROM sharded
+)
+SELECT doc_id, shard,
+       CAST(floor(start_tok / {PACK_BUDGET}.0) AS INT) AS pack_bin,
+       start_tok, n_tokens
+FROM laid
+"""
+
+
 QUERIES = {
     "cur_keep_list": q_cur_keep_list,
     "cur_sample_strat": q_cur_sample_strat,
     "cur_report": q_cur_report,
+    "cur_shard_pack": q_cur_shard_pack,
 }
 ORACLES = {
     "cur_keep_list": SQL_CUR_KEEP_LIST,
     "cur_sample_strat": SQL_CUR_SAMPLE,
     "cur_report": SQL_CUR_REPORT,
+    "cur_shard_pack": SQL_CUR_SHARD_PACK,
 }

@@ -232,3 +232,29 @@ def test_boilerplate_strip_removes_recurring_lines(spark):
     assert out[2].n_boiler == 1 and out[2].clean_text.startswith("other beta")
     # doc 3 is the only s2 doc -> nothing stripped
     assert out[3].n_boiler == 0 and out[3].clean_text.startswith(chrome)
+
+
+def test_cur_shard_pack_layout(spark, sf_tiny):
+    """Shard = content hash mod N_SHARDS; start_tok is the exact
+    running token offset in doc_id order within the shard; pack_bin
+    is the start offset's budget stripe."""
+    from handprint_spark.corpus import doc_slice_hash
+    from handprint_spark.operators.curation import (
+        N_SHARDS,
+        PACK_BUDGET,
+        q_cur_shard_pack,
+    )
+
+    rows = q_cur_shard_pack(spark, sf_tiny).collect()
+    assert rows
+    by_shard = {}
+    for r in rows:
+        assert r.shard == doc_slice_hash(str(r.doc_id)) % N_SHARDS
+        assert r.pack_bin == r.start_tok // PACK_BUDGET
+        by_shard.setdefault(r.shard, []).append(r)
+    for shard_rows in by_shard.values():
+        shard_rows.sort(key=lambda r: r.doc_id)
+        off = 0
+        for r in shard_rows:
+            assert r.start_tok == off
+            off += r.n_tokens
