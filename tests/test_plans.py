@@ -332,3 +332,22 @@ def test_quantize_int8_jvm_only_and_narrow(spark, sf_small):
     plan = plan_str(q_sim_quantize_int8(spark, sf_small), "simple")
     assert "Exchange" not in plan
     assert "EvalPython" not in plan  # no ArrowEval/BatchEval stage
+
+
+def test_quantized_topk_plan_is_scan_score_takeordered(spark, sf_small):
+    """Quantized search: narrow scan -> HOF quantize -> Arrow score ->
+    TakeOrdered; no shuffle exchange anywhere."""
+    from handprint_spark.operators.similarity import q_sim_quantized_topk
+
+    plan = plan_str(q_sim_quantized_topk(spark, sf_small), "simple")
+    assert "TakeOrderedAndProject" in plan
+    assert "Exchange hashpartitioning" not in plan
+
+
+def test_shard_pack_single_exchange_for_window(spark, sf_small):
+    """The packing window adds exactly one hash exchange on shard
+    beyond the keep-list's own joins."""
+    from handprint_spark.operators.curation import q_cur_shard_pack
+
+    plan = plan_str(q_cur_shard_pack(spark, sf_small), "simple")
+    assert plan.count("Exchange hashpartitioning(shard") == 1
