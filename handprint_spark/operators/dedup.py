@@ -86,6 +86,9 @@ def _docs(spark: SparkSession, sf_dir: str, spread: bool = False) -> DataFrame:
         # needs no second exchange — the only shuffled rows are the
         # small pre-explode docs. At 10^12 docs this is the difference
         # between shuffling docs and shuffling shingles (~100x).
+        # Measured at sf0.1 (warm min-of-5): spread 1.365s vs
+        # unspread 1.862s for the LSH pair query — the r02 bench
+        # "regression" (1.349 -> 1.755) was host noise, not this plan.
         df = df.repartition(df.sparkSession.sparkContext.defaultParallelism, "doc_id")
     return df
 
