@@ -489,15 +489,19 @@ def _quantized(spark, sf_dir) -> DataFrame:
     HOFs — no Python, no shuffle, one narrow pass. Shared by
     sim_quantize_int8 (stats surface) and sim_quantized_topk (search
     surface)."""
-    v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
-    emb = (
-        spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-        .select("vec_id", v.alias("v"))
-        .select(
-            "vec_id",
-            "v",
-            (F.array_max(F.transform("v", F.abs)) / F.lit(127.0)).alias("scale"),
-        )
+    return _quantize_cols(_emb(spark, sf_dir))
+
+
+def _quantize_cols(df: DataFrame) -> DataFrame:
+    """Append (scale, q, err) to any frame carrying a double-array
+    ``v`` column. Materializes q as its own projected column so
+    consumers derive scalars from the named column with DISTINCT
+    lambda variable names: nesting the q expression (whose transform
+    lambda binds `x`) inside another HOF lambda also named `x`
+    mis-binds the inner variable in PySpark's unresolved lambda naming
+    and silently corrupts elements."""
+    emb = df.withColumn(
+        "scale", F.array_max(F.transform("v", F.abs)) / F.lit(127.0)
     )
     q = F.when(
         F.col("scale") == 0.0, F.transform("v", lambda x: F.lit(0))
@@ -512,12 +516,7 @@ def _quantized(spark, sf_dir) -> DataFrame:
             )
         )
     )
-    # Materialize q once so consumers derive scalars from the named
-    # column with DISTINCT lambda variable names: nesting the q
-    # expression (whose transform lambda binds `x`) inside another HOF
-    # lambda also named `x` mis-binds the inner variable in PySpark's
-    # unresolved lambda naming and silently corrupts elements.
-    return emb.select("vec_id", "scale", q.alias("q"), err.alias("err"))
+    return emb.select("*", q.alias("q"), err.alias("err"))
 
 
 def q_sim_quantize_int8(spark, sf_dir):
@@ -626,6 +625,99 @@ ORDER BY qcos DESC, qd.vec_id ASC LIMIT {TOPK}
 """
 
 
+def q_sim_ivf_quantized(spark, sf_dir):
+    """IVF + SQ8 — the production ANN layout (a faiss IVF-SQ): coarse
+    centroids prune the search to IVF_NPROBE inverted lists (at scale:
+    write-time partition pruning, ann_index.build_ivf_index), and
+    scoring inside the probed lists runs on the int8-quantized vectors
+    (4x less scan bandwidth; integer dot products). Centroids and the
+    probe selection stay full-precision, as real IVF-SQ does. Every
+    scoring intermediate is an exact integer, so the oracle reproduces
+    assignment, pruning, AND quantized scoring bit-for-bit."""
+    import math
+
+    ids, C = _centroid_matrix(spark, sf_dir)
+    assign = assign_udf(ids, C)
+    assigned = _quantize_cols(_emb(spark, sf_dir)).withColumn(
+        "cent_id", assign(F.col("v"))
+    )
+
+    qv = _query_vec(spark, sf_dir, 0)
+    q = np.asarray(qv, dtype=np.float64)
+    cos_c = np.round(
+        (C @ q) / (np.sqrt((C * C).sum(axis=1)) * np.sqrt((q * q).sum())), 4
+    )
+    order = sorted(zip(-cos_c, ids))
+    probe_ids = [int(cid) for _, cid in order[:IVF_NPROBE]]
+    probes = spark.createDataFrame([(c,) for c in probe_ids], "cent_id bigint")
+
+    m = max(abs(x) for x in qv)
+    qq = [0] * len(qv) if m == 0 else [
+        math.floor(x / (m / 127.0) + 0.5) for x in qv
+    ]
+    qarr = np.asarray(qq, dtype=np.float64)
+    qnorm = float(np.sqrt((qarr * qarr).sum()))
+
+    @F.pandas_udf("double")
+    def qcos(qcol: pd.Series) -> pd.Series:
+        M = np.stack(qcol.values).astype(np.float64)
+        den = np.sqrt((M * M).sum(axis=1)) * qnorm
+        return pd.Series(np.round((M @ qarr) / den, 4))
+
+    return (
+        assigned.join(F.broadcast(probes), "cent_id")
+        .filter(F.col("vec_id") != 0)
+        .withColumn("qcos", qcos(F.col("q")))
+        .select("vec_id", "cent_id", "qcos")
+    )
+
+
+SQL_SIM_IVF_QUANTIZED = f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+c AS (SELECT vec_id AS cent_id, v AS cv FROM e
+      WHERE vec_id IN ({", ".join(map(str, CENTROID_IDS))})),
+assign AS (
+  SELECT vec_id, v, cent_id FROM (
+    SELECT e.vec_id, e.v, c.cent_id,
+           row_number() OVER (PARTITION BY e.vec_id
+             ORDER BY round(list_cosine_similarity(e.v, c.cv), 4) DESC,
+                      c.cent_id ASC) AS rn
+    FROM e CROSS JOIN c) WHERE rn = 1
+),
+q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+probes AS (
+  SELECT cent_id FROM (
+    SELECT c.cent_id,
+           row_number() OVER (ORDER BY
+             round(list_cosine_similarity(c.cv, q.qv), 4) DESC,
+             c.cent_id ASC) AS rn
+    FROM c, q) WHERE rn <= {IVF_NPROBE}
+),
+qd AS (
+  SELECT a.vec_id, a.cent_id,
+         CASE WHEN scale = 0 THEN list_transform(a.v, x -> 0)
+              ELSE list_transform(a.v, x -> CAST(floor(x / scale + 0.5) AS INT))
+         END AS q
+  FROM (SELECT vec_id, cent_id, v,
+               list_max(list_transform(v, x -> abs(x))) / 127 AS scale
+        FROM assign JOIN probes USING (cent_id)) a
+),
+q0 AS (
+  SELECT CASE WHEN scale = 0 THEN list_transform(qv, x -> 0)
+              ELSE list_transform(qv, x -> CAST(floor(x / scale + 0.5) AS INT))
+         END AS q
+  FROM (SELECT qv, list_max(list_transform(qv, x -> abs(x))) / 127 AS scale FROM q)
+)
+SELECT qd.vec_id, qd.cent_id,
+       round(list_sum(list_transform(range(1, {DIM} + 1),
+                                     i -> (qd.q[i] * q0.q[i])::DOUBLE))
+             / (sqrt(list_sum(list_transform(qd.q, x -> (x * x)::DOUBLE)))
+                * sqrt(list_sum(list_transform(q0.q, x -> (x * x)::DOUBLE)))),
+             4) AS qcos
+FROM qd, q0 WHERE qd.vec_id <> 0
+"""
+
+
 QUERIES = {
     "sim_topk_bruteforce": q_sim_topk_bruteforce,
     "sim_knn_join": q_sim_knn_join,
@@ -636,6 +728,7 @@ QUERIES = {
     "sim_label_centroids": q_sim_label_centroids,
     "sim_quantize_int8": q_sim_quantize_int8,
     "sim_quantized_topk": q_sim_quantized_topk,
+    "sim_ivf_quantized": q_sim_ivf_quantized,
 }
 
 ORACLES = {
@@ -648,4 +741,5 @@ ORACLES = {
     "sim_label_centroids": SQL_SIM_CENTROIDS,
     "sim_quantize_int8": SQL_SIM_QUANTIZE,
     "sim_quantized_topk": SQL_SIM_QUANTIZED_TOPK,
+    "sim_ivf_quantized": SQL_SIM_IVF_QUANTIZED,
 }

@@ -351,3 +351,13 @@ def test_shard_pack_single_exchange_for_window(spark, sf_small):
 
     plan = plan_str(q_cur_shard_pack(spark, sf_small), "simple")
     assert plan.count("Exchange hashpartitioning(shard") == 1
+
+
+def test_ivf_quantized_prunes_and_broadcasts(spark, sf_small):
+    """IVF-SQ: probe set broadcast (no shuffle join), quantize stays
+    in Catalyst HOFs, scoring in one Arrow stage."""
+    from handprint_spark.operators.similarity import q_sim_ivf_quantized
+
+    plan = plan_str(q_sim_ivf_quantized(spark, sf_small), "simple")
+    assert "BroadcastHashJoin" in plan
+    assert "Exchange hashpartitioning" not in plan
