@@ -115,6 +115,8 @@ def main() -> None:
         ("ta_boilerplate_strip", text_analysis.QUERIES["ta_boilerplate_strip"]),
         ("ev_sessionize", relational.QUERIES["ev_sessionize"]),
         ("cur_keep_list", curation.QUERIES["cur_keep_list"]),
+        ("cur_shard_pack", curation.QUERIES["cur_shard_pack"]),
+        ("sim_ivf_quantized", similarity.QUERIES["sim_ivf_quantized"]),
         ("x5_microsoft_parse", service_queries.QUERIES["x5_microsoft_parse"]),
     ]
     # Two full suite passes; per-query best across passes. Pass 1 also
