@@ -216,11 +216,29 @@ def run_cli(argv: list[str] | None = None) -> int:
     from .operators.extract import extracted_text
     from .sources.checkpoints import run_batch
 
+    # Batch ids continue from the lineage table, so a -j resume gets a
+    # FRESH batch id: the per-batch sinks below (extended/compare)
+    # filter on it, and reusing id 0 on resume would re-append the
+    # first run's rows.
+    lineage = table_sink.load(spark, lineage_dir)
+    first_batch = (
+        0 if lineage is None else int(lineage.agg(F.max("batch_id")).first()[0]) + 1
+    )
+
     total_docs = 0
-    for batch_id, corpus in enumerate(args.corpora):
+    for offset, corpus in enumerate(args.corpora):
+        batch_id = first_batch + offset
         spans = load_documents_spans(spark, corpus)
         if keep_ids is not None:
-            spans = spans.filter(F.col("doc_id").isin(keep_ids))
+            if len(keep_ids) > 10_000:
+                # a big keep-list is a table, not an IN-list: broadcast
+                # semi-join instead of a 10^5-literal predicate
+                keep_df = spark.createDataFrame(
+                    [(d,) for d in keep_ids], "doc_id string"
+                )
+                spans = spans.join(F.broadcast(keep_df), "doc_id", "left_semi")
+            else:
+                spans = spans.filter(F.col("doc_id").isin(keep_ids))
         metrics = run_batch(
             spark, spans, results_dir, lineage_dir, batch_id, services=services
         )
