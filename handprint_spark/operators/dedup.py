@@ -234,7 +234,11 @@ def q_dd_minhash_lsh_pairs(spark, sf_dir):
     ((doc_id, 4 hex strings) per doc) is materialized once (lazy
     localCheckpoint) so the shingle-explode + min-agg subtree isn't
     evaluated on both sides of the self-join — same rationale as
-    ``q_dd_simhash_pairs``."""
+    ``q_dd_simhash_pairs``. Durability: unlike the iterative CC rounds
+    (which offer ``reliable=True``), losing an executor here just
+    fails-and-retries this ONE query from source — nothing
+    partially-computed is wasted, so executor-memory blocks are the
+    right default."""
     sigs = _minhash_sigs(_docs(spark, sf_dir, spread=True)).localCheckpoint(eager=False)
     bands = sigs.select(
         "doc_id",
@@ -354,7 +358,9 @@ def q_dd_simhash_pairs(spark, sf_dir):
     (doc_id, 1 long) per doc, trivially small): a plain self-join
     would evaluate the 60-bit fold subtree on BOTH sides. On a
     cluster this is the sig table an incremental dedup pipeline
-    persists anyway."""
+    persists anyway; executor loss just retries this one query from
+    source (the multi-round durability concern is specific to
+    iterative CC, which has ``reliable=True``)."""
     sigs = q_dd_simhash(spark, sf_dir).localCheckpoint(eager=False)
     chunks, off = [], 0
     for k, width in enumerate(SIMHASH_CHUNK_BITS):

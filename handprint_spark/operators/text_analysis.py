@@ -578,18 +578,22 @@ FROM totals t LEFT JOIN kept k USING (doc_id)
 # made of globally-rare tokens score high (gibberish / OCR noise);
 # boilerplate-like docs score low. The LM here is unigram (a 5-gram
 # KenLM would swap in the same join shape keyed by n-gram); what
-# matters at 10^12 rows is the plan: the vocabulary table is bounded
-# by VOCAB size, not corpus size, so the per-token logprob lookup is a
-# broadcast join, and the per-doc reduce is one well-spread groupBy.
+# matters at 10^12 rows is the plan: the per-token logprob lookup is
+# an equi-join on the well-spread token key (AQE broadcasts it at
+# runtime when the vocab measures small), and the per-doc reduce is
+# one well-spread groupBy.
 
 
 def q_ta_unigram_logprob(spark, sf_dir):
     """(doc_id, n_tokens, avg_neg_logprob): mean -ln p(token) under
     the corpus unigram MLE. Ratios are rounded at 6 places to absorb
-    engine summation-order wobble. The broadcast hint assumes a
-    bounded vocabulary (a trained LM's reality); for a raw open-vocab
-    web crawl drop the hint and the lookup degrades gracefully to a
-    sort-merge join on the well-spread token key."""
+    engine summation-order wobble. The vocab lookup carries NO
+    broadcast hint: a trained-LM vocab is bounded and AQE broadcasts
+    it at runtime when it measures small, but a raw open-vocab web
+    crawl's vocabulary scales with the corpus — a hardcoded hint would
+    be the per-doc-broadcast OOM class, so the safe default is the
+    sort-merge join on the well-spread token key and AQE's
+    runtime-size decision."""
     docs = _docs(spark, sf_dir)
     toks = docs.select("doc_id", F.explode(_words()).alias("w"))
     total = toks.count()  # scalar: one job, folded into the plan as a literal
@@ -597,7 +601,7 @@ def q_ta_unigram_logprob(spark, sf_dir):
         (-F.log(F.count("*") / F.lit(total))).alias("neg_lp")
     )
     return (
-        toks.join(F.broadcast(vocab), "w")
+        toks.join(vocab, "w")
         .groupBy("doc_id")
         .agg(
             F.count("*").cast("int").alias("n_tokens"),
