@@ -178,18 +178,31 @@ def run_cli(argv: list[str] | None = None) -> int:
     if not args.corpora:
         raise CannotProceed(ExitCode.bad_arg, "no corpus directories given")
     for d in args.corpora:
-        if not os.path.isdir(d) and not os.path.isdir(f"{d}.parquet"):
-            raise FileNotFoundError(d)
+        # the loader reads {d}/documents.parquet — validate that exact
+        # path up front so a bad input is a clean file_error (4), not a
+        # mid-run Spark AnalysisException (6)
+        table = os.path.join(d, "documents.parquet")
+        if not os.path.isdir(table) and not os.path.isfile(table):
+            raise FileNotFoundError(table)
     if (args.text_color or args.text_size) and not args.quiet:
         print("note: grayscale HPM1 codec — annotation color/size are fixed")
 
-    from .corpus import load_documents_spans
+    from pyspark import SparkConf
+
+    from .corpus import spanify
     from .session import get_spark
 
+    # Under spark-submit --master, the submitted master must win —
+    # builder.master() would silently turn a cluster run into a
+    # single-machine local[N] one. -t only sizes the local default.
     threads = args.threads or max(1, (os.cpu_count() or 2) // 2)
-    spark = get_spark(
-        app_name="handprint-spark-cli", master=f"local[{threads}]"
+    submitted_conf = SparkConf()
+    master = (
+        submitted_conf.get("spark.master")
+        if submitted_conf.contains("spark.master")
+        else f"local[{threads}]"
     )
+    spark = get_spark(app_name="handprint-spark-cli", master=master)
     spark.sparkContext.setLogLevel("ERROR")
 
     out = args.output_dir
@@ -206,15 +219,30 @@ def run_cli(argv: list[str] | None = None) -> int:
             "or choose a different -o/--output-dir (sinks are never clobbered)",
         )
 
-    keep_ids = None
-    if args.from_file:
-        with open(args.from_file) as fh:
-            keep_ids = [line.strip() for line in fh if line.strip()]
-
     from pyspark.sql import functions as F
 
     from .operators.extract import extracted_text
     from .sources.checkpoints import run_batch
+
+    # One keep-list filter shared by every table carrying doc_id
+    # (documents, ground truth): a big keep-list is a table, not an
+    # IN-list — broadcast semi-join instead of a 10^5-literal predicate.
+    keep_filter = None
+    if args.from_file:
+        with open(args.from_file) as fh:
+            keep_ids = [line.strip() for line in fh if line.strip()]
+        if len(keep_ids) > 10_000:
+            keep_df = spark.createDataFrame(
+                [(d,) for d in keep_ids], "doc_id string"
+            )
+
+            def keep_filter(df):
+                return df.join(F.broadcast(keep_df), "doc_id", "left_semi")
+
+        else:
+
+            def keep_filter(df):
+                return df.filter(F.col("doc_id").isin(keep_ids))
 
     # Batch ids continue from the lineage table, so a -j resume gets a
     # FRESH batch id: the per-batch sinks below (extended/compare)
@@ -228,17 +256,13 @@ def run_cli(argv: list[str] | None = None) -> int:
     total_docs = 0
     for offset, corpus in enumerate(args.corpora):
         batch_id = first_batch + offset
-        spans = load_documents_spans(spark, corpus)
-        if keep_ids is not None:
-            if len(keep_ids) > 10_000:
-                # a big keep-list is a table, not an IN-list: broadcast
-                # semi-join instead of a 10^5-literal predicate
-                keep_df = spark.createDataFrame(
-                    [(d,) for d in keep_ids], "doc_id string"
-                )
-                spans = spans.join(F.broadcast(keep_df), "doc_id", "left_semi")
-            else:
-                spans = spans.filter(F.col("doc_id").isin(keep_ids))
+        # keep-list BEFORE spanify: the media-encode UDF is the
+        # pipeline's hottest stage, so non-kept docs must be dropped
+        # while rows are still (doc_id, text), not after encoding
+        docs = spark.read.parquet(f"{corpus}/documents.parquet")
+        if keep_filter is not None:
+            docs = keep_filter(docs)
+        spans = spanify(docs)
         metrics = run_batch(
             spark, spans, results_dir, lineage_dir, batch_id, services=services
         )
@@ -266,8 +290,11 @@ def run_cli(argv: list[str] | None = None) -> int:
         if needs_render:
             from .operators.render import annotated_media, doc_grids
 
+            # render only THIS batch's docs: rendering from the full
+            # corpus would re-append every prior row to the grid/
+            # annotated sinks on a -j resume (and re-pay the render)
             annotated = annotated_media(
-                spans,
+                spans.join(results.select("doc_id"), "doc_id", "left_semi"),
                 score_threshold=args.confidence,
                 display=display,
                 shift=shift,
@@ -286,8 +313,8 @@ def run_cli(argv: list[str] | None = None) -> int:
 
             htr = extracted_text(results, kinds=("ocr",)).select("doc_id", "text")
             gt = ground_truth(spark, corpus)
-            if keep_ids is not None:
-                gt = gt.filter(F.col("doc_id").isin(keep_ids))
+            if keep_filter is not None:
+                gt = keep_filter(gt)
             table_sink.append(
                 comparison_tsv(htr, gt, relaxed=args.relaxed),
                 os.path.join(out, f"{prefix}comparison"),

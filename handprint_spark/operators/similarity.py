@@ -516,7 +516,43 @@ def _quantize_cols(df: DataFrame) -> DataFrame:
             )
         )
     )
+    # err is only consumed by sim_quantize_int8; Catalyst column
+    # pruning removes it entirely from the search queries' optimized
+    # plans (verified: no abs/err expression survives in
+    # sim_quantized_topk's plan), so computing it here costs the
+    # searches nothing.
     return emb.select("*", q.alias("q"), err.alias("err"))
+
+
+def quantize_query(qv: list[float]) -> list[int]:
+    """Driver-side int8 quantization of ONE query vector — the same
+    max|v|/127 scale and floor(x/scale + 0.5) rule as _quantize_cols
+    (Python floats are IEEE doubles, so the ints match the engines
+    exactly)."""
+    import math
+
+    m = max(abs(x) for x in qv)
+    if m == 0:
+        return [0] * len(qv)
+    scale = m / 127.0
+    return [math.floor(x / scale + 0.5) for x in qv]
+
+
+def quantized_cos_udf(qq: list[int]):
+    """cos over int8-quantized vectors vs a quantized query, rounded
+    to 4 decimals. One matmul per Arrow batch; every intermediate is
+    an exact integer below 2^53, so float64 holds it losslessly and
+    the score is bit-reproducible in SQL."""
+    qarr = np.asarray(qq, dtype=np.float64)
+    qnorm = float(np.sqrt((qarr * qarr).sum()))
+
+    @F.pandas_udf("double")
+    def qcos(qcol: pd.Series) -> pd.Series:
+        M = np.stack(qcol.values).astype(np.float64)
+        den = np.sqrt((M * M).sum(axis=1)) * qnorm
+        return pd.Series(np.round((M @ qarr) / den, 4))
+
+    return qcos
 
 
 def q_sim_quantize_int8(spark, sf_dir):
@@ -576,24 +612,7 @@ def q_sim_quantized_topk(spark, sf_dir):
     path. Scoring is one numpy matmul per Arrow batch (exact: float64
     holds these integers losslessly); plan shape matches
     sim_topk_bruteforce — scan + narrow score + TakeOrdered."""
-    import math
-
-    qv = _query_vec(spark, sf_dir, 0)
-    m = max(abs(x) for x in qv)
-    qq = (
-        [0] * len(qv)
-        if m == 0
-        else [math.floor(x / (m / 127.0) + 0.5) for x in qv]
-    )
-    qarr = np.asarray(qq, dtype=np.float64)
-    qnorm = float(np.sqrt((qarr * qarr).sum()))
-
-    @F.pandas_udf("double")
-    def qcos(q: pd.Series) -> pd.Series:
-        M = np.stack(q.values).astype(np.float64)
-        den = np.sqrt((M * M).sum(axis=1)) * qnorm
-        return pd.Series(np.round((M @ qarr) / den, 4))
-
+    qcos = quantized_cos_udf(quantize_query(_query_vec(spark, sf_dir, 0)))
     quant = _quantized(spark, sf_dir).filter(F.col("vec_id") != 0)
     return (
         quant.withColumn("qcos", qcos(F.col("q")))
@@ -634,8 +653,6 @@ def q_sim_ivf_quantized(spark, sf_dir):
     probe selection stay full-precision, as real IVF-SQ does. Every
     scoring intermediate is an exact integer, so the oracle reproduces
     assignment, pruning, AND quantized scoring bit-for-bit."""
-    import math
-
     ids, C = _centroid_matrix(spark, sf_dir)
     assign = assign_udf(ids, C)
     assigned = _quantize_cols(_emb(spark, sf_dir)).withColumn(
@@ -651,18 +668,7 @@ def q_sim_ivf_quantized(spark, sf_dir):
     probe_ids = [int(cid) for _, cid in order[:IVF_NPROBE]]
     probes = spark.createDataFrame([(c,) for c in probe_ids], "cent_id bigint")
 
-    m = max(abs(x) for x in qv)
-    qq = [0] * len(qv) if m == 0 else [
-        math.floor(x / (m / 127.0) + 0.5) for x in qv
-    ]
-    qarr = np.asarray(qq, dtype=np.float64)
-    qnorm = float(np.sqrt((qarr * qarr).sum()))
-
-    @F.pandas_udf("double")
-    def qcos(qcol: pd.Series) -> pd.Series:
-        M = np.stack(qcol.values).astype(np.float64)
-        den = np.sqrt((M * M).sum(axis=1)) * qnorm
-        return pd.Series(np.round((M @ qarr) / den, 4))
+    qcos = quantized_cos_udf(quantize_query(qv))
 
     return (
         assigned.join(F.broadcast(probes), "cent_id")

@@ -66,11 +66,13 @@ def test_end_to_end_run_resume_and_compare(spark, sf_tiny, tmp_path, capsys):
     )
     assert code == ExitCode.file_error
 
-    # with -j the anti-join resume finds nothing left to do, and the
-    # per-batch sinks must NOT re-append the first run's rows (fresh
-    # batch id from lineage)
-    assert run_cli(["-j", "-G", "-e", "-o", out, "-q", "-t", "4", sf_tiny]) == 0
+    # with -j the anti-join resume finds nothing left to do, and NO
+    # per-batch sink may re-append the first run's rows (fresh batch
+    # id for text/json/comparison; batch-scoped render for grid)
+    n_grid = spark.read.parquet(os.path.join(out, "grid")).count()
+    assert run_cli(["-j", "-e", "-o", out, "-q", "-t", "4", sf_tiny]) == 0
     assert spark.read.parquet(os.path.join(out, "text")).count() == n
+    assert spark.read.parquet(os.path.join(out, "grid")).count() == n_grid
 
     # the comparison sink holds one byte-exact TSV report per doc
     rows = spark.read.parquet(os.path.join(out, "comparison")).collect()
