@@ -46,6 +46,16 @@ import argparse
 import os
 import sys
 
+if __package__ in (None, ""):  # pragma: no cover — spark-submit path
+    # spark-submit runs this FILE as a bare script (no package
+    # context), which breaks relative imports; register the parent
+    # package first. --py-files handprint_spark.zip puts the package
+    # on every executor's path; this covers the driver-side script.
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    import handprint_spark  # noqa: F401  (binds the parent package)
+
+    __package__ = "handprint_spark"
+
 from . import __version__
 from .errors import CannotProceed, ExitCode, run_with_exit_code
 
