@@ -31,6 +31,7 @@ def main() -> None:
         dedup,
         multimodal,
         relational,
+        service_fanout,
         service_queries,
         similarity,
         text_analysis,
@@ -118,6 +119,14 @@ def main() -> None:
         ("cur_shard_pack", curation.QUERIES["cur_shard_pack"]),
         ("sim_ivf_quantized", similarity.QUERIES["sim_ivf_quantized"]),
         ("x5_microsoft_parse", service_queries.QUERIES["x5_microsoft_parse"]),
+        # round 4 additions: the partial-top-k kNN (rewritten this
+        # round), the single-pass unigram LM (ditto), and the skew-
+        # splitting extraction path end-to-end (chunk/reassemble over
+        # the SKEW_FACTOR x docs — the north_rule's skew machinery as a
+        # headline number, spanify included)
+        ("sim_knn_join", similarity.QUERIES["sim_knn_join"]),
+        ("ta_unigram_logprob", text_analysis.QUERIES["ta_unigram_logprob"]),
+        ("flagship_skew_aware", service_fanout.QUERIES["flagship_skew_aware"]),
     ]
     # Two full suite passes; per-query best across passes. Pass 1 also
     # absorbs each query's one-time whole-stage-codegen compile (the

@@ -240,10 +240,15 @@ def run_cli(argv: list[str] | None = None) -> int:
     keep_filter = None
     if args.from_file:
         with open(args.from_file) as fh:
-            keep_ids = [line.strip() for line in fh if line.strip()]
+            # The corpus doc_id is BIGINT: parse keep ids to int here so
+            # the semi-join/isin compares long-to-long. Relying on
+            # Spark's implicit string<->bigint coercion compares as
+            # DOUBLE in legacy mode (silent mis-match above 2^53) and
+            # differs under ANSI mode.
+            keep_ids = [int(line.strip()) for line in fh if line.strip()]
         if len(keep_ids) > 10_000:
             keep_df = spark.createDataFrame(
-                [(d,) for d in keep_ids], "doc_id string"
+                [(d,) for d in keep_ids], "doc_id bigint"
             )
 
             def keep_filter(df):

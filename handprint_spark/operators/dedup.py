@@ -63,7 +63,14 @@ from pyspark.sql.window import Window
 
 MAX_DF = 50  # drop shingles occurring in more docs than this (posting cap)
 JACCARD_THRESHOLD = 0.5
-MINHASH_K = 4  # 2 bands x 2 rows
+MINHASH_K = 4  # demo/oracle width: 2 bands x 2 rows (portable SQL)
+MINHASH_BANDS = 2
+# production banding (exercised in tests/test_curation.py; the oracle
+# keeps the portable K=4 form — a 128-way min-agg DuckDB oracle adds
+# nothing to plan verification): K=128 hashes, 16 bands x 8 rows,
+# half-recall threshold (1/16)^(1/8) ≈ 0.707 with a sharp S-curve
+MINHASH_K_PROD = 128
+MINHASH_BANDS_PROD = 16
 SIM_BITS = 60  # production width; 60 not 64: signed-int64-safe on both engines
 SIM_HEX_CHARS = SIM_BITS // 4  # md5 prefix chars for the per-word hash
 HAMMING_MAX = 2
@@ -199,15 +206,56 @@ WHERE round(n_inter::DOUBLE / (s1.n_sh + s2.n_sh - n_inter), 4) >= {JACCARD_THRE
 
 # --- MinHash + LSH -----------------------------------------------------------
 
-def _minhash_sigs(docs: DataFrame) -> DataFrame:
+def _minhash_sigs(docs: DataFrame, k: int = MINHASH_K) -> DataFrame:
     """K lexicographic-min keyed-md5 signatures per doc (string mins —
-    portable, no hash-function mismatch between engines)."""
+    portable, no hash-function mismatch between engines). ``k`` is the
+    signature width: the registered query/oracle use the portable
+    demo width MINHASH_K=4, production runs pass k=128 (see
+    ``minhash_lsh_pairs``) — the plan is width-independent (k min
+    aggregates over ONE shingle explode, still a single shuffle on
+    doc_id)."""
     exploded = docs.select("doc_id", F.explode(_shingles_col()).alias("s"))
     aggs = [
         F.min(F.md5(F.concat(F.lit(f"{i}|"), F.col("s")).cast("binary"))).alias(f"sig{i}")
-        for i in range(MINHASH_K)
+        for i in range(k)
     ]
     return exploded.groupBy("doc_id").agg(*aggs)
+
+
+def minhash_lsh_pairs(
+    docs: DataFrame, k: int = MINHASH_K, bands: int = MINHASH_BANDS
+) -> DataFrame:
+    """LSH candidate pairs at ANY (k, bands) banding — the
+    parameterized core behind ``q_dd_minhash_lsh_pairs``. ``k`` hashes
+    split into ``bands`` bands of r = k/bands rows; a pair is a
+    candidate when ALL r sigs of some band collide, so the candidate
+    probability for Jaccard j is 1 - (1 - j^r)^bands with the
+    half-recall threshold at ~(1/bands)^(1/r) — the demo (k=4, b=2,
+    r=2) catches from j≈0.7, the production curve (k=128, b=16, r=8)
+    centers at j≈0.707 with a much sharper S (fewer false candidates
+    per true near-dup). The PLAN is parameter-independent: one shingle
+    explode + k min-aggs (single shuffle), band keys exploded to
+    bands rows/doc, candidates from ONE equi-join on band_key."""
+    if k % bands != 0:
+        raise ValueError(f"k={k} must divide into bands={bands}")
+    rows = k // bands
+    sigs = _minhash_sigs(docs, k).localCheckpoint(eager=False)
+    band_cols = [
+        F.concat_ws(
+            "|",
+            F.lit(f"b{b}"),
+            *[F.col(f"sig{b * rows + r}") for r in range(rows)],
+        )
+        for b in range(bands)
+    ]
+    bands_df = sigs.select("doc_id", F.explode(F.array(*band_cols)).alias("band_key"))
+    a, b = bands_df.alias("a"), bands_df.alias("b")
+    return (
+        a.join(b, (F.col("a.band_key") == F.col("b.band_key"))
+               & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select(F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2"))
+        .distinct()
+    )
 
 
 def q_dd_minhash_sigs(spark, sf_dir):
@@ -238,24 +286,10 @@ def q_dd_minhash_lsh_pairs(spark, sf_dir):
     (which offer ``reliable=True``), losing an executor here just
     fails-and-retries this ONE query from source — nothing
     partially-computed is wasted, so executor-memory blocks are the
-    right default."""
-    sigs = _minhash_sigs(_docs(spark, sf_dir, spread=True)).localCheckpoint(eager=False)
-    bands = sigs.select(
-        "doc_id",
-        F.explode(
-            F.array(
-                F.concat(F.lit("b0|"), "sig0", F.lit("|"), "sig1"),
-                F.concat(F.lit("b1|"), "sig2", F.lit("|"), "sig3"),
-            )
-        ).alias("band_key"),
-    )
-    a, b = bands.alias("a"), bands.alias("b")
-    return (
-        a.join(b, (F.col("a.band_key") == F.col("b.band_key"))
-               & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .select(F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2"))
-        .distinct()
-    )
+    right default. Delegates to ``minhash_lsh_pairs`` at the demo
+    (MINHASH_K, MINHASH_BANDS) banding the DuckDB oracle mirrors;
+    production runs call it at (MINHASH_K_PROD, MINHASH_BANDS_PROD)."""
+    return minhash_lsh_pairs(_docs(spark, sf_dir, spread=True))
 
 
 SQL_DD_MINHASH_LSH = """
@@ -810,10 +844,32 @@ FROM g LEFT JOIN hits h USING (doc_id)
 # --- duplicate-cluster resolution (connected components) ---------------------
 
 MAX_CC_ITERS = 20
-# the pair graph is a tiny fraction of the corpus (~0.1% of docs land
-# in any near-dup pair); fixed small round partitioning beats
-# inheriting a corpus-sized shuffle width for the iterative joins
+# FLOOR for the iterative round width. The pair graph is a tiny
+# fraction of the corpus (~0.1% of docs land in any near-dup pair), so
+# small graphs get a fixed small width (beats inheriting a corpus-sized
+# shuffle width for the iterative joins); big graphs grow the width
+# with edge count via _cc_width — a 10^9-edge graph cannot live in 8
+# partitions.
 CC_PARTITIONS = 8
+# target edge rows per round partition: an edge is two ids (~tens of
+# bytes), so 1M rows/partition keeps each round task comfortably
+# inside executor memory while bounding task count
+CC_EDGE_ROWS_PER_PARTITION = 1_000_000
+# session conf key read when duplicate_clusters(reliable=None): cluster
+# deployments set this true once (spark-submit --conf) and every CC
+# query in the session checkpoints durably; the sandbox default stays
+# the fast localCheckpoint path
+CC_RELIABLE_CONF = "handprint.cc.reliable"
+
+
+def _cc_width(n_edges: int, parallelism: int) -> int:
+    """Round-frame partition count for a CC run: scale with the edge
+    count (ceil(edges / CC_EDGE_ROWS_PER_PARTITION)), floored at
+    CC_PARTITIONS for tiny sandbox graphs and capped at 4x the session
+    parallelism so width never outruns the cluster by more than the
+    usual fine-partitioning factor."""
+    by_data = -(-n_edges // CC_EDGE_ROWS_PER_PARTITION)  # ceil div
+    return max(CC_PARTITIONS, min(by_data, max(parallelism * 4, CC_PARTITIONS)))
 
 
 def _cc_persist(df: DataFrame, reliable: bool) -> DataFrame:
@@ -829,18 +885,30 @@ def _cc_persist(df: DataFrame, reliable: bool) -> DataFrame:
     each round costs ONE job instead of checkpoint-then-count two.
     On this sandbox host a no-op job costs ~40-120 ms wall (vCPU
     scheduling), so halving job count is the dominant lever for the
-    iterative loop."""
+    iterative loop.
+
+    The reliable path PERSISTS (MEMORY_AND_DISK) before the lazy
+    checkpoint: Spark writes a lazy reliable checkpoint by re-running
+    the RDD *after* the materializing job finishes, so without the
+    persist every round would compute twice — the cache turns the
+    checkpoint write into a block copy."""
     if not reliable:
         return df.localCheckpoint(eager=False)
+    from pyspark import StorageLevel
+
     sc = df.sparkSession.sparkContext
     if sc.getCheckpointDir() is None:
         import tempfile
 
         sc.setCheckpointDir(tempfile.mkdtemp(prefix="handprint_cc_ckpt_"))
-    return df.checkpoint(eager=False)
+    return df.persist(StorageLevel.MEMORY_AND_DISK).checkpoint(eager=False)
 
 
-def duplicate_clusters(pairs: DataFrame, reliable: bool = False) -> DataFrame:
+def duplicate_clusters(
+    pairs: DataFrame,
+    reliable: bool | None = None,
+    num_partitions: int | None = None,
+) -> DataFrame:
     """Candidate pairs -> duplicate clusters -> keeper per cluster:
     the step a real curation run performs AFTER near-dup pair
     generation (drop every member but one per connected component).
@@ -857,22 +925,42 @@ def duplicate_clusters(pairs: DataFrame, reliable: bool = False) -> DataFrame:
     without convergence RAISES (a partially-propagated labeling is a
     wrong answer, not a degraded one). Each round materializes via
     ``_cc_persist`` so the plan stays flat, and the round frames are
-    explicitly repartitioned to CC_PARTITIONS on the join key — no
-    session-conf mutation (thread-safe under concurrent queries).
+    explicitly repartitioned on the join key — no session-conf
+    mutation (thread-safe under concurrent queries).
+
+    ``reliable=None`` (default) reads the ``handprint.cc.reliable``
+    session conf, so a cluster deployment flips every CC query to
+    durable checkpoints with one spark-submit --conf while the sandbox
+    default stays localCheckpoint.
+
+    ``num_partitions=None`` derives the round width from the
+    materialized edge count via ``_cc_width`` (floor CC_PARTITIONS,
+    ~CC_EDGE_ROWS_PER_PARTITION edge rows per partition, capped at 4x
+    session parallelism): tiny sandbox graphs keep the fixed small
+    width, a 10^9-edge production graph gets a width it can actually
+    live in. The sizing count runs on the ALREADY-CHECKPOINTED edge
+    frame, so it costs one job barrier, never a recompute of the
+    candidate-pair plan.
 
     Returns (doc_id, cluster, is_keeper) for every doc in >= 1 pair.
     """
-    edges = pairs.select(F.col("d1").alias("src"), F.col("d2").alias("dst"))
-    edges = _cc_persist(
-        edges.union(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
-        .repartition(CC_PARTITIONS, "src"),
+    spark = pairs.sparkSession
+    if reliable is None:
+        reliable = str(spark.conf.get(CC_RELIABLE_CONF, "false")).lower() == "true"
+    half = pairs.select(F.col("d1").alias("src"), F.col("d2").alias("dst"))
+    staged = _cc_persist(
+        half.union(half.select(F.col("dst").alias("src"), F.col("src").alias("dst"))),
         reliable,
     )
+    n_edges = staged.count()  # materializes the checkpoint + sizes the rounds
+    if num_partitions is None:
+        num_partitions = _cc_width(n_edges, spark.sparkContext.defaultParallelism)
+    edges = _cc_persist(staged.repartition(num_partitions, "src"), reliable)
     labels = _cc_persist(
         edges.select(F.col("src").alias("node"))
         .distinct()
         .withColumn("label", F.col("node"))
-        .repartition(CC_PARTITIONS, "node"),
+        .repartition(num_partitions, "node"),
         reliable,
     )
 
@@ -912,12 +1000,18 @@ def duplicate_clusters(pairs: DataFrame, reliable: bool = False) -> DataFrame:
     # (and the leaner plan also compiles ~4x faster cold, 48s -> 5.9s
     # first sample).
     changed = -1
+    prev_round: DataFrame | None = None
     for _ in range(MAX_CC_ITERS):
         seeded = labels.select("node", "label", F.col("label").alias("prev"))
         new_labels = _cc_persist(
-            _jump(_nstep(_nstep(seeded))).repartition(CC_PARTITIONS, "node"), reliable
+            _jump(_nstep(_nstep(seeded))).repartition(num_partitions, "node"), reliable
         )
         changed = new_labels.filter(F.col("label") != F.col("prev")).count()
+        if reliable and prev_round is not None:
+            # round k-1's cache blocks are dead once round k is
+            # materialized (its checkpoint file is the durable copy)
+            prev_round.unpersist()
+        prev_round = new_labels
         labels = new_labels.drop("prev")
         if changed == 0:
             break

@@ -198,5 +198,71 @@ FROM texts
 """
 
 
-QUERIES = {"xsvc_results": q_xsvc_results}
-ORACLES = {"xsvc_results": _sql_xsvc()}
+def q_flagship_skew_aware(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The flagship extraction run THROUGH the skew-splitting path
+    (plans/partitioning.extract_skew_aware) with a deliberately low
+    threshold, so the chunk/explode/reassemble machinery — not just the
+    narrow path — is exercised under the driver's value-hash gate.
+    Every skewed doc (SKEW_FACTOR x lines) and any long normal doc
+    crosses the threshold, splits into 8-media chunks, extracts in
+    parallel, and reassembles; output must be indistinguishable from
+    the narrow path: (doc_id, reading-order OCR text, n_media,
+    n_errors)."""
+    from ..plans.partitioning import extract_skew_aware
+
+    spans = load_documents_spans(spark, sf_dir)
+    results = extract_skew_aware(spans, media_per_chunk=8, skew_threshold=16)
+    return extracted_text(results, kinds=("ocr",)).select(
+        "doc_id", "text", "n_media", "n_errors"
+    )
+
+
+# Closed-form re-derivation (same corpus rule as _sql_xsvc's base CTE):
+# OCR page text = lines joined by \n, minus line 0 when the corrupt
+# slice truncates its media (that span becomes kind='error'); n_media =
+# one media span per line (skew slice repeats lines SKEW_FACTOR x);
+# n_errors = 1 exactly on non-empty corrupt docs.
+def _sql_flagship_skew() -> str:
+    from ..corpus import CORRUPT_MOD, SKEW_FACTOR, SKEW_MOD, WORDS_PER_LINE
+
+    w = WORDS_PER_LINE
+    return f"""
+WITH base AS (
+  SELECT doc_id::VARCHAR AS doc_id,
+         ('0x' || substr(sha256(doc_id::VARCHAR), 1, 8))::BIGINT AS h,
+         CASE WHEN trim(replace(text, chr(12), ' ')) = '' THEN []::VARCHAR[]
+              ELSE string_split(regexp_replace(trim(replace(text, chr(12), ' ')),
+                                               ' +', ' ', 'g'), ' ')
+         END AS words
+  FROM documents
+), lined AS (
+  SELECT doc_id, h,
+         list_transform(range(0, CAST(ceil(len(words) / {w}.0) AS INT)),
+                        i -> array_to_string(words[i*{w}+1 : i*{w}+{w}], ' ')) AS lines
+  FROM base
+), paged AS (
+  SELECT doc_id, h,
+         CASE WHEN h % {SKEW_MOD} = 0 AND len(lines) > 0
+              THEN flatten(list_transform(range(1, {SKEW_FACTOR + 1}), x -> lines))
+              ELSE lines END AS alllines
+  FROM lined
+)
+SELECT doc_id,
+       array_to_string(
+         CASE WHEN h % {CORRUPT_MOD} = 0 THEN alllines[2:] ELSE alllines END,
+         chr(10)) AS text,
+       CAST(len(alllines) AS INT) AS n_media,
+       CAST(CASE WHEN h % {CORRUPT_MOD} = 0 AND len(alllines) > 0
+                 THEN 1 ELSE 0 END AS INT) AS n_errors
+FROM paged
+"""
+
+
+QUERIES = {
+    "flagship_skew_aware": q_flagship_skew_aware,
+    "xsvc_results": q_xsvc_results,
+}
+ORACLES = {
+    "flagship_skew_aware": _sql_flagship_skew(),
+    "xsvc_results": _sql_xsvc(),
+}

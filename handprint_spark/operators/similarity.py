@@ -104,6 +104,18 @@ def _query_vec(spark, sf_dir, vec_id: int) -> list[float]:
 
 # --- vectorized kernels (numpy matmul per Arrow batch) ----------------------
 
+def _safe_cos(num: np.ndarray, den: np.ndarray) -> np.ndarray:
+    """cos = num/den with zero-norm vectors scored 0.0 (NOT NaN).
+
+    Spark sorts NaN as the LARGEST double, so an unguarded zero vector
+    would rank FIRST in every top-k; scoring it 0.0 keeps degenerate
+    vectors at the bottom, matching the CASE WHEN den = 0 guard in the
+    oracle SQL."""
+    den = np.asarray(den, dtype=np.float64)
+    safe = np.where(den == 0.0, 1.0, den)
+    return np.where(den == 0.0, 0.0, num / safe)
+
+
 def cos_query_udf(qv: list[float]):
     """cos(v, qv) rounded to 4 decimals — one matmul per batch."""
     q = np.asarray(qv, dtype=np.float64)
@@ -112,7 +124,8 @@ def cos_query_udf(qv: list[float]):
     @F.pandas_udf("double")
     def cos(v: pd.Series) -> pd.Series:
         M = np.stack(v.values).astype(np.float64)
-        return pd.Series(np.round((M @ q) / (np.sqrt((M * M).sum(axis=1)) * qn), 4))
+        den = np.sqrt((M * M).sum(axis=1)) * qn
+        return pd.Series(np.round(_safe_cos(M @ q, den), 4))
 
     return cos
 
@@ -126,7 +139,7 @@ def pair_cos_udf():
         B = np.stack(b.values).astype(np.float64)
         num = (A * B).sum(axis=1)
         den = np.sqrt((A * A).sum(axis=1)) * np.sqrt((B * B).sum(axis=1))
-        return pd.Series(np.round(num / den, 4))
+        return pd.Series(np.round(_safe_cos(num, den), 4))
 
     return pair_cos
 
@@ -180,19 +193,69 @@ ORDER BY cos DESC, e.vec_id ASC LIMIT {TOPK}
 # --- kNN join over a broadcast query set -------------------------------------
 
 def q_sim_knn_join(spark, sf_dir):
-    """K nearest neighbors for each of a small query set: broadcast
-    the queries, rank per query with a window — the
-    many-queries-vs-big-table shape (queries always broadcastable)."""
-    emb = _emb(spark, sf_dir)
-    queries = emb.filter(F.col("vec_id").isin(list(KNN_QUERIES))).select(
-        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    """K nearest neighbors for each of a small query set, as a PARTIAL
+    TOP-K: each partition scores its rows against the broadcast query
+    matrix (one matmul per Arrow batch, corpus rows NEVER duplicated
+    x|queries|) and emits only its local top-K per query, so the global
+    rank window runs over <= partitions x |queries| x K rows. The r03
+    shape (crossJoin + window over query_id) was correct but
+    concentrated the whole scored corpus onto |queries| shuffle keys —
+    with 3 queries that is a 3-reducer stage at any scale. Here the
+    only exchange keyed on query_id carries the merged local top-Ks.
+
+    Local top-K = global top-K is exact because the ordering
+    (rounded cos DESC, vec_id ASC) is total: the global top-K is a
+    subset of the union of per-partition top-Ks."""
+    qids = list(KNN_QUERIES)
+    Q = np.asarray([_query_vec(spark, sf_dir, q) for q in qids], dtype=np.float64)
+    qn = np.sqrt((Q * Q).sum(axis=1))
+    bc = spark.sparkContext.broadcast((qids, Q, qn))
+
+    def local_topk(batches):
+        ids_, Qm, Qn = bc.value
+        # per-query running candidate pools across this partition's batches
+        pool_cos = {q: [] for q in ids_}
+        pool_vid = {q: [] for q in ids_}
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            M = np.stack(pdf["v"].values).astype(np.float64)
+            vids = pdf["vec_id"].to_numpy()
+            den = np.sqrt((M * M).sum(axis=1))[:, None] * Qn[None, :]
+            S = np.round(_safe_cos(M @ Qm.T, den), 4)
+            for j, qid in enumerate(ids_):
+                mask = vids != qid
+                s, vid = S[mask, j], vids[mask]
+                if len(s) > KNN_K:
+                    # exact local top-K under the total order
+                    # (cos desc, vec_id asc): lexsort keys are last-major
+                    order = np.lexsort((vid, -s))[:KNN_K]
+                    s, vid = s[order], vid[order]
+                pool_cos[qid].append(s)
+                pool_vid[qid].append(vid)
+        rows = []
+        for qid in ids_:
+            if not pool_cos[qid]:
+                continue
+            s = np.concatenate(pool_cos[qid])
+            vid = np.concatenate(pool_vid[qid])
+            order = np.lexsort((vid, -s))[:KNN_K]
+            for i in order:
+                rows.append((qid, int(vid[i]), float(s[i])))
+        yield pd.DataFrame(
+            {
+                "query_id": pd.Series([r[0] for r in rows], dtype="int64"),
+                "vec_id": pd.Series([r[1] for r in rows], dtype="int64"),
+                "cos": pd.Series([r[2] for r in rows], dtype="float64"),
+            }
+        )
+
+    local = _emb(spark, sf_dir).mapInPandas(
+        local_topk, "query_id long, vec_id long, cos double"
     )
-    pair_cos = pair_cos_udf()
-    pairs = emb.crossJoin(F.broadcast(queries)).filter(F.col("vec_id") != F.col("query_id"))
-    pairs = pairs.withColumn("cos", pair_cos(F.col("v"), F.col("qv")))
     w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("vec_id").asc())
     return (
-        pairs.withColumn("rank", F.row_number().over(w))
+        local.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= KNN_K)
         .select("query_id", "vec_id", "cos", "rank")
     )
@@ -550,7 +613,7 @@ def quantized_cos_udf(qq: list[int]):
     def qcos(qcol: pd.Series) -> pd.Series:
         M = np.stack(qcol.values).astype(np.float64)
         den = np.sqrt((M * M).sum(axis=1)) * qnorm
-        return pd.Series(np.round((M @ qarr) / den, 4))
+        return pd.Series(np.round(_safe_cos(M @ qarr, den), 4))
 
     return qcos
 
@@ -634,11 +697,14 @@ WITH s AS (
   FROM s
 ), q0 AS (SELECT q FROM qd WHERE vec_id = 0)
 SELECT qd.vec_id,
-       round(list_sum(list_transform(range(1, {DIM} + 1),
-                                     i -> (qd.q[i] * q0.q[i])::DOUBLE))
-             / (sqrt(list_sum(list_transform(qd.q, x -> (x * x)::DOUBLE)))
-                * sqrt(list_sum(list_transform(q0.q, x -> (x * x)::DOUBLE)))),
-             4) AS qcos
+       round(CASE WHEN list_sum(list_transform(qd.q, x -> (x * x)::DOUBLE)) = 0
+                    OR list_sum(list_transform(q0.q, x -> (x * x)::DOUBLE)) = 0
+             THEN 0.0
+             ELSE list_sum(list_transform(range(1, {DIM} + 1),
+                                          i -> (qd.q[i] * q0.q[i])::DOUBLE))
+                  / (sqrt(list_sum(list_transform(qd.q, x -> (x * x)::DOUBLE)))
+                     * sqrt(list_sum(list_transform(q0.q, x -> (x * x)::DOUBLE))))
+             END, 4) AS qcos
 FROM qd, q0 WHERE qd.vec_id <> 0
 ORDER BY qcos DESC, qd.vec_id ASC LIMIT {TOPK}
 """
@@ -715,11 +781,14 @@ q0 AS (
   FROM (SELECT qv, list_max(list_transform(qv, x -> abs(x))) / 127 AS scale FROM q)
 )
 SELECT qd.vec_id, qd.cent_id,
-       round(list_sum(list_transform(range(1, {DIM} + 1),
-                                     i -> (qd.q[i] * q0.q[i])::DOUBLE))
-             / (sqrt(list_sum(list_transform(qd.q, x -> (x * x)::DOUBLE)))
-                * sqrt(list_sum(list_transform(q0.q, x -> (x * x)::DOUBLE)))),
-             4) AS qcos
+       round(CASE WHEN list_sum(list_transform(qd.q, x -> (x * x)::DOUBLE)) = 0
+                    OR list_sum(list_transform(q0.q, x -> (x * x)::DOUBLE)) = 0
+             THEN 0.0
+             ELSE list_sum(list_transform(range(1, {DIM} + 1),
+                                          i -> (qd.q[i] * q0.q[i])::DOUBLE))
+                  / (sqrt(list_sum(list_transform(qd.q, x -> (x * x)::DOUBLE)))
+                     * sqrt(list_sum(list_transform(q0.q, x -> (x * x)::DOUBLE))))
+             END, 4) AS qcos
 FROM qd, q0 WHERE qd.vec_id <> 0
 """
 

@@ -596,9 +596,19 @@ def q_ta_unigram_logprob(spark, sf_dir):
     runtime-size decision."""
     docs = _docs(spark, sf_dir)
     toks = docs.select("doc_id", F.explode(_words()).alias("w"))
-    total = toks.count()  # scalar: one job, folded into the plan as a literal
-    vocab = toks.groupBy("w").agg(
-        (-F.log(F.count("*") / F.lit(total))).alias("neg_lp")
+    # ONE corpus tokenize pass for the LM side: the vocab counts are
+    # lineage-truncated (localCheckpoint), and the corpus token total
+    # is the SUM OF THOSE COUNTS attached via a 1-row broadcast cross
+    # join — not a second full tokenize+count job over documents
+    # (r03 ran toks.count() as a separate scan). The lookup side's
+    # tokenize is the only documents scan left in the final plan; the
+    # vocab side reads the checkpointed counts.
+    counts = (
+        toks.groupBy("w").agg(F.count("*").alias("cnt")).localCheckpoint(eager=False)
+    )
+    total = counts.agg(F.sum("cnt").cast("double").alias("total"))
+    vocab = counts.crossJoin(F.broadcast(total)).select(
+        "w", (-F.log(F.col("cnt") / F.col("total"))).alias("neg_lp")
     )
     return (
         toks.join(vocab, "w")

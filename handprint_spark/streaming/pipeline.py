@@ -291,7 +291,10 @@ def stream_decontaminate(
         for pdf in batches:
             rows = []
             for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
-                words = text.split(" ")
+                # NULL text is a row-level verdict (zero grams, keep),
+                # not a job abort — batch dd_contamination parity and
+                # the repo's row-vs-job error policy (errors.py).
+                words = (text or "").split(" ")
                 grams = {
                     " ".join(words[i : i + CONTAM_N])
                     for i in range(len(words) - CONTAM_N + 1)

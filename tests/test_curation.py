@@ -47,6 +47,56 @@ def test_duplicate_clusters_reliable_checkpoint(spark):
     assert sum(r.is_keeper for r in rows) == 1 and len(rows) == 6
 
 
+def test_cc_width_scales_with_edges_floor_and_cap():
+    """Round width derives from edge count: CC_PARTITIONS floor for
+    tiny graphs, ~CC_EDGE_ROWS_PER_PARTITION edges per partition in the
+    middle, capped at 4x session parallelism — a 10^9-edge graph must
+    not be squeezed into the sandbox's 8 partitions."""
+    from handprint_spark.operators.dedup import (
+        CC_EDGE_ROWS_PER_PARTITION,
+        CC_PARTITIONS,
+        _cc_width,
+    )
+
+    assert _cc_width(500, 32) == CC_PARTITIONS  # sandbox graph -> floor
+    assert _cc_width(0, 32) == CC_PARTITIONS
+    mid = 40 * CC_EDGE_ROWS_PER_PARTITION
+    assert _cc_width(mid, 32) == 40  # data-derived, under the cap
+    assert _cc_width(10**9, 32) == 32 * 4  # capped at 4x parallelism
+    assert _cc_width(10**12, 2000) == 2000 * 4  # big cluster, big cap
+
+
+def test_duplicate_clusters_round_width_follows_num_partitions(spark):
+    """The round frames are repartitioned to the derived/overridden
+    width — pass an explicit num_partitions and assert the labeling is
+    unchanged (the width is a physical knob, never a semantic one)."""
+    ids = [f"w{i}" for i in range(8)]
+    pairs = spark.createDataFrame(list(zip(ids, ids[1:])), "d1 string, d2 string")
+    rows = duplicate_clusters(pairs, num_partitions=16).collect()
+    assert {r.cluster for r in rows} == {"w0"}
+    assert sum(r.is_keeper for r in rows) == 1 and len(rows) == 8
+
+
+def test_duplicate_clusters_reliable_from_session_conf(spark, tmp_path):
+    """reliable=None reads handprint.cc.reliable: with the conf set the
+    rounds go through the durable checkpoint dir (files appear), and
+    the labeling matches the localCheckpoint path."""
+    from handprint_spark.operators.dedup import CC_RELIABLE_CONF
+
+    sc = spark.sparkContext
+    sc.setCheckpointDir(str(tmp_path / "cc_ckpt"))
+    spark.conf.set(CC_RELIABLE_CONF, "true")
+    try:
+        ids = [f"r{i}" for i in range(6)]
+        pairs = spark.createDataFrame(list(zip(ids, ids[1:])), "d1 string, d2 string")
+        rows = duplicate_clusters(pairs).collect()
+        assert {r.cluster for r in rows} == {"r0"}
+        ckpt_files = list((tmp_path / "cc_ckpt").rglob("*"))
+        assert ckpt_files, "reliable path must write durable checkpoint state"
+    finally:
+        spark.conf.unset(CC_RELIABLE_CONF)
+
+
 def test_dup_clusters_query_leaves_session_conf_untouched(spark, sf_small):
     """Building (and running) q_dd_dup_clusters must not mutate global
     session conf — round-2's save/restore of shuffle.partitions was
@@ -58,6 +108,58 @@ def test_dup_clusters_query_leaves_session_conf_untouched(spark, sf_small):
     assert spark.conf.get("spark.sql.shuffle.partitions") == before
     assert df.count() > 0
     assert spark.conf.get("spark.sql.shuffle.partitions") == before
+
+
+def test_minhash_production_width(spark):
+    """The parameterized MinHash path at the production banding
+    (K=128, 16 bands x 8 rows): exact duplicates collide in EVERY band
+    (all 128 string mins equal), shingle-disjoint docs collide in none,
+    and the signature plan stays the single-exchange shape regardless
+    of width."""
+    from handprint_spark.operators.dedup import (
+        MINHASH_BANDS_PROD,
+        MINHASH_K_PROD,
+        _minhash_sigs,
+        minhash_lsh_pairs,
+    )
+
+    dup = "the quick brown fox jumps over the lazy dog again and again"
+    docs = spark.createDataFrame(
+        [
+            (1, dup),
+            (2, dup),  # exact duplicate of 1 -> must be a candidate
+            (3, "completely unrelated legal boilerplate text here"),
+            (4, "yet another disjoint document about spark shuffles"),
+        ],
+        "doc_id bigint, text string",
+    )
+    sigs = _minhash_sigs(docs, k=MINHASH_K_PROD)
+    assert len(sigs.columns) == MINHASH_K_PROD + 1
+
+    plan = sigs._sc._jvm.PythonSQLUtils.explainString(
+        sigs._jdf.queryExecution(), "simple"
+    )
+    # width-independent plan: one shuffle for the signature aggregate
+    assert plan.count("Exchange") <= 2
+
+    pairs = {
+        (r.d1, r.d2)
+        for r in minhash_lsh_pairs(
+            docs, k=MINHASH_K_PROD, bands=MINHASH_BANDS_PROD
+        ).collect()
+    }
+    assert (1, 2) in pairs
+    assert pairs == {(1, 2)}  # disjoint docs never share a band key
+
+
+def test_minhash_lsh_pairs_rejects_nondivisible_banding(spark):
+    import pytest as _pytest
+
+    from handprint_spark.operators.dedup import minhash_lsh_pairs
+
+    docs = spark.createDataFrame([(1, "a b c")], "doc_id bigint, text string")
+    with _pytest.raises(ValueError):
+        minhash_lsh_pairs(docs, k=10, bands=4)
 
 
 def test_keep_list_members_pass_all_gates(spark, sf_small):

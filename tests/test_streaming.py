@@ -286,3 +286,32 @@ def test_stream_decontaminate_matches_batch(spark, sf_tiny, tmpdir):
         for r in q_dd_contamination(spark, sf_tiny).collect()
     }
     assert got == expected
+
+
+def test_stream_decontaminate_null_text_is_row_verdict(spark, sf_tiny, tmpdir):
+    """A NULL text row must yield a zero-gram keep verdict, not abort
+    the micro-batch (row-vs-job error policy; batch parity — the batch
+    dd_contamination also survives NULL text)."""
+    from handprint_spark.streaming.pipeline import stream_decontaminate
+
+    src = f"{tmpdir}/decon_null_src"
+    docs = spark.createDataFrame(
+        [(1, None), (3, "a b c")], "doc_id bigint, text string"
+    )
+    docs.write.parquet(src)
+
+    stream = spark.readStream.schema(docs.schema).parquet(src)
+    q = (
+        stream_decontaminate(spark, stream, sf_tiny)
+        .writeStream.format("memory")
+        .queryName("stream_decon_null")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", f"{tmpdir}/decon_null_ckpt")
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        r.doc_id: (r.n_grams, r.contam_frac, r.keep)
+        for r in spark.sql("select * from stream_decon_null").collect()
+    }
+    assert got[1] == (0, 0.0, True)
