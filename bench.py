@@ -31,7 +31,6 @@ def main() -> None:
         dedup,
         multimodal,
         relational,
-        service_fanout,
         service_queries,
         similarity,
         text_analysis,
@@ -92,6 +91,20 @@ def main() -> None:
             "count(*) AS docs", "sum(n_media) AS media", "sum(n_errors) AS errs"
         ).collect()[0]
 
+    def flagship_skew():
+        # The skew-splitting path over the SAME materialized spans
+        # input as `flagship` (production thresholds), so the delta
+        # between the two numbers is the cost of the skew machinery
+        # itself — not of re-synthesizing the corpus (the registered
+        # driver query pays spanify because it must be self-contained;
+        # a production run reads the Iceberg table both ways).
+        from handprint_spark.plans.partitioning import extract_skew_aware
+
+        df = extract_skew_aware(spark.read.parquet(spans_dir))
+        return df.selectExpr(
+            "count(*) AS docs", "sum(n_media) AS media", "sum(n_errors) AS errs"
+        ).collect()[0]
+
     heads = [
         ("a2_group_sums", relational.QUERIES["a2_group_sums"]),
         ("j1_broadcast_join", relational.QUERIES["j1_broadcast_join"]),
@@ -120,26 +133,32 @@ def main() -> None:
         ("sim_ivf_quantized", similarity.QUERIES["sim_ivf_quantized"]),
         ("x5_microsoft_parse", service_queries.QUERIES["x5_microsoft_parse"]),
         # round 4 additions: the partial-top-k kNN (rewritten this
-        # round), the single-pass unigram LM (ditto), and the skew-
-        # splitting extraction path end-to-end (chunk/reassemble over
-        # the SKEW_FACTOR x docs — the north_rule's skew machinery as a
-        # headline number, spanify included)
+        # round) and the single-pass unigram LM (ditto)
         ("sim_knn_join", similarity.QUERIES["sim_knn_join"]),
         ("ta_unigram_logprob", text_analysis.QUERIES["ta_unigram_logprob"]),
-        ("flagship_skew_aware", service_fanout.QUERIES["flagship_skew_aware"]),
     ]
-    # Two full suite passes; per-query best across passes. Pass 1 also
-    # absorbs each query's one-time whole-stage-codegen compile (the
-    # iterative CC query compiles ~10 distinct round plans cold, which
-    # read 2-4x steady state).
-    for _pass in range(2):
+    # Full suite passes (default 3); per-query best across passes.
+    # Pass 1 also absorbs each query's one-time whole-stage-codegen
+    # compile (the iterative CC query compiles ~10 distinct round
+    # plans cold, which read 2-4x steady state). Passes are spaced a
+    # whole suite apart, so a multi-second host contention burst (this
+    # shared VM shows uncorrelated load spikes) can poison at most one
+    # sample of each query.
+    for _pass in range(int(os.environ.get("SPARK_GRAFT_BENCH_PASSES", "3"))):
         row = timed("flagship_extract", flagship)
         extras["media_spans"] = int(row["media"])
+        timed("flagship_skew_aware", flagship_skew)
         for name, q in heads:
             timed(name, lambda q=q: q(spark, sf_dir).selectExpr("count(*)").collect())
     extras["docs_per_sec"] = round(n_docs / timings["flagship_extract"], 2)
 
     total = round(sum(timings.values()), 3)
+    # Contemporaneous host-load context: round-over-round comparisons
+    # of this JSON are only meaningful against similar ambient load
+    # (see BASELINE.md's host-probe protocol for the full treatment).
+    load1, load5, _ = os.getloadavg()
+    extras["loadavg_1m_at_end"] = round(load1, 2)
+    extras["loadavg_5m_at_end"] = round(load5, 2)
     print(
         json.dumps(
             {
@@ -152,6 +171,8 @@ def main() -> None:
                 "docs_per_sec": extras["docs_per_sec"],
                 "media_spans": extras["media_spans"],
                 "cpus": int(cpus),
+                "loadavg_1m_at_end": extras["loadavg_1m_at_end"],
+                "loadavg_5m_at_end": extras["loadavg_5m_at_end"],
             }
         )
     )
