@@ -59,6 +59,7 @@ from __future__ import annotations
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 from pyspark.sql.window import Window
 
 MAX_DF = 50  # drop shingles occurring in more docs than this (posting cap)
@@ -860,6 +861,17 @@ CC_EDGE_ROWS_PER_PARTITION = 1_000_000
 # query in the session checkpoints durably; the sandbox default stays
 # the fast localCheckpoint path
 CC_RELIABLE_CONF = "handprint.cc.reliable"
+# Adaptive small-graph fast path: when the (doubled) edge list is at
+# most this many rows, resolve components with driver-side union-find
+# instead of the iterative distributed loop. The near-dup pair graph
+# is typically a sliver of the corpus (~0.1% of docs in any pair), so
+# even very large corpora often produce driver-trivial graphs; 500k
+# edge rows is ~tens of MB collected. Same labels either way
+# (component-min), so the choice is invisible to every oracle.
+# Override per call (local_max_edges=0 forces the distributed loop)
+# or per session via this conf.
+CC_LOCAL_MAX_EDGES = 500_000
+CC_LOCAL_CONF = "handprint.cc.local_max_edges"
 
 
 def _cc_width(n_edges: int, parallelism: int) -> int:
@@ -904,10 +916,61 @@ def _cc_persist(df: DataFrame, reliable: bool) -> DataFrame:
     return df.persist(StorageLevel.MEMORY_AND_DISK).checkpoint(eager=False)
 
 
+def _cc_local(spark: SparkSession, staged: DataFrame) -> DataFrame:
+    """Driver-side union-find over a SMALL collected edge list — the
+    adaptive fast path of ``duplicate_clusters``. Path-compressed,
+    union-by-size; cluster id = min node per component (computed after
+    the unions, so the labeling is identical to the distributed
+    min-label fixpoint regardless of union order). The collect is
+    bounded by CC_LOCAL_MAX_EDGES — this function is only reached when
+    the sizing count proved the graph fits."""
+    parent: dict = {}
+    size: dict = {}
+
+    def find(x):
+        root = x
+        while parent[root] != root:
+            root = parent[root]
+        while parent[x] != root:  # path compression
+            parent[x], x = root, parent[x]
+        return root
+
+    for row in staged.collect():
+        a, b = row[0], row[1]
+        for n in (a, b):
+            if n not in parent:
+                parent[n] = n
+                size[n] = 1
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            if size[ra] < size[rb]:
+                ra, rb = rb, ra
+            parent[rb] = ra
+            size[ra] += size[rb]
+
+    cluster_min: dict = {}
+    for n in parent:
+        r = find(n)
+        if r not in cluster_min or n < cluster_min[r]:
+            cluster_min[r] = n
+    rows = [
+        (n, cluster_min[find(n)], n == cluster_min[find(n)]) for n in parent
+    ]
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", staged.schema["src"].dataType),
+            T.StructField("cluster", staged.schema["src"].dataType),
+            T.StructField("is_keeper", T.BooleanType()),
+        ]
+    )
+    return spark.createDataFrame(rows, schema)
+
+
 def duplicate_clusters(
     pairs: DataFrame,
     reliable: bool | None = None,
     num_partitions: int | None = None,
+    local_max_edges: int | None = None,
 ) -> DataFrame:
     """Candidate pairs -> duplicate clusters -> keeper per cluster:
     the step a real curation run performs AFTER near-dup pair
@@ -942,17 +1005,37 @@ def duplicate_clusters(
     frame, so it costs one job barrier, never a recompute of the
     candidate-pair plan.
 
+    ``local_max_edges`` (default: the ``handprint.cc.local_max_edges``
+    conf, falling back to CC_LOCAL_MAX_EDGES) is the adaptive-execution
+    bound: graphs at or below it resolve via driver union-find
+    (``_cc_local`` — identical component-min labels, one collect
+    instead of ~10 iterative jobs), larger graphs take the distributed
+    loop. Pass 0 to force the distributed path (tests do).
+
     Returns (doc_id, cluster, is_keeper) for every doc in >= 1 pair.
     """
     spark = pairs.sparkSession
     if reliable is None:
         reliable = str(spark.conf.get(CC_RELIABLE_CONF, "false")).lower() == "true"
+    if local_max_edges is None:
+        local_max_edges = int(
+            spark.conf.get(CC_LOCAL_CONF, str(CC_LOCAL_MAX_EDGES))
+        )
     half = pairs.select(F.col("d1").alias("src"), F.col("d2").alias("dst"))
     staged = _cc_persist(
         half.union(half.select(F.col("dst").alias("src"), F.col("src").alias("dst"))),
         reliable,
     )
-    n_edges = staged.count()  # materializes the checkpoint + sizes the rounds
+    n_edges = staged.count()  # materializes the checkpoint + sizes everything below
+    if n_edges <= local_max_edges:
+        # Adaptive execution: the sizing count just PROVED the graph is
+        # driver-small, so the iterative loop's ~10 jobs of fixed
+        # barrier cost buy nothing — union-find on the driver returns
+        # the identical component-min labeling in one collect. This is
+        # the common case even at 10^12 docs (the pair graph after
+        # banded LSH is a sliver of the corpus); graphs above the bound
+        # take the distributed loop below.
+        return _cc_local(spark, staged)
     if num_partitions is None:
         num_partitions = _cc_width(n_edges, spark.sparkContext.defaultParallelism)
     edges = _cc_persist(staged.repartition(num_partitions, "src"), reliable)

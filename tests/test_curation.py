@@ -5,7 +5,18 @@ from pyspark.sql import functions as F
 from handprint_spark.operators.dedup import duplicate_clusters
 
 
-def test_duplicate_clusters_components(spark):
+import pytest
+
+
+@pytest.fixture(params=[0, None], ids=["distributed", "adaptive-local"])
+def cc_local_bound(request):
+    """Run each CC labeling test through BOTH execution paths: the
+    iterative distributed loop (local_max_edges=0) and the adaptive
+    driver union-find (default bound). Labels must be identical."""
+    return request.param
+
+
+def test_duplicate_clusters_components(spark, cc_local_bound):
     """Chain a-b-c, triangle x-y-z (+ redundant edge), isolated pair
     p-q: every component resolves to its min id with one keeper."""
     pairs = spark.createDataFrame(
@@ -16,7 +27,10 @@ def test_duplicate_clusters_components(spark):
         ],
         "d1 string, d2 string",
     )
-    out = {r.doc_id: (r.cluster, r.is_keeper) for r in duplicate_clusters(pairs).collect()}
+    out = {
+        r.doc_id: (r.cluster, r.is_keeper)
+        for r in duplicate_clusters(pairs, local_max_edges=cc_local_bound).collect()
+    }
     assert out == {
         "a": ("a", True), "b": ("a", False), "c": ("a", False),
         "x": ("x", True), "y": ("x", False), "z": ("x", False),
@@ -24,16 +38,34 @@ def test_duplicate_clusters_components(spark):
     }
 
 
-def test_duplicate_clusters_long_chain_converges(spark):
+def test_duplicate_clusters_long_chain_converges(spark, cc_local_bound):
     """A 12-node path needs multiple propagation rounds; the fixpoint
     loop must converge to a single component."""
     ids = [f"n{i:02d}" for i in range(12)]
     pairs = spark.createDataFrame(
         list(zip(ids, ids[1:])), "d1 string, d2 string"
     )
-    rows = duplicate_clusters(pairs).collect()
+    rows = duplicate_clusters(pairs, local_max_edges=cc_local_bound).collect()
     assert {r.cluster for r in rows} == {"n00"}
     assert sum(r.is_keeper for r in rows) == 1 and len(rows) == 12
+
+
+def test_cc_local_and_distributed_agree_on_numeric_ids(spark, sf_small):
+    """Path equivalence on a REAL pair graph (embedding near-dups at
+    sf0.01, bigint vec_ids): the adaptive union-find and the
+    distributed min-label loop must return identical rows AND identical
+    schema (types preserved through the local path)."""
+    from pyspark.sql import functions as F
+
+    from handprint_spark.operators.dedup import q_dd_embedding_neardup
+
+    pairs = q_dd_embedding_neardup(spark, sf_small).select(
+        F.col("v1").alias("d1"), F.col("v2").alias("d2")
+    )
+    local = duplicate_clusters(pairs)
+    dist = duplicate_clusters(pairs, local_max_edges=0)
+    assert local.schema == dist.schema
+    assert sorted(map(tuple, local.collect())) == sorted(map(tuple, dist.collect()))
 
 
 def test_duplicate_clusters_reliable_checkpoint(spark):
@@ -42,7 +74,7 @@ def test_duplicate_clusters_reliable_checkpoint(spark):
     the same labeling."""
     ids = [f"m{i}" for i in range(6)]
     pairs = spark.createDataFrame(list(zip(ids, ids[1:])), "d1 string, d2 string")
-    rows = duplicate_clusters(pairs, reliable=True).collect()
+    rows = duplicate_clusters(pairs, reliable=True, local_max_edges=0).collect()
     assert {r.cluster for r in rows} == {"m0"}
     assert sum(r.is_keeper for r in rows) == 1 and len(rows) == 6
 
@@ -72,7 +104,7 @@ def test_duplicate_clusters_round_width_follows_num_partitions(spark):
     unchanged (the width is a physical knob, never a semantic one)."""
     ids = [f"w{i}" for i in range(8)]
     pairs = spark.createDataFrame(list(zip(ids, ids[1:])), "d1 string, d2 string")
-    rows = duplicate_clusters(pairs, num_partitions=16).collect()
+    rows = duplicate_clusters(pairs, num_partitions=16, local_max_edges=0).collect()
     assert {r.cluster for r in rows} == {"w0"}
     assert sum(r.is_keeper for r in rows) == 1 and len(rows) == 8
 
@@ -89,7 +121,7 @@ def test_duplicate_clusters_reliable_from_session_conf(spark, tmp_path):
     try:
         ids = [f"r{i}" for i in range(6)]
         pairs = spark.createDataFrame(list(zip(ids, ids[1:])), "d1 string, d2 string")
-        rows = duplicate_clusters(pairs).collect()
+        rows = duplicate_clusters(pairs, local_max_edges=0).collect()
         assert {r.cluster for r in rows} == {"r0"}
         ckpt_files = list((tmp_path / "cc_ckpt").rglob("*"))
         assert ckpt_files, "reliable path must write durable checkpoint state"
