@@ -1127,10 +1127,12 @@ def q_dd_semantic_clusters(spark, sf_dir):
 
 
 def q_dd_dup_clusters(spark, sf_dir):
-    """Cluster resolution over the MinHash-LSH candidate pairs. The
-    iterative frames are explicitly repartitioned (CC_PARTITIONS)
-    inside duplicate_clusters — session conf is never touched, so the
-    query is safe under concurrent execution."""
+    """Cluster resolution over the MinHash-LSH candidate pairs.
+    Execution adapts to the measured edge count (driver union-find
+    under the bound, iterative distributed loop above it, identical
+    labels); any repartitioning happens on explicit widths inside
+    duplicate_clusters — session conf is never touched, so the query
+    is safe under concurrent execution."""
     return duplicate_clusters(q_dd_minhash_lsh_pairs(spark, sf_dir))
 
 
