@@ -54,6 +54,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         compare,
         curation,
         dedup,
+        html_extract,
         multimodal,
         relational,
         service_fanout,
@@ -70,9 +71,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # (service_queries, service_fanout, compare, multimodal, all
     # text_analysis) + every module modified this round (similarity:
     # zero-norm guard + partial-top-k knn; dedup: parameterized
-    # minhash + CC width/reliability; curation rides dedup) + the new
-    # flagship_skew_aware. The relational suite (r03: 27/27 green,
-    # byte-unchanged since) rotates out.
+    # minhash + CC width/reliability; html_extract is NEW) + the new
+    # flagship_skew_aware. Rotated out: the relational suite (r03:
+    # 27/27 green, byte-unchanged since) and curation (r03: 4/4
+    # green, byte-unchanged since d77e8a5).
     out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
     out.update(service_queries.QUERIES)
     out.update(service_fanout.QUERIES)
@@ -81,6 +83,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out.update(text_analysis.QUERIES)
     out.update(similarity.QUERIES)
     out.update(dedup.QUERIES)
+    out.update(html_extract.QUERIES)
     out.update(curation.QUERIES)
     out.update(relational.QUERIES)
     return out
@@ -97,6 +100,7 @@ def oracle_sql() -> dict[str, str]:
         compare,
         curation,
         dedup,
+        html_extract,
         multimodal,
         relational,
         service_fanout,
@@ -113,6 +117,7 @@ def oracle_sql() -> dict[str, str]:
     out.update(text_analysis.ORACLES)
     out.update(similarity.ORACLES)
     out.update(dedup.ORACLES)
+    out.update(html_extract.ORACLES)
     out.update(curation.ORACLES)
     out.update(relational.ORACLES)
     return out

@@ -29,6 +29,7 @@ def main() -> None:
     from handprint_spark.operators import (
         curation,
         dedup,
+        html_extract,
         multimodal,
         relational,
         service_queries,
@@ -136,6 +137,12 @@ def main() -> None:
         # round) and the single-pass unigram LM (ditto)
         ("sim_knn_join", similarity.QUERIES["sim_knn_join"]),
         ("ta_unigram_logprob", text_analysis.QUERIES["ta_unigram_logprob"]),
+        # round 4 additions: DOM-heuristic main-content extraction
+        # (zero-shuffle HOF path), the outlink graph (two-stage
+        # distinct agg), and token-window chunking (zero-shuffle)
+        ("hx_main_content", html_extract.QUERIES["hx_main_content"]),
+        ("hx_outlinks", html_extract.QUERIES["hx_outlinks"]),
+        ("ct_chunk_tokens", html_extract.QUERIES["ct_chunk_tokens"]),
     ]
     # Full suite passes (default 3); per-query best across passes.
     # Pass 1 also absorbs each query's one-time whole-stage-codegen

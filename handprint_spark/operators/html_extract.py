@@ -1,0 +1,418 @@
+"""Main-content extraction over HTML documents: DOM-heuristic block
+classification, link-density boilerplate strip, outlink graph, and
+token-window chunking for training-data prep.
+
+This is the north_rule's named capability ("HTML boilerplate strip,
+DOM heuristics") re-expressed Spark-first. The extractor is the
+line-mode DOM heuristic used by readability/trafilatura-style
+main-content extractors over pretty-printed crawl HTML: each
+block-level line is classified by (a) its opening tag (chrome tags —
+nav/aside/footer/header/script/style/title — are never content),
+(b) its visible-text length (headings and stubs below
+MIN_CONTENT_CHARS are dropped), and (c) its anchor-text link density
+(a block whose text is mostly links — share bars, related-link rails —
+is boilerplate even inside a content tag). It complements
+``ta_boilerplate_strip`` (text_analysis.py), which is the CCNet-style
+*cross-document* line-frequency strip; this module is the
+*within-document* DOM-structural strip.
+
+Scale notes (the part that matters at 100 TB):
+
+- ``main_content`` is ZERO-SHUFFLE: parse → classify → filter →
+  reassemble happens inside one projection over the html column using
+  Catalyst higher-order functions (transform/filter/array_join), so
+  the whole extractor is whole-stage-codegen JVM work with no
+  exchange, no Python, and no per-block row blowup. Asserted in
+  tests/test_plans.py.
+- ``parse_blocks`` (the exploded per-block diagnostic view) is a
+  narrow posexplode — still no exchange.
+- ``outlinks`` shuffles once, on the href key (well-spread: hrefs
+  embed doc-derived ids), with map-side partial aggregation.
+- ``chunk_tokens`` is the training-data chunker: fixed token windows
+  with overlap, derived per-doc with sequence/transform/slice HOFs
+  and one narrow explode — the shape a 10^12-doc pretokenization job
+  needs (no window functions, no sort, no shuffle).
+
+Because the sandbox corpus has no real HTML, the html column is
+SYNTHESIZED deterministically from the documents table (identically
+in the Spark path and the DuckDB oracle): per-doc chrome (head/nav/
+aside/share-bar/footer) around the document text split into two
+<p> blocks, one carrying an inline <a> link. The extraction logic is
+generic line-mode HTML processing — nothing about it assumes the
+synthetic grammar beyond one-block-per-line layout.
+
+Reference parity note: the reference (caltechlibrary/handprint) has
+no HTML surface; this module is additive engine surface mandated by
+the task's north_rule, with the reference's per-service normalization
+analog being normalize_json.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+# Chrome tags: a line opening with one of these is never main content.
+BOILER_TAGS = [
+    "html",
+    "head",
+    "nav",
+    "aside",
+    "footer",
+    "header",
+    "script",
+    "style",
+    "title",
+]
+# Visible-text floor: blocks shorter than this (headings, stubs,
+# timestamps) are dropped. trafilatura's default min_extracted_size
+# is the same order of magnitude.
+MIN_CONTENT_CHARS = 40
+# Anchor-text share above which a block is a link rail, not content.
+MAX_LINK_DENSITY = 0.35
+
+# Token-window chunking for pretokenized training shards.
+CHUNK_TOKENS = 32
+CHUNK_STRIDE = 24
+
+_TAG_RE = r"^<([a-zA-Z0-9]+)"
+_SCRIPT_RE = r"<script[^>]*>.*?</script>"
+_ANYTAG_RE = r"<[^>]*>"
+_ANCHOR_TEXT_RE = r"<a [^>]*>([^<]*)</a>"
+_HREF_RE = r'href="([^"]*)"'
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def htmlized(docs: DataFrame) -> DataFrame:
+    """Attach a deterministic synthetic ``html`` column: realistic
+    pretty-printed page chrome around the document text. Mirrored
+    byte-for-byte by the oracle's ``html`` CTE — keep both in sync."""
+    words = F.split(F.col("text"), " ")
+    n = F.size(words)
+    half = (n / 2).cast("int")
+    s = lambda c: c.cast("string")  # noqa: E731
+    line = [
+        F.concat(F.lit('<html lang="'), F.col("lang"), F.lit('">')),
+        F.concat(
+            F.lit("<head><title>doc "),
+            s(F.col("doc_id")),
+            F.lit("</title><script>var x=1;</script></head>"),
+        ),
+        F.concat(
+            F.lit('<nav><a href="/">home</a> <a href="/'),
+            F.col("source"),
+            F.lit('">'),
+            F.col("source"),
+            F.lit('</a> <a href="/tags/'),
+            F.col("lang"),
+            F.lit('">'),
+            F.col("lang"),
+            F.lit("</a></nav>"),
+        ),
+        F.concat(
+            F.lit("<h1>"),
+            F.array_join(F.slice(words, 1, F.least(F.lit(3), n)), " "),
+            F.lit("</h1>"),
+        ),
+        F.concat(F.lit("<p>"), F.array_join(F.slice(words, 1, half), " "), F.lit("</p>")),
+        F.concat(
+            F.lit("<p>"),
+            F.array_join(F.slice(words, half + 1, n - half), " "),
+            F.lit(' See <a href="/doc/'),
+            s(F.col("doc_id") * 7 % 1000),
+            F.lit('">related docs</a> here</p>'),
+        ),
+        F.concat(
+            F.lit('<aside><a href="/ad/'),
+            s(F.col("doc_id") % 7),
+            F.lit('">sponsored</a></aside>'),
+        ),
+        F.lit('<div class="share"><a href="/s/t">tweet this</a> <a href="/s/f">share</a></div>'),
+        F.concat(F.lit("<footer>(c) 2026 "), F.col("source"), F.lit("</footer>")),
+        F.lit("</html>"),
+    ]
+    return docs.withColumn("html", F.concat_ws("\n", *line))
+
+
+# The oracle-side mirror of htmlized(): one CTE reused by every query.
+_SQL_HTML_CTE = """
+w AS (
+  SELECT doc_id, text, lang, source, string_split(text, ' ') AS ws,
+         len(string_split(text, ' ')) AS n,
+         len(string_split(text, ' ')) // 2 AS h
+  FROM documents
+),
+html AS (
+  SELECT doc_id, concat_ws(chr(10),
+    '<html lang="' || lang || '">',
+    '<head><title>doc ' || doc_id || '</title><script>var x=1;</script></head>',
+    '<nav><a href="/">home</a> <a href="/' || source || '">' || source
+        || '</a> <a href="/tags/' || lang || '">' || lang || '</a></nav>',
+    '<h1>' || array_to_string(list_slice(ws, 1, least(3, n)), ' ') || '</h1>',
+    '<p>' || array_to_string(list_slice(ws, 1, h), ' ') || '</p>',
+    '<p>' || array_to_string(list_slice(ws, h + 1, n), ' ')
+        || ' See <a href="/doc/' || (doc_id * 7) % 1000 || '">related docs</a> here</p>',
+    '<aside><a href="/ad/' || doc_id % 7 || '">sponsored</a></aside>',
+    '<div class="share"><a href="/s/t">tweet this</a> <a href="/s/f">share</a></div>',
+    '<footer>(c) 2026 ' || source || '</footer>',
+    '</html>') AS html
+  FROM w
+)
+"""
+
+
+# --- line-mode DOM heuristics (shared Column builders) -----------------------
+
+def _tag(line: Column) -> Column:
+    """Opening tag of a block line ('' for closing-tag / bare lines)."""
+    return F.lower(F.regexp_extract(line, _TAG_RE, 1))
+
+
+def _visible(line: Column) -> Column:
+    """Visible text: inline <script> payloads removed first (their
+    bodies are NOT visible text), then every remaining tag stripped."""
+    return F.trim(F.regexp_replace(F.regexp_replace(line, _SCRIPT_RE, ""), _ANYTAG_RE, ""))
+
+
+def _link_len(line: Column) -> Column:
+    """Total anchor-text length in the line (0 when no anchors)."""
+    matches = F.regexp_extract_all(line, F.lit(_ANCHOR_TEXT_RE), F.lit(1))
+    return F.coalesce(F.length(F.array_join(matches, "")), F.lit(0))
+
+
+def _is_boiler(tag: Column, vis_len: Column, link_len: Column) -> Column:
+    density = link_len / F.greatest(vis_len, F.lit(1))
+    return (
+        tag.isin(BOILER_TAGS)
+        | (vis_len < MIN_CONTENT_CHARS)
+        | (density > MAX_LINK_DENSITY)
+    )
+
+
+_SQL_BOILER_TAGS = ", ".join(f"'{t}'" for t in BOILER_TAGS)
+
+
+# --- hx_parse_blocks: exploded per-block diagnostic view ----------------------
+
+def q_hx_parse_blocks(spark, sf_dir):
+    """Per-(doc, line) block classification — the diagnostic view a
+    crawl-extraction pipeline inspects to tune thresholds. Narrow
+    posexplode; classification is pure Catalyst regexp work."""
+    lines = htmlized(_docs(spark, sf_dir)).select(
+        "doc_id", F.posexplode(F.split(F.col("html"), "\n")).alias("pos", "line")
+    )
+    tag = _tag(F.col("line"))
+    vis = _visible(F.col("line"))
+    link_len = _link_len(F.col("line"))
+    return lines.select(
+        "doc_id",
+        (F.col("pos") + 1).alias("line_no"),
+        tag.alias("tag"),
+        vis.alias("text"),
+        F.length(vis).alias("text_len"),
+        link_len.alias("link_len"),
+        F.round(link_len / F.greatest(F.length(vis), F.lit(1)), 4).alias("link_density"),
+        _is_boiler(tag, F.length(vis), link_len).alias("is_boiler"),
+    )
+
+
+SQL_HX_PARSE_BLOCKS = f"""
+WITH {_SQL_HTML_CTE},
+lines AS (
+  SELECT doc_id, unnest(string_split(html, chr(10))) AS line,
+         unnest(generate_series(1, len(string_split(html, chr(10))))) AS line_no
+  FROM html
+),
+blocks AS (
+  SELECT doc_id, line_no,
+    lower(regexp_extract(line, '{_TAG_RE}', 1)) AS tag,
+    trim(regexp_replace(regexp_replace(line, '{_SCRIPT_RE}', '', 'g'),
+                        '{_ANYTAG_RE}', '', 'g')) AS vis,
+    coalesce(length(array_to_string(
+        regexp_extract_all(line, '{_ANCHOR_TEXT_RE}', 1), '')), 0) AS link_len
+  FROM lines
+)
+SELECT doc_id, CAST(line_no AS INT) AS line_no, tag, vis AS text,
+  CAST(length(vis) AS INT) AS text_len,
+  CAST(link_len AS INT) AS link_len,
+  round(link_len / greatest(length(vis), 1), 4) AS link_density,
+  (tag IN ({_SQL_BOILER_TAGS})
+   OR length(vis) < {MIN_CONTENT_CHARS}
+   OR link_len / greatest(length(vis), 1) > {MAX_LINK_DENSITY}) AS is_boiler
+FROM blocks
+"""
+
+
+# --- hx_main_content: the zero-shuffle extractor ------------------------------
+
+def main_content(docs_with_html: DataFrame) -> DataFrame:
+    """Main-content extraction as ONE projection: split → classify →
+    filter → reassemble entirely with higher-order functions, so a
+    10^12-page crawl pays a scan and zero exchanges. The struct field
+    names inside the lambda never leave this expression."""
+    lines = F.split(F.col("html"), "\n")
+    blocks = F.transform(
+        lines,
+        lambda l: F.struct(
+            _tag(l).alias("tag"),
+            _visible(l).alias("vis"),
+            _link_len(l).alias("link_len"),
+        ),
+    )
+    content = F.filter(
+        blocks, lambda b: ~_is_boiler(b["tag"], F.length(b["vis"]), b["link_len"])
+    )
+    return docs_with_html.select(
+        "doc_id",
+        F.array_join(F.transform(content, lambda b: b["vis"]), "\n").alias("main_text"),
+        F.size(lines).alias("n_blocks"),
+        F.size(content).alias("n_content_blocks"),
+        F.round(F.lit(1.0) - F.size(content) / F.size(lines), 4).alias("boiler_ratio"),
+    )
+
+
+def q_hx_main_content(spark, sf_dir):
+    return main_content(htmlized(_docs(spark, sf_dir)))
+
+
+SQL_HX_MAIN_CONTENT = f"""
+WITH {_SQL_HTML_CTE},
+parsed AS (
+  SELECT doc_id,
+    list_transform(string_split(html, chr(10)), l -> struct_pack(
+      tag := lower(regexp_extract(l, '{_TAG_RE}', 1)),
+      vis := trim(regexp_replace(regexp_replace(l, '{_SCRIPT_RE}', '', 'g'),
+                                 '{_ANYTAG_RE}', '', 'g')),
+      link_len := coalesce(length(array_to_string(
+          regexp_extract_all(l, '{_ANCHOR_TEXT_RE}', 1), '')), 0)
+    )) AS blocks
+  FROM html
+),
+scored AS (
+  SELECT doc_id, blocks,
+    list_filter(blocks, b -> NOT (
+      b.tag IN ({_SQL_BOILER_TAGS})
+      OR length(b.vis) < {MIN_CONTENT_CHARS}
+      OR b.link_len / greatest(length(b.vis), 1) > {MAX_LINK_DENSITY})) AS content
+  FROM parsed
+)
+SELECT doc_id,
+  array_to_string(list_transform(content, b -> b.vis), chr(10)) AS main_text,
+  CAST(len(blocks) AS INT) AS n_blocks,
+  CAST(len(content) AS INT) AS n_content_blocks,
+  round(1.0 - len(content)::DOUBLE / len(blocks), 4) AS boiler_ratio
+FROM scored
+"""
+
+
+# --- hx_outlinks: crawl link graph -------------------------------------------
+
+def q_hx_outlinks(spark, sf_dir):
+    """Outlink aggregation: every href in the corpus → reference count
+    and distinct referencing docs. The crawl-frontier / in-degree
+    primitive. One shuffle on the href key (well spread); map-side
+    partial aggregation halves what crosses the wire."""
+    links = htmlized(_docs(spark, sf_dir)).select(
+        "doc_id",
+        F.explode(F.regexp_extract_all(F.col("html"), F.lit(_HREF_RE), F.lit(1))).alias(
+            "href"
+        ),
+    )
+    return links.groupBy("href").agg(
+        F.count("*").alias("n_refs"),
+        F.countDistinct("doc_id").alias("n_docs"),
+    )
+
+
+SQL_HX_OUTLINKS = f"""
+WITH {_SQL_HTML_CTE},
+links AS (
+  SELECT doc_id, unnest(regexp_extract_all(html, '{_HREF_RE}', 1)) AS href
+  FROM html
+)
+SELECT href, count(*) AS n_refs, count(DISTINCT doc_id) AS n_docs
+FROM links GROUP BY href
+"""
+
+
+# --- ct_chunk_tokens: token-window chunking -----------------------------------
+
+def chunk_tokens(
+    docs: DataFrame, chunk: int = CHUNK_TOKENS, stride: int = CHUNK_STRIDE
+) -> DataFrame:
+    """Fixed token windows with overlap (chunk=32, stride=24 ⇒ 8-token
+    overlap), the standard shape for pretokenized LM training shards.
+    Chunk boundaries come from sequence/transform/slice HOFs + one
+    narrow explode: no window function, no sort, no shuffle — a
+    10^12-doc pretokenization pays exactly one scan."""
+    words = F.split(F.col("text"), " ")
+    n = F.size(words)
+    n_chunks = (F.floor((F.greatest(n - chunk, F.lit(0)) + stride - 1) / stride) + 1).cast(
+        "int"
+    )
+    spans = F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda i: F.struct(
+            i.cast("int").alias("chunk_id"),
+            (i * stride + 1).cast("int").alias("begin_tok"),
+            F.slice(words, i * stride + 1, chunk).alias("toks"),
+        ),
+    )
+    return docs.select("doc_id", F.explode(spans).alias("c")).select(
+        "doc_id",
+        F.col("c.chunk_id").alias("chunk_id"),
+        F.col("c.begin_tok").alias("begin_tok"),
+        F.size("c.toks").alias("n_tokens"),
+        F.array_join("c.toks", " ").alias("chunk_text"),
+    )
+
+
+def q_ct_chunk_tokens(spark, sf_dir):
+    return chunk_tokens(_docs(spark, sf_dir))
+
+
+SQL_CT_CHUNK_TOKENS = f"""
+WITH w AS (
+  SELECT doc_id, string_split(text, ' ') AS ws,
+         len(string_split(text, ' ')) AS n
+  FROM documents
+),
+counted AS (
+  SELECT doc_id, ws, n,
+         (greatest(n - {CHUNK_TOKENS}, 0) + {CHUNK_STRIDE} - 1) // {CHUNK_STRIDE} + 1
+             AS n_chunks
+  FROM w
+),
+chunks AS (
+  SELECT doc_id, ws, n, unnest(generate_series(0, n_chunks - 1)) AS chunk_id
+  FROM counted
+)
+SELECT doc_id,
+  CAST(chunk_id AS INT) AS chunk_id,
+  CAST(chunk_id * {CHUNK_STRIDE} + 1 AS INT) AS begin_tok,
+  CAST(len(list_slice(ws, chunk_id * {CHUNK_STRIDE} + 1,
+                      least(chunk_id * {CHUNK_STRIDE} + {CHUNK_TOKENS}, n))) AS INT)
+      AS n_tokens,
+  array_to_string(list_slice(ws, chunk_id * {CHUNK_STRIDE} + 1,
+                             least(chunk_id * {CHUNK_STRIDE} + {CHUNK_TOKENS}, n)), ' ')
+      AS chunk_text
+FROM chunks
+"""
+
+
+QUERIES = {
+    "hx_main_content": q_hx_main_content,
+    "hx_parse_blocks": q_hx_parse_blocks,
+    "hx_outlinks": q_hx_outlinks,
+    "ct_chunk_tokens": q_ct_chunk_tokens,
+}
+
+ORACLES = {
+    "hx_main_content": SQL_HX_MAIN_CONTENT,
+    "hx_parse_blocks": SQL_HX_PARSE_BLOCKS,
+    "hx_outlinks": SQL_HX_OUTLINKS,
+    "ct_chunk_tokens": SQL_CT_CHUNK_TOKENS,
+}

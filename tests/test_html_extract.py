@@ -1,0 +1,172 @@
+"""Semantics of the DOM-heuristic main-content extractor and the
+token-window chunker (operators/html_extract.py).
+
+The oracle parity for all four registered queries runs in
+test_oracles.py; these tests pin the *behavioral* contract: what the
+extractor keeps, what it strips, and the chunker's coverage/overlap
+algebra — including on hand-written HTML that does NOT come from the
+synthetic generator (the heuristics must be generic line-mode DOM
+logic, not an inverse of htmlized()).
+"""
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from handprint_spark.operators.html_extract import (
+    CHUNK_STRIDE,
+    CHUNK_TOKENS,
+    chunk_tokens,
+    htmlized,
+    main_content,
+    q_hx_main_content,
+    q_hx_outlinks,
+    q_hx_parse_blocks,
+)
+
+
+def _one_doc(spark, text, doc_id=7, lang="en", source="srcX"):
+    return spark.createDataFrame(
+        [Row(doc_id=doc_id, text=text, lang=lang, source=source, n_chars=len(text))]
+    )
+
+
+def test_main_content_strips_chrome_keeps_paragraphs(spark):
+    words = ["w%02d" % i for i in range(24)]  # 24 5-char words: both halves > 40 chars
+    doc = _one_doc(spark, " ".join(words))
+    row = main_content(htmlized(doc)).collect()[0]
+    # both paragraph halves survive, in order, newline-joined
+    assert row.main_text.startswith(" ".join(words[:12]))
+    assert "\n" in row.main_text
+    assert " ".join(words[12:]) in row.main_text
+    # inline anchor text inside a content <p> is *visible text* — kept
+    assert "related docs" in row.main_text
+    # chrome never leaks: nav links, share bar, footer, ad, script body
+    for leaked in ("home", "tweet this", "share", "(c) 2026", "sponsored", "var x=1"):
+        assert leaked not in row.main_text
+    # the <h1> is 3 short words -> below MIN_CONTENT_CHARS -> dropped
+    assert row.n_content_blocks == 2
+    assert row.n_blocks == 10
+    assert row.boiler_ratio == 0.8
+
+
+def test_main_content_short_doc_all_boiler(spark):
+    row = main_content(htmlized(_one_doc(spark, "tiny text"))).collect()[0]
+    assert row.n_content_blocks == 0
+    assert row.main_text == ""
+    assert row.boiler_ratio == 1.0
+
+
+def test_extractor_is_generic_not_synthesis_inverse(spark):
+    """Hand-written HTML (different tags, order, and chrome than the
+    synthetic generator) classifies by the same line-mode rules."""
+    html = "\n".join(
+        [
+            "<header><a href='/'>Logo</a></header>",
+            "<article>This hand-written sentence is long enough to clear the floor.</article>",
+            "<ul><a href='/a'>one</a> <a href='/b'>two</a> <a href='/c'>three</a></ul>",
+            "<section>Another long enough content sentence that should clearly survive.</section>",
+            "<style>.x{color:red}</style>",
+        ]
+    )
+    df = spark.createDataFrame([Row(doc_id=1, html=html)])
+    row = main_content(df).collect()[0]
+    assert "hand-written sentence" in row.main_text
+    assert "should clearly survive" in row.main_text
+    assert "Logo" not in row.main_text  # header chrome tag
+    assert "one" not in row.main_text.split()  # link rail: density 1.0
+    assert row.n_content_blocks == 2
+
+
+def test_parse_blocks_classification_detail(spark, sf_tiny):
+    rows = q_hx_parse_blocks(spark, sf_tiny).where("doc_id = 0").orderBy("line_no").collect()
+    assert [r.tag for r in rows] == [
+        "html", "head", "nav", "h1", "p", "p", "aside", "div", "footer", "",
+    ]
+    by_tag = {}
+    for r in rows:
+        by_tag.setdefault(r.tag, r)
+    # the share-bar <div> is boiler by link density despite a content tag
+    assert by_tag["div"].is_boiler and by_tag["div"].link_density > 0.35
+    # chrome tags are boiler regardless of text
+    assert by_tag["nav"].is_boiler and by_tag["footer"].is_boiler
+    # anchors contribute to visible text but scripts do not
+    assert by_tag["head"].text == "doc 0"  # title visible, script body stripped
+    assert by_tag["nav"].link_len > 0
+
+
+def test_outlinks_counts(spark, sf_tiny):
+    n_docs = spark.read.parquet(f"{sf_tiny}/documents.parquet").count()
+    rows = {r.href: r for r in q_hx_outlinks(spark, sf_tiny).collect()}
+    # every page links home, to the share endpoints, and to itself-ish chrome
+    for fixed in ("/", "/s/t", "/s/f"):
+        assert rows[fixed].n_refs == n_docs and rows[fixed].n_docs == n_docs
+    # ad slots partition docs by doc_id % 7
+    assert sum(rows[f"/ad/{k}"].n_docs for k in range(7) if f"/ad/{k}" in rows) == n_docs
+
+
+# --- chunker algebra ----------------------------------------------------------
+
+def test_chunk_tokens_coverage_and_overlap(spark):
+    n = 100
+    words = [f"t{i}" for i in range(n)]
+    chunks = chunk_tokens(_one_doc(spark, " ".join(words))).orderBy("chunk_id").collect()
+    # count formula: 1 + ceil((n - CHUNK) / STRIDE)
+    import math
+
+    assert len(chunks) == 1 + math.ceil((n - CHUNK_TOKENS) / CHUNK_STRIDE)
+    # full coverage: union of [begin, begin + n_tokens) is exactly [1, n]
+    covered = set()
+    for c in chunks:
+        covered.update(range(c.begin_tok, c.begin_tok + c.n_tokens))
+    assert covered == set(range(1, n + 1))
+    # interior chunks are full width and overlap by CHUNK - STRIDE
+    for a, b in zip(chunks, chunks[1:]):
+        assert a.begin_tok + CHUNK_STRIDE == b.begin_tok
+        if a.chunk_id < chunks[-1].chunk_id:
+            assert a.n_tokens == CHUNK_TOKENS
+    # chunk text round-trips the token slice
+    first = chunks[0]
+    assert first.chunk_text == " ".join(words[:CHUNK_TOKENS])
+
+
+def test_chunk_tokens_short_doc_single_chunk(spark):
+    chunks = chunk_tokens(_one_doc(spark, "a b c")).collect()
+    assert len(chunks) == 1
+    assert chunks[0].n_tokens == 3 and chunks[0].begin_tok == 1
+    assert chunks[0].chunk_text == "a b c"
+
+
+def test_chunk_tokens_exact_boundary(spark):
+    """n == CHUNK_TOKENS yields exactly one chunk (no empty tail)."""
+    words = [str(i) for i in range(CHUNK_TOKENS)]
+    chunks = chunk_tokens(_one_doc(spark, " ".join(words))).collect()
+    assert len(chunks) == 1 and chunks[0].n_tokens == CHUNK_TOKENS
+
+
+def test_custom_chunk_params(spark):
+    """chunk/stride are parameters, not baked constants: stride ==
+    chunk gives non-overlapping windows that reconstruct the text."""
+    words = [f"x{i}" for i in range(50)]
+    doc = _one_doc(spark, " ".join(words))
+    chunks = chunk_tokens(doc, chunk=16, stride=16).orderBy("chunk_id").collect()
+    assert " ".join(c.chunk_text for c in chunks) == " ".join(words)
+
+
+def test_main_content_matches_parse_blocks(spark, sf_tiny):
+    """The zero-shuffle HOF path and the exploded diagnostic view
+    agree: content blocks per doc are identical."""
+    hof = {
+        r.doc_id: r.n_content_blocks
+        for r in q_hx_main_content(spark, sf_tiny).collect()
+    }
+    exploded = {
+        r.doc_id: r.n
+        for r in q_hx_parse_blocks(spark, sf_tiny)
+        .where(~F.col("is_boiler"))
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    for d, n in hof.items():
+        assert exploded.get(d, 0) == n

@@ -361,3 +361,37 @@ def test_ivf_quantized_prunes_and_broadcasts(spark, sf_small):
     plan = plan_str(q_sim_ivf_quantized(spark, sf_small), "simple")
     assert "BroadcastHashJoin" in plan
     assert "Exchange hashpartitioning" not in plan
+
+
+def test_html_main_content_zero_exchange_jvm_only(spark, sf_small):
+    """The DOM-heuristic extractor is ONE projection: scan -> HOF
+    classify/filter/reassemble. No shuffle, no Python worker — the
+    whole 10^12-page strip is whole-stage-codegen JVM work."""
+    from handprint_spark.operators.html_extract import q_hx_main_content
+
+    plan = plan_str(q_hx_main_content(spark, sf_small), "simple")
+    assert "Exchange" not in plan
+    assert "EvalPython" not in plan
+
+
+def test_chunk_tokens_zero_exchange_jvm_only(spark, sf_small):
+    """Token-window chunking: sequence/transform/slice HOFs + narrow
+    explode. A pretokenization job pays one scan and zero shuffles."""
+    from handprint_spark.operators.html_extract import q_ct_chunk_tokens
+
+    plan = plan_str(q_ct_chunk_tokens(spark, sf_small), "simple")
+    assert "Exchange" not in plan
+    assert "EvalPython" not in plan
+
+
+def test_outlinks_two_stage_distinct_partial_agg(spark, sf_small):
+    """Outlink counting with count_distinct(doc_id) takes Spark's
+    two-stage distinct shape: partial agg on (href, doc_id), exchange,
+    merge, then the final exchange on href — exactly two exchanges,
+    with a map-side partial below the first (never a global distinct
+    or a re-scan)."""
+    from handprint_spark.operators.html_extract import q_hx_outlinks
+
+    plan = plan_str(q_hx_outlinks(spark, sf_small), "simple")
+    assert plan.count("Exchange hashpartitioning") == 2
+    assert "partial_count" in plan
