@@ -67,16 +67,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # CORRECTNESS run caps at 50 entries in dict insertion order, so
     # each round rotates the set needing fresh driver rows to the
     # front (documented in COVERAGE.md §verification-rotation).
-    # Round 4 window: the 25 queries without an r03 driver row
-    # (service_queries, service_fanout, compare, multimodal, all
-    # text_analysis) + every module modified this round (similarity:
-    # zero-norm guard + partial-top-k knn; dedup: parameterized
-    # minhash + CC width/reliability; html_extract is NEW) + the new
-    # flagship_skew_aware. Rotated out: the relational suite (r03:
-    # 27/27 green, byte-unchanged since) and curation (r03: 4/4
-    # green, byte-unchanged since d77e8a5).
+    # Round 4 window (exactly 50): every query that has never had a
+    # driver row (f1_f2_box_filters, service_fanout, compare,
+    # multimodal, 7 text_analysis) + every module modified this round
+    # (text_analysis: single-pass unigram LM + NEW ta_bpe_pairs;
+    # similarity: zero-norm guard + partial-top-k knn; dedup:
+    # parameterized minhash + CC width/reliability; html_extract is
+    # NEW) + cur_keep_list (rides dedup's keeper logic). Rotated out:
+    # x1/x4/x5 (r02 driver-green, modules byte-unchanged since), the
+    # relational suite (r03: 27/27 green, byte-unchanged) and the
+    # remaining curation queries (r03 green, byte-unchanged).
     out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
-    out.update(service_queries.QUERIES)
+    out["f1_f2_box_filters"] = service_queries.QUERIES["f1_f2_box_filters"]
     out.update(service_fanout.QUERIES)
     out.update(compare.QUERIES)
     out.update(multimodal.QUERIES)
@@ -84,6 +86,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out.update(similarity.QUERIES)
     out.update(dedup.QUERIES)
     out.update(html_extract.QUERIES)
+    out["cur_keep_list"] = curation.QUERIES["cur_keep_list"]
+    # --- driver window boundary (50 entries above) ---
+    out.update(service_queries.QUERIES)  # x1/x4/x5 (f1 keeps its slot)
     out.update(curation.QUERIES)
     out.update(relational.QUERIES)
     return out

@@ -142,7 +142,9 @@ def main() -> None:
         # distinct agg), and token-window chunking (zero-shuffle)
         ("hx_main_content", html_extract.QUERIES["hx_main_content"]),
         ("hx_outlinks", html_extract.QUERIES["hx_outlinks"]),
+        ("hx_url_canonicalize", html_extract.QUERIES["hx_url_canonicalize"]),
         ("ct_chunk_tokens", html_extract.QUERIES["ct_chunk_tokens"]),
+        ("ta_bpe_pairs", text_analysis.QUERIES["ta_bpe_pairs"]),
     ]
     # Full suite passes (default 3); per-query best across passes.
     # Pass 1 also absorbs each query's one-time whole-stage-codegen

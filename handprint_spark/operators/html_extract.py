@@ -338,6 +338,122 @@ FROM links GROUP BY href
 """
 
 
+# --- hx_url_canonicalize: crawl-frontier URL normalization --------------------
+
+_URL_HEAD_RE = r"^([^/]+//[^/?#]+)"
+_TRACKING_RE = r"(utm_[a-z]+|ref)=[^&#]*&?"
+
+
+def canonical_url(url: Column) -> Column:
+    """Crawl-frontier URL canonicalization, pure Catalyst regexps:
+    lowercase scheme+host, drop the fragment, strip default ports
+    (:80 http / :443 https), strip the www. prefix, remove tracking
+    params (utm_*, ref) while keeping meaningful ones, tidy dangling
+    ?/& and a trailing slash. The normalization every dedup/frontier
+    stage runs before keying on URL — zero shuffle as a projection."""
+    lowered = F.concat(
+        F.lower(F.regexp_extract(url, _URL_HEAD_RE, 1)),
+        F.regexp_replace(url, _URL_HEAD_RE, ""),
+    )
+    no_frag = F.regexp_replace(lowered, r"#.*$", "")
+    no_port = F.regexp_replace(
+        F.regexp_replace(no_frag, r"^(https://[^/?#]+):443", "$1"),
+        r"^(http://[^/?#]+):80",
+        "$1",
+    )
+    no_www = F.regexp_replace(no_port, r"^(https?://)www\.", "$1")
+    no_tracking = F.regexp_replace(no_www, _TRACKING_RE, "")
+    return F.regexp_replace(F.regexp_replace(no_tracking, r"[?&]$", ""), r"/$", "")
+
+
+def _messy_urls(docs: DataFrame) -> DataFrame:
+    """Deterministic messy-URL synthesis: four real-world variant
+    shapes of the same logical page (doc_id // 4), mirrored in the
+    oracle's raw CTE."""
+    page = (F.col("doc_id") / 4).cast("long").cast("string")
+    variant = F.col("doc_id") % 4
+    url = (
+        F.when(
+            variant == 0,
+            F.concat(
+                F.lit("HTTPS://WWW.Example.COM:443/doc/"),
+                page,
+                F.lit("?utm_source=feed&ref=x#frag"),
+            ),
+        )
+        .when(variant == 1, F.concat(F.lit("https://www.example.com/doc/"), page, F.lit("/")))
+        .when(
+            variant == 2,
+            F.concat(
+                F.lit("http://Example.com:80/doc/"),
+                page,
+                F.lit("?id="),
+                page,
+                F.lit("&utm_campaign=y"),
+            ),
+        )
+        .otherwise(F.concat(F.lit("https://example.com/doc/"), page))
+    )
+    return docs.select("doc_id", url.alias("url"))
+
+
+def q_hx_url_canonicalize(spark, sf_dir):
+    """Canonicalize + group: per-doc canonical URL and the dup-group
+    verdict (is_keeper = lowest doc_id in the canonical group). The
+    canonical projection is zero-shuffle; the keeper verdict is one
+    window exchange on the canonical key — well spread, since
+    canonical URLs are near-unique by construction of any real crawl."""
+    from pyspark.sql import Window
+
+    urls = _messy_urls(_docs(spark, sf_dir)).withColumn(
+        "canon_url", canonical_url(F.col("url"))
+    )
+    w = Window.partitionBy("canon_url")
+    return urls.select(
+        "doc_id",
+        "url",
+        "canon_url",
+        (F.col("doc_id") == F.min("doc_id").over(w)).alias("is_keeper"),
+        F.count("*").over(w).cast("int").alias("n_variants"),
+    )
+
+
+SQL_HX_URL_CANON = r"""
+WITH raw AS (
+  SELECT doc_id,
+    CASE doc_id % 4
+      WHEN 0 THEN 'HTTPS://WWW.Example.COM:443/doc/' || (doc_id // 4) || '?utm_source=feed&ref=x#frag'
+      WHEN 1 THEN 'https://www.example.com/doc/' || (doc_id // 4) || '/'
+      WHEN 2 THEN 'http://Example.com:80/doc/' || (doc_id // 4) || '?id=' || (doc_id // 4) || '&utm_campaign=y'
+      ELSE 'https://example.com/doc/' || (doc_id // 4)
+    END AS url
+  FROM documents
+),
+canon AS (
+  SELECT doc_id, url,
+    regexp_replace(regexp_replace(
+      regexp_replace(
+        regexp_replace(
+          regexp_replace(
+            regexp_replace(
+              regexp_replace(
+                regexp_replace(url, '^([^/]+//[^/?#]+)',
+                               lower(regexp_extract(url, '^([^/]+//[^/?#]+)', 1))),
+                '#.*$', ''),
+              '^(https://[^/?#]+):443', '\1'),
+            '^(http://[^/?#]+):80', '\1'),
+          '^(https?://)www\.', '\1'),
+        '(utm_[a-z]+|ref)=[^&#]*&?', '', 'g'),
+      '[?&]$', ''), '/$', '') AS canon_url
+  FROM raw
+)
+SELECT doc_id, url, canon_url,
+  doc_id = min(doc_id) OVER (PARTITION BY canon_url) AS is_keeper,
+  CAST(count(*) OVER (PARTITION BY canon_url) AS INT) AS n_variants
+FROM canon
+"""
+
+
 # --- ct_chunk_tokens: token-window chunking -----------------------------------
 
 def chunk_tokens(
@@ -407,6 +523,7 @@ QUERIES = {
     "hx_main_content": q_hx_main_content,
     "hx_parse_blocks": q_hx_parse_blocks,
     "hx_outlinks": q_hx_outlinks,
+    "hx_url_canonicalize": q_hx_url_canonicalize,
     "ct_chunk_tokens": q_ct_chunk_tokens,
 }
 
@@ -414,5 +531,6 @@ ORACLES = {
     "hx_main_content": SQL_HX_MAIN_CONTENT,
     "hx_parse_blocks": SQL_HX_PARSE_BLOCKS,
     "hx_outlinks": SQL_HX_OUTLINKS,
+    "hx_url_canonicalize": SQL_HX_URL_CANON,
     "ct_chunk_tokens": SQL_CT_CHUNK_TOKENS,
 }

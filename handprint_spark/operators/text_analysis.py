@@ -633,6 +633,56 @@ GROUP BY t.doc_id
 """
 
 
+# --- BPE merge-pair counting (tokenizer training support) --------------------
+
+BPE_TOP_PAIRS = 20
+
+
+def q_ta_bpe_pairs(spark, sf_dir):
+    """Corpus-level adjacent-token-pair counts — the first iteration
+    of BPE merge training (count every adjacent pair, pick the most
+    frequent). Complements ta_rep_2gram (per-doc repetition signal):
+    this is the GLOBAL aggregate a tokenizer trainer consumes.
+
+    Shape: bigrams come from a sequence/element_at HOF (one narrow
+    explode), the count is one shuffle on the pair key (well spread,
+    map-side partial), and the top-K is TakeOrdered on (count desc,
+    pair asc) — a total order, so the cut is deterministic. At 10^12
+    docs this is exactly the job shape; K and the vocab both stay
+    driver-sized."""
+    docs = _docs(spark, sf_dir)
+    grams = F.expr(
+        "CASE WHEN size(split(text, ' ')) < 2 THEN array()"
+        " ELSE transform(sequence(1, size(split(text, ' ')) - 1),"
+        " i -> concat(element_at(split(text, ' '), i), ' ',"
+        "             element_at(split(text, ' '), i + 1))) END"
+    )
+    return (
+        docs.select(F.explode(grams).alias("pair"))
+        .groupBy("pair")
+        .agg(F.count("*").alias("n_pairs"))
+        .orderBy(F.desc("n_pairs"), F.asc("pair"))
+        .limit(BPE_TOP_PAIRS)
+    )
+
+
+SQL_TA_BPE_PAIRS = f"""
+WITH w AS (
+  SELECT string_split(text, ' ') AS ws, len(string_split(text, ' ')) AS n
+  FROM documents
+),
+pairs AS (
+  SELECT ws[i] || ' ' || ws[i + 1] AS pair
+  FROM w, unnest(generate_series(1, n - 1)) AS t(i)
+  WHERE n >= 2
+)
+SELECT pair, count(*) AS n_pairs
+FROM pairs GROUP BY pair
+ORDER BY n_pairs DESC, pair ASC
+LIMIT {BPE_TOP_PAIRS}
+"""
+
+
 QUERIES = {
     "ta_token_count": q_ta_token_count,
     "ta_quality": q_ta_quality,
@@ -645,6 +695,7 @@ QUERIES = {
     "ta_len_quantiles": q_ta_len_quantiles,
     "ta_boilerplate_strip": q_ta_boilerplate_strip,
     "ta_unigram_logprob": q_ta_unigram_logprob,
+    "ta_bpe_pairs": q_ta_bpe_pairs,
 }
 
 ORACLES = {
@@ -659,4 +710,5 @@ ORACLES = {
     "ta_len_quantiles": SQL_TA_LEN_Q,
     "ta_boilerplate_strip": SQL_TA_BOILERPLATE,
     "ta_unigram_logprob": SQL_TA_UNIGRAM_LP,
+    "ta_bpe_pairs": SQL_TA_BPE_PAIRS,
 }

@@ -347,3 +347,28 @@ def stream_event_counts(spark: SparkSession, events_stream: DataFrame) -> DataFr
             "total_value",
         )
     )
+
+
+def stream_main_content(
+    spark: SparkSession,
+    source_dir: str,
+    schema=None,
+    max_files_per_trigger: int = 1,
+):
+    """Streaming main-content extraction: readStream over a documents
+    directory → synthetic-HTML attach → the DOM-heuristic extractor.
+    ``main_content`` is ONE stateless Catalyst projection (no shuffle,
+    no Python, no state), so it lifts to Structured Streaming
+    unchanged — the continuous form of a crawl-ingest pipeline where
+    pages stream in and cleaned text streams out. Returns an unstarted
+    streaming DataFrame; batch/stream parity is pytest-pinned."""
+    from ..operators.html_extract import htmlized, main_content
+
+    if schema is None:
+        schema = spark.read.parquet(source_dir).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(source_dir)
+    )
+    return main_content(htmlized(stream))

@@ -170,3 +170,68 @@ def test_main_content_matches_parse_blocks(spark, sf_tiny):
     }
     for d, n in hof.items():
         assert exploded.get(d, 0) == n
+
+
+# --- URL canonicalization -----------------------------------------------------
+
+def test_canonical_url_rules(spark):
+    from handprint_spark.operators.html_extract import canonical_url
+
+    cases = {
+        "HTTPS://WWW.Example.COM:443/doc/9?utm_source=feed&ref=x#frag":
+            "https://example.com/doc/9",
+        "https://www.example.com/doc/9/": "https://example.com/doc/9",
+        "http://Example.com:80/doc/9?id=9&utm_campaign=y":
+            "http://example.com/doc/9?id=9",
+        # non-default port and meaningful params survive
+        "https://example.com:8443/a?page=2": "https://example.com:8443/a?page=2",
+        # tracking strip keeps following meaningful params intact
+        "https://example.com/a?utm_source=x&page=2": "https://example.com/a?page=2",
+    }
+    df = spark.createDataFrame([(u,) for u in cases], ["url"])
+    got = {r.url: r.canon for r in df.select("url", canonical_url(F.col("url")).alias("canon")).collect()}
+    for raw, want in cases.items():
+        assert got[raw] == want, f"{raw} -> {got[raw]} (want {want})"
+
+
+def test_url_dedup_groups(spark, sf_tiny):
+    from handprint_spark.operators.html_extract import q_hx_url_canonicalize
+
+    rows = q_hx_url_canonicalize(spark, sf_tiny).collect()
+    by_canon = {}
+    for r in rows:
+        by_canon.setdefault(r.canon_url, []).append(r)
+    for canon, group in by_canon.items():
+        keepers = [r for r in group if r.is_keeper]
+        assert len(keepers) == 1  # exactly one keeper per canonical group
+        assert keepers[0].doc_id == min(r.doc_id for r in group)
+        assert all(r.n_variants == len(group) for r in group)
+    # variants 0/1/3 of a full quad collapse to one page, variant 2 differs
+    full_pages = [g for g in by_canon.values() if len(g) == 3]
+    assert full_pages, "expected 3-way canonical groups from variants 0/1/3"
+
+
+def test_bpe_pairs_handcrafted(spark, monkeypatch, tmp_path):
+    """Top pair on a handcrafted corpus is the known most frequent
+    adjacent pair, and the ranking tie-break is the pair string."""
+    import pandas as pd
+
+    from handprint_spark.operators.text_analysis import q_ta_bpe_pairs
+
+    docs = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3],
+            "text": ["a b a b a b", "a b c d", "x"],
+            "lang": ["en"] * 3,
+            "source": ["s"] * 3,
+            "n_chars": [11, 7, 1],
+        }
+    )
+    d = tmp_path / "documents.parquet"
+    docs.to_parquet(d)
+    rows = q_ta_bpe_pairs(spark, str(tmp_path)).collect()
+    assert rows[0].pair == "a b" and rows[0].n_pairs == 4
+    # the 1-token doc contributes nothing (no descending-sequence bug)
+    assert all(" " in r.pair for r in rows)
+    counts = [r.n_pairs for r in rows]
+    assert counts == sorted(counts, reverse=True)

@@ -315,3 +315,34 @@ def test_stream_decontaminate_null_text_is_row_verdict(spark, sf_tiny, tmpdir):
         for r in spark.sql("select * from stream_decon_null").collect()
     }
     assert got[1] == (0, 0.0, True)
+
+
+def test_stream_main_content_matches_batch(spark, sf_tiny, tmpdir):
+    """The DOM-heuristic extractor is stateless, so the streaming and
+    batch answers are identical row-for-row across micro-batches."""
+    from handprint_spark.operators.html_extract import htmlized, main_content
+    from handprint_spark.streaming.pipeline import stream_main_content
+
+    src = f"{tmpdir}/src_html"
+    docs = spark.read.parquet(f"{sf_tiny}/documents.parquet").limit(40)
+    docs.repartition(4).write.parquet(src)
+
+    q = (
+        stream_main_content(spark, src, max_files_per_trigger=1)
+        .writeStream.format("memory")
+        .queryName("stream_mc")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", f"{tmpdir}/ckpt_mc")
+        .start()
+    )
+    q.awaitTermination(120)
+
+    got = {
+        r.doc_id: (r.main_text, r.n_blocks, r.n_content_blocks, r.boiler_ratio)
+        for r in spark.sql("select * from stream_mc").collect()
+    }
+    expected = {
+        r.doc_id: (r.main_text, r.n_blocks, r.n_content_blocks, r.boiler_ratio)
+        for r in main_content(htmlized(spark.read.parquet(src))).collect()
+    }
+    assert got == expected
