@@ -79,6 +79,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # remaining curation queries (r03 green, byte-unchanged).
     out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
     out["f1_f2_box_filters"] = service_queries.QUERIES["f1_f2_box_filters"]
+    out["lay_paragraphs"] = service_queries.QUERIES["lay_paragraphs"]
     out.update(service_fanout.QUERIES)
     out.update(compare.QUERIES)
     out.update(multimodal.QUERIES)

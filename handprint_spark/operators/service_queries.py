@@ -349,11 +349,99 @@ FROM w GROUP BY doc_id
 """
 
 
+# --- layout parse: line-box -> paragraph clustering ---------------------------
+
+# A new paragraph starts when the vertical whitespace between two
+# consecutive line boxes exceeds the line height — the gap rule every
+# PDF layout analyzer (XY-cut, docstrum) applies on its vertical pass.
+LAY_LINES = 10
+LAY_LINE_H = 12
+LAY_LINE_STEP = 18  # baseline-to-baseline: 6 px of normal leading
+
+
+def q_lay_paragraphs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Layout parse (north_rule: "PDF/layout parse"): cluster a page's
+    line boxes into paragraphs by vertical-gap analysis. Line i sits at
+    y = 18*i plus a 25 px paragraph break after one or two
+    doc-dependent lines; a new paragraph opens when the whitespace gap
+    above a line exceeds the line height. The clustering is the
+    sessionization idiom applied to geometry — lag window + cumulative
+    break flags + per-paragraph rollup, all inside ONE
+    hashpartitioning(doc_id) exchange (plan-asserted), the shape that
+    holds when every one of 10^12 pages carries its own box list."""
+    from pyspark.sql import Window
+
+    docs = _docs(spark, sf_dir).select("doc_id")
+    brk1 = F.col("doc_id") % 7 + 1  # in [1, 8]: always interior
+    brk2 = F.col("doc_id") % 3 + 5  # in [5, 7]: may collide with brk1
+    lines = docs.select(
+        "doc_id",
+        F.posexplode(F.sequence(F.lit(0), F.lit(LAY_LINES - 1))).alias("line_no", "i"),
+    ).select(
+        "doc_id",
+        "line_no",
+        (
+            F.col("i") * LAY_LINE_STEP
+            + F.when(F.col("i") > brk1, 25).otherwise(0)
+            + F.when(F.col("i") > brk2, 25).otherwise(0)
+        ).alias("y"),
+    )
+    w = Window.partitionBy("doc_id").orderBy("line_no")
+    gapped = lines.withColumn(
+        "new_para",
+        (
+            F.col("y") - (F.lag("y").over(w) + LAY_LINE_H) > LAY_LINE_H
+        ).cast("int"),
+    ).withColumn(
+        "para_id",
+        F.sum(F.coalesce("new_para", F.lit(0)))
+        .over(w.rowsBetween(Window.unboundedPreceding, 0))
+        .cast("int"),
+    )
+    return gapped.groupBy("doc_id", "para_id").agg(
+        F.min("line_no").alias("first_line"),
+        F.count("*").cast("int").alias("n_lines"),
+        F.min("y").alias("y_top"),
+        (F.max("y") + LAY_LINE_H).alias("y_bottom"),
+    )
+
+
+SQL_LAY_PARAGRAPHS = f"""
+WITH lines AS (
+  SELECT doc_id, i AS line_no,
+         i * {LAY_LINE_STEP}
+           + CASE WHEN i > doc_id % 7 + 1 THEN 25 ELSE 0 END
+           + CASE WHEN i > doc_id % 3 + 5 THEN 25 ELSE 0 END AS y
+  FROM documents, unnest(generate_series(0, {LAY_LINES - 1})) AS t(i)
+),
+gapped AS (
+  SELECT doc_id, line_no, y,
+         CASE WHEN y - (lag(y) OVER (PARTITION BY doc_id ORDER BY line_no)
+                        + {LAY_LINE_H}) > {LAY_LINE_H}
+              THEN 1 ELSE 0 END AS new_para
+  FROM lines
+),
+paras AS (
+  SELECT doc_id, line_no, y,
+         sum(new_para) OVER (PARTITION BY doc_id ORDER BY line_no
+                             ROWS UNBOUNDED PRECEDING) AS para_id
+  FROM gapped
+)
+SELECT doc_id, CAST(para_id AS INT) AS para_id,
+       CAST(min(line_no) AS INT) AS first_line,
+       CAST(count(*) AS INT) AS n_lines,
+       CAST(min(y) AS INT) AS y_top,
+       CAST(max(y) + {LAY_LINE_H} AS INT) AS y_bottom
+FROM paras GROUP BY doc_id, para_id
+"""
+
+
 QUERIES = {
     "x1_amazon_parse": q_x1_amazon_parse,
     "x4_google_parse": q_x4_google_parse,
     "x5_microsoft_parse": q_x5_microsoft_parse,
     "f1_f2_box_filters": q_f1_f2_box_filters,
+    "lay_paragraphs": q_lay_paragraphs,
 }
 
 ORACLES = {
@@ -361,4 +449,5 @@ ORACLES = {
     "x4_google_parse": SQL_X4,
     "x5_microsoft_parse": SQL_X5,
     "f1_f2_box_filters": SQL_F1_F2,
+    "lay_paragraphs": SQL_LAY_PARAGRAPHS,
 }

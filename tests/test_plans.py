@@ -395,3 +395,15 @@ def test_outlinks_two_stage_distinct_partial_agg(spark, sf_small):
     plan = plan_str(q_hx_outlinks(spark, sf_small), "simple")
     assert plan.count("Exchange hashpartitioning") == 2
     assert "partial_count" in plan
+
+
+def test_lay_paragraphs_single_exchange(spark, sf_small):
+    """Layout paragraph clustering: the lag window, the cumulative
+    break-flag window, and the per-(doc, para) rollup all share
+    hashpartitioning(doc_id) — exactly ONE exchange; 10^12 pages each
+    carry their own box list through a single shuffle."""
+    from handprint_spark.operators.service_queries import q_lay_paragraphs
+
+    plan = plan_str(q_lay_paragraphs(spark, sf_small), "simple")
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "EvalPython" not in plan
