@@ -70,13 +70,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Round 4 window (exactly 50): every query that has never had a
     # driver row (f1_f2_box_filters, service_fanout, compare,
     # multimodal, 7 text_analysis) + every module modified this round
-    # (text_analysis: single-pass unigram LM + NEW ta_bpe_pairs;
-    # similarity: zero-norm guard + partial-top-k knn; dedup:
-    # parameterized minhash + CC width/reliability; html_extract is
-    # NEW) + cur_keep_list (rides dedup's keeper logic). Rotated out:
+    # (text_analysis: single-pass unigram LM + NEW ta_bpe_pairs +
+    # NEW ta_gopher_rules; similarity: zero-norm guard + partial-top-k
+    # knn; dedup: parameterized minhash + CC width/reliability;
+    # html_extract is NEW; lay_paragraphs is NEW). Rotated out:
     # x1/x4/x5 (r02 driver-green, modules byte-unchanged since), the
     # relational suite (r03: 27/27 green, byte-unchanged) and the
-    # remaining curation queries (r03 green, byte-unchanged).
+    # curation queries (r03 green, curation.py byte-unchanged).
     out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
     out["f1_f2_box_filters"] = service_queries.QUERIES["f1_f2_box_filters"]
     out["lay_paragraphs"] = service_queries.QUERIES["lay_paragraphs"]
@@ -87,7 +87,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out.update(similarity.QUERIES)
     out.update(dedup.QUERIES)
     out.update(html_extract.QUERIES)
-    out["cur_keep_list"] = curation.QUERIES["cur_keep_list"]
     # --- driver window boundary (50 entries above) ---
     out.update(service_queries.QUERIES)  # x1/x4/x5 (f1 keeps its slot)
     out.update(curation.QUERIES)

@@ -145,6 +145,10 @@ def main() -> None:
         ("hx_url_canonicalize", html_extract.QUERIES["hx_url_canonicalize"]),
         ("ct_chunk_tokens", html_extract.QUERIES["ct_chunk_tokens"]),
         ("ta_bpe_pairs", text_analysis.QUERIES["ta_bpe_pairs"]),
+        # round 4: layout parse (single-exchange paragraph clustering)
+        # and the Gopher gate bundle (zero-shuffle O(L^2) HOF scan)
+        ("lay_paragraphs", service_queries.QUERIES["lay_paragraphs"]),
+        ("ta_gopher_rules", text_analysis.QUERIES["ta_gopher_rules"]),
     ]
     # Full suite passes (default 3); per-query best across passes.
     # Pass 1 also absorbs each query's one-time whole-stage-codegen

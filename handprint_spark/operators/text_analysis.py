@@ -683,6 +683,167 @@ LIMIT {BPE_TOP_PAIRS}
 """
 
 
+# --- Gopher quality-rule bundle ------------------------------------------------
+
+# Thresholds from Rae et al. 2021 (Gopher), Table A1: the document
+# gates every large-scale text pipeline since has reused (Dolma,
+# RefinedWeb, FineWeb tune the constants, not the shape).
+GOPHER_TOP_LIMITS = {2: 0.20, 3: 0.18, 4: 0.16}
+GOPHER_DUP_LIMITS = {5: 0.15, 6: 0.14, 7: 0.13, 8: 0.12, 9: 0.11, 10: 0.10}
+
+
+def _gopher_top_expr(n: int) -> str:
+    """Most-frequent-n-gram character fraction (word n-grams): the
+    maximum over gram positions of occurrence-count × gram characters,
+    over total word characters. Ties resolve to the larger product,
+    which makes the scalar deterministic without an argmax."""
+    ng = f"(n_words - {n} + 1)"
+    return f"""
+    CASE WHEN n_words < {n} OR n_chars_tot = 0 THEN 0.0 ELSE round(
+      aggregate(sequence(1, {ng}), 0L, (acc, i) -> greatest(acc,
+        CAST(size(filter(sequence(1, {ng}),
+                         j -> slice(ws, j, {n}) == slice(ws, i, {n}))) AS LONG)
+        * aggregate(slice(wl, i, {n}), 0L, (a, x) -> a + x)))
+      / CAST(n_chars_tot AS DOUBLE), 4) END
+    """
+
+
+def _gopher_dup_expr(n: int) -> str:
+    """Duplicate-n-gram position fraction: share of gram positions
+    whose word n-gram occurs at least twice in the document. (Gopher
+    counts duplicated characters; the position form is the same signal
+    bounded to [0,1] under overlaps and is mirrored exactly in SQL.)"""
+    ng = f"(n_words - {n} + 1)"
+    return f"""
+    CASE WHEN n_words < {n} THEN 0.0 ELSE round(
+      CAST(size(filter(sequence(1, {ng}), i ->
+        size(filter(sequence(1, {ng}),
+                    j -> slice(ws, j, {n}) == slice(ws, i, {n}))) >= 2)) AS DOUBLE)
+      / {ng}, 4) END
+    """
+
+
+def q_ta_gopher_rules(spark, sf_dir):
+    """Gopher document-quality rule bundle (Rae et al. 2021, A1.1):
+    word-count bounds, mean-word-length bounds, alphabetic-word
+    fraction, stopword floor, most-frequent-{2,3,4}-gram character
+    fractions and duplicate-{5..10}-gram fractions, folded into one
+    `passes_gopher` verdict.
+
+    Entirely JVM-side: two stacked projections (words/lengths, then
+    the rule columns) — zero shuffle at any corpus size. The n-gram
+    rules are O(L²·n) per document over the word array; for the
+    bounded L of web documents that is the cheap path (no explode, no
+    per-gram shuffle). A pipeline facing pathological multi-MB single
+    documents routes them through the posting-list shape instead
+    (`ta_rep_2gram`: explode → (doc_id, gram) groupBy), which trades
+    one shuffle for per-row O(L) — both forms live in this module.
+    """
+    stop_arr = F.array(*[F.lit(w) for w in EN_STOP])
+    base = _docs(spark, sf_dir).select(
+        "doc_id",
+        _words().alias("ws"),
+        F.transform(_words(), lambda w: F.length(w)).alias("wl"),
+    ).select(
+        "doc_id",
+        "ws",
+        "wl",
+        F.size("ws").alias("n_words"),
+        F.aggregate("wl", F.lit(0), lambda a, x: a + x).alias("n_chars_tot"),
+        F.size(F.filter("ws", lambda w: w.rlike("[a-z]"))).alias("n_alpha"),
+        F.size(F.filter("ws", lambda w: F.array_contains(stop_arr, w))).alias("stop_hits"),
+    )
+    cols = [
+        F.col("doc_id"),
+        F.col("n_words"),
+        F.round(F.col("n_chars_tot") / F.col("n_words"), 4).alias("mean_word_len"),
+        F.round(F.col("n_alpha") / F.col("n_words"), 4).alias("frac_alpha_words"),
+        F.col("stop_hits"),
+    ]
+    gates = [
+        F.col("n_words").between(50, 100_000),
+        F.round(F.col("n_chars_tot") / F.col("n_words"), 4).between(3.0, 10.0),
+        F.round(F.col("n_alpha") / F.col("n_words"), 4) >= 0.80,
+        F.col("stop_hits") >= 2,
+    ]
+    for n, lim in GOPHER_TOP_LIMITS.items():
+        e = F.expr(_gopher_top_expr(n))
+        cols.append(e.alias(f"top{n}_frac"))
+        gates.append(e <= lim)
+    for n, lim in GOPHER_DUP_LIMITS.items():
+        e = F.expr(_gopher_dup_expr(n))
+        cols.append(e.alias(f"dup{n}_frac"))
+        gates.append(e <= lim)
+    verdict = gates[0]
+    for g in gates[1:]:
+        verdict = verdict & g
+    return base.select(*cols, verdict.alias("passes_gopher"))
+
+
+def _gopher_sql() -> str:
+    def top(n: int) -> str:
+        ng = f"(n_words - {n} + 1)"
+        return f"""
+        CASE WHEN n_words < {n} OR n_chars_tot = 0 THEN 0.0 ELSE round(
+          list_max(list_transform(range(1, {ng} + 1), i ->
+            len(list_filter(range(1, {ng} + 1),
+                            j -> ws[j : j + {n} - 1] = ws[i : i + {n} - 1]))
+            * list_sum(wl[i : i + {n} - 1])))
+          / CAST(n_chars_tot AS DOUBLE), 4) END
+        """
+
+    def dup(n: int) -> str:
+        ng = f"(n_words - {n} + 1)"
+        return f"""
+        CASE WHEN n_words < {n} THEN 0.0 ELSE round(
+          CAST(len(list_filter(range(1, {ng} + 1), i ->
+            len(list_filter(range(1, {ng} + 1),
+                            j -> ws[j : j + {n} - 1] = ws[i : i + {n} - 1])) >= 2))
+               AS DOUBLE) / {ng}, 4) END
+        """
+
+    top_cols = ",\n".join(
+        f"{top(n)} AS top{n}_frac" for n in GOPHER_TOP_LIMITS
+    )
+    dup_cols = ",\n".join(
+        f"{dup(n)} AS dup{n}_frac" for n in GOPHER_DUP_LIMITS
+    )
+    top_gates = " AND ".join(
+        f"{top(n)} <= {lim}" for n, lim in GOPHER_TOP_LIMITS.items()
+    )
+    dup_gates = " AND ".join(
+        f"{dup(n)} <= {lim}" for n, lim in GOPHER_DUP_LIMITS.items()
+    )
+    return f"""
+WITH base AS (
+  SELECT doc_id,
+         string_split(text, ' ') AS ws,
+         list_transform(string_split(text, ' '), w -> length(w)) AS wl,
+         len(string_split(text, ' ')) AS n_words,
+         list_sum(list_transform(string_split(text, ' '), w -> length(w))) AS n_chars_tot,
+         len(list_filter(string_split(text, ' '),
+                         w -> regexp_matches(w, '[a-z]'))) AS n_alpha,
+         len(list_filter(string_split(text, ' '),
+                         w -> w IN ({_EN_LIST}))) AS stop_hits
+  FROM documents
+)
+SELECT doc_id,
+       CAST(n_words AS INT) AS n_words,
+       round(n_chars_tot::DOUBLE / n_words, 4) AS mean_word_len,
+       round(n_alpha::DOUBLE / n_words, 4) AS frac_alpha_words,
+       CAST(stop_hits AS INT) AS stop_hits,
+       {top_cols},
+       {dup_cols},
+       (n_words BETWEEN 50 AND 100000
+        AND round(n_chars_tot::DOUBLE / n_words, 4) BETWEEN 3.0 AND 10.0
+        AND round(n_alpha::DOUBLE / n_words, 4) >= 0.80
+        AND stop_hits >= 2
+        AND {top_gates}
+        AND {dup_gates}) AS passes_gopher
+FROM base
+"""
+
+
 QUERIES = {
     "ta_token_count": q_ta_token_count,
     "ta_quality": q_ta_quality,
@@ -696,6 +857,7 @@ QUERIES = {
     "ta_boilerplate_strip": q_ta_boilerplate_strip,
     "ta_unigram_logprob": q_ta_unigram_logprob,
     "ta_bpe_pairs": q_ta_bpe_pairs,
+    "ta_gopher_rules": q_ta_gopher_rules,
 }
 
 ORACLES = {
@@ -711,4 +873,5 @@ ORACLES = {
     "ta_boilerplate_strip": SQL_TA_BOILERPLATE,
     "ta_unigram_logprob": SQL_TA_UNIGRAM_LP,
     "ta_bpe_pairs": SQL_TA_BPE_PAIRS,
+    "ta_gopher_rules": _gopher_sql(),
 }

@@ -407,3 +407,13 @@ def test_lay_paragraphs_single_exchange(spark, sf_small):
     plan = plan_str(q_lay_paragraphs(spark, sf_small), "simple")
     assert plan.count("Exchange hashpartitioning") == 1
     assert "EvalPython" not in plan
+
+
+def test_gopher_rules_zero_exchange_jvm_only(spark, sf_small):
+    """The Gopher rule bundle is two stacked projections of HOFs —
+    zero shuffle, zero Python at any corpus size."""
+    from handprint_spark.operators.text_analysis import q_ta_gopher_rules
+
+    plan = plan_str(q_ta_gopher_rules(spark, sf_small), "simple")
+    assert "Exchange" not in plan
+    assert "EvalPython" not in plan
