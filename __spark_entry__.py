@@ -80,14 +80,33 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
     out["f1_f2_box_filters"] = service_queries.QUERIES["f1_f2_box_filters"]
     out["lay_paragraphs"] = service_queries.QUERIES["lay_paragraphs"]
+    out["lay_columns"] = service_queries.QUERIES["lay_columns"]
+    out["lay_reading_order"] = service_queries.QUERIES["lay_reading_order"]
     out.update(service_fanout.QUERIES)
-    out.update(compare.QUERIES)
+    # cmp_lines/cmp_tsv are rows-only (sequential alignment, no SQL
+    # oracle) — their driver rows carry the least evidence, so they
+    # yield window slots to the new oracle-backed layout queries.
+    out["cmp_lines_clean"] = compare.QUERIES["cmp_lines_clean"]
+    out["cmp_totals"] = compare.QUERIES["cmp_totals"]
     out.update(multimodal.QUERIES)
     out.update(text_analysis.QUERIES)
-    out.update(similarity.QUERIES)
-    out.update(dedup.QUERIES)
+    out["cur_domain_mix"] = curation.QUERIES["cur_domain_mix"]
+    # sim_lsh_buckets yields its slot: function body byte-unchanged
+    # this round (the similarity.py diff is the zero-norm guard +
+    # partial-top-k knn) and it has an r03 green driver row.
+    out.update({k: v for k, v in similarity.QUERIES.items() if k != "sim_lsh_buckets"})
+    # dd_exact and dd_simhash yield their slots: their function bodies
+    # are byte-unchanged this round (the dedup.py diff is CC
+    # width/reliability + minhash parameterization) and both have r03
+    # green driver rows.
+    out.update(
+        {k: v for k, v in dedup.QUERIES.items() if k not in ("dd_exact", "dd_simhash")}
+    )
     out.update(html_extract.QUERIES)
     # --- driver window boundary (50 entries above) ---
+    out.update(similarity.QUERIES)  # sim_lsh_buckets (r03 green)
+    out.update(dedup.QUERIES)  # dd_exact/dd_simhash (r03 green)
+    out.update(compare.QUERIES)  # cmp_lines/cmp_tsv (rows-only)
     out.update(service_queries.QUERIES)  # x1/x4/x5 (f1 keeps its slot)
     out.update(curation.QUERIES)
     out.update(relational.QUERIES)

@@ -287,15 +287,113 @@ FROM laid
 """
 
 
+# --- token-budget domain mixing -------------------------------------------------
+
+MIX_SHRINK = 300  # global budget: 30% of corpus tokens (per-mille)
+MIX_HEAVY_W = 500  # per-mille weight for sources with id % 7 == 0
+MIX_BASE_W = 20  # per-mille weight floor for the rest
+
+
+def _mix_weight(source_num):
+    """Per-mille target weight for a source: a few heavy sources (the
+    curated-high-quality slice every mix up-weights) and a graded tail."""
+    return F.when(source_num % 7 == 0, MIX_HEAVY_W).otherwise(
+        MIX_BASE_W + (source_num % 7) * 10
+    )
+
+
+def q_cur_domain_mix(spark, sf_dir):
+    """Domain mixing under a token budget (the Llama/Pile-style data
+    recipe): each source s gets budget_s = T x w_s x SHRINK / 10^6
+    tokens (T = corpus token total, w_s the per-mille mix weight), met
+    by deterministic md5-bucket sampling at rate budget_s / tokens_s,
+    capped at keep-everything when a source is smaller than its
+    budget.
+
+    Exactness: the keep predicate is pure integer math —
+    bucket x tok_s x 1000 < T x w_s x SHRINK — so Spark and the SQL
+    oracle agree bit-for-bit. (At 10^12-token scale the product
+    overflows int64; a production run computes the per-source rate
+    once as a double in the 20-row totals table, where sampling-rate
+    precision is ample — the integer form is the test-scale oracle
+    contract.) Shape: per-source token totals via partial-agg groupBy
+    (ONE exchange over a (source, text)-pruned scan), the grand total
+    folded in as an empty-partition window over the 20 totals rows
+    (never corpus-sized), and the enriched totals broadcast back onto
+    the corpus scan — the filter itself is embarrassingly parallel,
+    and rerunning always keeps the same docs (resumable, like
+    cur_sample_strat)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id",
+        "source",
+        F.size(F.split(F.col("text"), " ")).cast("long").alias("n_tokens"),
+        (
+            F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+            .cast("long") % SAMPLE_BUCKETS
+        ).alias("bucket"),
+    )
+    from pyspark.sql import Window
+
+    totals = docs.groupBy("source").agg(F.sum("n_tokens").alias("tok_s"))
+    # grand total as an empty-partition window OVER the totals rows —
+    # NOT a second aggregate lineage, which would re-scan the corpus a
+    # third time; the single-partition window is 20 rows wide (source
+    # cardinality), never corpus-sized.
+    totals = totals.withColumn(
+        "tok_total",
+        F.sum("tok_s").over(
+            Window.partitionBy().rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        ),
+    )
+    src_num = F.regexp_extract(F.col("source"), r"(\d+)$", 1).cast("long")
+    return (
+        docs.join(F.broadcast(totals), "source")
+        .filter(
+            F.col("bucket") * F.col("tok_s") * 1000
+            < F.col("tok_total") * _mix_weight(src_num) * MIX_SHRINK
+        )
+        .select("doc_id", "source", "n_tokens")
+    )
+
+
+SQL_CUR_DOMAIN_MIX = f"""
+WITH d AS (
+  SELECT doc_id, source,
+         len(string_split(text, ' '))::BIGINT AS n_tokens,
+         ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT % {SAMPLE_BUCKETS}
+             AS bucket
+  FROM documents
+), totals AS (
+  SELECT source, sum(n_tokens) AS tok_s FROM d GROUP BY source
+), grand AS (
+  SELECT sum(tok_s) AS tok_total FROM totals
+)
+SELECT d.doc_id, d.source, d.n_tokens
+FROM d JOIN totals USING (source), grand
+WHERE d.bucket * totals.tok_s * 1000
+      < grand.tok_total
+        * (CASE WHEN CAST(regexp_extract(d.source, '(\\d+)$', 1) AS BIGINT) % 7 = 0
+                THEN {MIX_HEAVY_W}
+                ELSE {MIX_BASE_W}
+                     + (CAST(regexp_extract(d.source, '(\\d+)$', 1) AS BIGINT) % 7) * 10
+           END)
+        * {MIX_SHRINK}
+"""
+
+
 QUERIES = {
     "cur_keep_list": q_cur_keep_list,
     "cur_sample_strat": q_cur_sample_strat,
     "cur_report": q_cur_report,
     "cur_shard_pack": q_cur_shard_pack,
+    "cur_domain_mix": q_cur_domain_mix,
 }
 ORACLES = {
     "cur_keep_list": SQL_CUR_KEEP_LIST,
     "cur_sample_strat": SQL_CUR_SAMPLE,
     "cur_report": SQL_CUR_REPORT,
     "cur_shard_pack": SQL_CUR_SHARD_PACK,
+    "cur_domain_mix": SQL_CUR_DOMAIN_MIX,
 }

@@ -519,12 +519,86 @@ FROM chunks
 """
 
 
+# --- per-host crawl budgeting --------------------------------------------------
+
+HOST_BUDGET = 25  # pages kept per host
+
+
+def q_hx_host_budget(spark, sf_dir):
+    """Per-host crawl budget: keep the top HOST_BUDGET pages per host
+    by size (n_chars desc, doc_id tiebreak) — the politeness/diversity
+    cap every frontier applies so one giant host cannot dominate the
+    corpus.
+
+    Host synthesis is skewed on purpose (host_id = least(doc_id % 16,
+    7): seven 1/16-weight hosts and one 9/16-weight heavy host) because
+    the real web is zipf in host size, and a naive
+    Window.partitionBy(host) ships EVERY page of the heavy host to one
+    task. The skew-safe shape used here is two-phase top-K: rank
+    within (host, input partition) first — keys spread across the
+    cluster — keep only local ranks <= K, then rank the <= K x
+    n_partitions survivors per host. The heavy host's global window
+    sees at most K x partitions rows regardless of corpus size. Host
+    totals come from a separate partial-aggregated groupBy (map-side
+    combine handles the skew natively) broadcast back onto the
+    survivors; that second pass is deliberate and cheap — it is
+    column-pruned to doc_id alone (host derives from it), unlike the
+    top-K pass which carries the payload columns, and a full per-host
+    count cannot be recovered after the local top-K filter."""
+    from pyspark.sql import Window
+
+    docs = _docs(spark, sf_dir).select(
+        "doc_id",
+        "n_chars",
+        F.concat(
+            F.lit("site"), F.least(F.col("doc_id") % 16, F.lit(7)), F.lit(".com")
+        ).alias("host"),
+    )
+    order = [F.col("n_chars").desc(), F.col("doc_id").asc()]
+    local = (
+        docs.withColumn("pid", F.spark_partition_id())
+        .withColumn(
+            "local_rank",
+            F.row_number().over(Window.partitionBy("host", "pid").orderBy(*order)),
+        )
+        .filter(F.col("local_rank") <= HOST_BUDGET)
+        .drop("pid", "local_rank")
+    )
+    ranked = local.withColumn(
+        "page_rank",
+        F.row_number().over(Window.partitionBy("host").orderBy(*order)).cast("int"),
+    ).filter(F.col("page_rank") <= HOST_BUDGET)
+    totals = docs.groupBy("host").agg(F.count("*").cast("int").alias("host_pages"))
+    return ranked.join(F.broadcast(totals), "host").select(
+        "doc_id", "host", "n_chars", "page_rank", "host_pages"
+    )
+
+
+SQL_HX_HOST_BUDGET = f"""
+WITH pages AS (
+  SELECT doc_id, n_chars,
+         'site' || least(doc_id % 16, 7) || '.com' AS host
+  FROM documents
+),
+ranked AS (
+  SELECT doc_id, host, n_chars,
+         CAST(row_number() OVER (PARTITION BY host
+                                 ORDER BY n_chars DESC, doc_id) AS INT) AS page_rank,
+         CAST(count(*) OVER (PARTITION BY host) AS INT) AS host_pages
+  FROM pages
+)
+SELECT doc_id, host, n_chars, page_rank, host_pages
+FROM ranked WHERE page_rank <= {HOST_BUDGET}
+"""
+
+
 QUERIES = {
     "hx_main_content": q_hx_main_content,
     "hx_parse_blocks": q_hx_parse_blocks,
     "hx_outlinks": q_hx_outlinks,
     "hx_url_canonicalize": q_hx_url_canonicalize,
     "ct_chunk_tokens": q_ct_chunk_tokens,
+    "hx_host_budget": q_hx_host_budget,
 }
 
 ORACLES = {
@@ -533,4 +607,5 @@ ORACLES = {
     "hx_outlinks": SQL_HX_OUTLINKS,
     "hx_url_canonicalize": SQL_HX_URL_CANON,
     "ct_chunk_tokens": SQL_CT_CHUNK_TOKENS,
+    "hx_host_budget": SQL_HX_HOST_BUDGET,
 }

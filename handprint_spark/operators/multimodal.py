@@ -324,11 +324,130 @@ FROM (SELECT doc_id, lines, width, unnest(range(0, len(lines), 2)) AS i FROM doc
 """
 
 
+# --- interleaved sequence packing ----------------------------------------------
+
+MEDIA_TOKEN_COST = 16  # fixed token budget an image span occupies
+SEQ_BUDGET = 64        # tokens per packed training sequence
+
+
+def q_mm_interleave_pack(spark, sf_dir):
+    """Pack a document's interleaved text+media spans into fixed
+    token-budget training sequences — the data-loader output shape for
+    multimodal LM training (the interleaved analog of
+    ``cur_shard_pack``'s text-only packing).
+
+    Cost model: a text span costs its word count, a media span a fixed
+    MEDIA_TOKEN_COST. A span joins the sequence its running offset
+    starts in (spans are never split; a sequence may overflow by one
+    span — the standard greedy packer). Shape: explode the span table,
+    one hashpartitioning(doc_id) exchange shared by the running-sum
+    window and the per-sequence rollup (plan-asserted); span order
+    inside a document never crosses partitions, so 10^12 docs pack
+    embarrassingly parallel. The spans come from the same
+    ``load_documents_spans`` derivation the flagship pipeline reads;
+    selecting only the spans column prunes the HPM1 media-encode UDF
+    out of the plan entirely (asserted: no EvalPython)."""
+    from pyspark.sql import Window
+
+    from ..corpus import load_documents_spans
+
+    rows = (
+        load_documents_spans(spark, sf_dir)
+        .select("doc_id", F.explode("spans").alias("s"))
+        .select(
+            "doc_id",
+            F.col("s.kind").alias("kind"),
+            F.col("s.offset").alias("offset"),
+            F.when(
+                F.col("s.kind") == "text", F.size(F.split(F.col("s.text"), " "))
+            )
+            .otherwise(F.lit(MEDIA_TOKEN_COST))
+            .cast("int")
+            .alias("cost"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy("offset")
+    packed = rows.withColumn(
+        "seq_id",
+        F.floor(
+            F.coalesce(
+                F.sum("cost").over(w.rowsBetween(Window.unboundedPreceding, -1)),
+                F.lit(0),
+            )
+            / SEQ_BUDGET
+        ).cast("int"),
+    )
+    return packed.groupBy("doc_id", "seq_id").agg(
+        F.count("*").cast("int").alias("n_spans"),
+        F.sum((F.col("kind") == "text").cast("int")).cast("int").alias("n_text"),
+        F.sum((F.col("kind") != "text").cast("int")).cast("int").alias("n_media"),
+        F.sum("cost").cast("int").alias("tokens"),
+        F.min("offset").alias("first_offset"),
+        F.max("offset").alias("last_offset"),
+    )
+
+
+def _sql_mm_interleave_pack() -> str:
+    from ..corpus import SKEW_FACTOR, SKEW_MOD, WORDS_PER_LINE
+
+    w = WORDS_PER_LINE
+    return f"""
+WITH base AS (
+  SELECT doc_id::VARCHAR AS doc_id,
+         ('0x' || substr(sha256(doc_id::VARCHAR), 1, 8))::BIGINT AS h,
+         CASE WHEN trim(replace(text, chr(12), ' ')) = '' THEN []::VARCHAR[]
+              ELSE string_split(regexp_replace(trim(replace(text, chr(12), ' ')),
+                                               ' +', ' ', 'g'), ' ')
+         END AS words
+  FROM documents
+), lined AS (
+  SELECT doc_id, h,
+         list_transform(range(0, CAST(ceil(len(words) / {w}.0) AS INT)),
+                        i -> array_to_string(words[i*{w}+1 : i*{w}+{w}], ' ')) AS lines0
+  FROM base
+), skewed AS (
+  SELECT doc_id,
+         CASE WHEN h % {SKEW_MOD} = 0 AND len(lines0) > 0
+              THEN flatten(list_transform(range({SKEW_FACTOR}), r -> lines0))
+              ELSE lines0 END AS lines
+  FROM lined
+), srows AS (
+  SELECT doc_id, s.kind AS kind, s.off AS off, s.cost AS cost
+  FROM (SELECT doc_id,
+               unnest(flatten(list_transform(lines, (line, i) -> [
+                 struct_pack(kind := 'text',
+                             off := 2 * (i - 1),
+                             cost := len(string_split(line, ' '))),
+                 struct_pack(kind := 'line_image',
+                             off := 2 * (i - 1) + 1,
+                             cost := {MEDIA_TOKEN_COST})]))) AS s
+        FROM skewed)
+), packed AS (
+  SELECT doc_id, kind, off, cost,
+         CAST(floor(coalesce(sum(cost) OVER (PARTITION BY doc_id ORDER BY off
+                                             ROWS BETWEEN UNBOUNDED PRECEDING
+                                             AND 1 PRECEDING), 0)
+                    / {SEQ_BUDGET}) AS INT) AS seq_id
+  FROM srows
+)
+SELECT doc_id, seq_id,
+       CAST(count(*) AS INT) AS n_spans,
+       CAST(sum(CASE WHEN kind = 'text' THEN 1 ELSE 0 END) AS INT) AS n_text,
+       CAST(sum(CASE WHEN kind != 'text' THEN 1 ELSE 0 END) AS INT) AS n_media,
+       CAST(sum(cost) AS INT) AS tokens,
+       CAST(min(off) AS INT) AS first_offset,
+       CAST(max(off) AS INT) AS last_offset
+FROM packed GROUP BY doc_id, seq_id
+"""
+
+
 QUERIES = {
     "mm_media_features": q_mm_media_features,
     "mm_frame_sample": q_mm_frame_sample,
+    "mm_interleave_pack": q_mm_interleave_pack,
 }
 ORACLES: dict[str, str] = {
     "mm_media_features": _sql_mm_media_features(),
     "mm_frame_sample": _sql_mm_frame_sample(),
+    "mm_interleave_pack": _sql_mm_interleave_pack(),
 }

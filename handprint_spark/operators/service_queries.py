@@ -436,12 +436,171 @@ FROM paras GROUP BY doc_id, para_id
 """
 
 
+# --- layout parse: XY-cut horizontal pass (column detection) ------------------
+
+# A column break is a vertical whitespace gutter in the page's
+# x-projection wider than LAY_GAP_MIN — XY-cut's horizontal cut rule.
+LAY_WORDS = 12       # word boxes per synthetic page
+LAY_WORD_W = 30      # box width
+LAY_WORD_STEP = 40   # x grid pitch (10 px inter-word gap)
+LAY_COL_SHIFT = 80   # extra shift after the column split (gutter = 90)
+LAY_GAP_MIN = 30     # minimum whitespace to call a gutter
+LAY_ROWS = 4         # visual rows per page
+LAY_ROW_H = 15
+
+
+def _lay_boxes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic word boxes: 12 boxes on an x grid; two of three
+    pages are two-column (split point doc-dependent in [4, 8]), which
+    opens a 90 px gutter; one-column pages keep the uniform 10 px gap."""
+    x_l = (
+        F.col("j") * LAY_WORD_STEP
+        + F.when(
+            (F.col("doc_id") % 3 != 0) & (F.col("j") >= F.col("doc_id") % 5 + 4),
+            LAY_COL_SHIFT,
+        ).otherwise(0)
+    ).cast("int")
+    return (
+        _docs(spark, sf_dir)
+        .select("doc_id", F.explode(F.sequence(F.lit(0), F.lit(LAY_WORDS - 1))).alias("j"))
+        .select(
+            "doc_id",
+            "j",
+            x_l.alias("x_l"),
+            (x_l + LAY_WORD_W).alias("x_r"),
+            (F.col("j") % LAY_ROWS * LAY_ROW_H).cast("int").alias("y"),
+        )
+    )
+
+
+def q_lay_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XY-cut horizontal pass: detect text columns as gutters in the
+    x-projection of a page's word boxes. Running max of box right
+    edges over the x-sorted boxes (cumulative max, not lag — robust to
+    boxes nested inside a column's extent), a new column opens when a
+    box's left edge clears that reach by more than LAY_GAP_MIN, then a
+    per-column rollup. One hashpartitioning(doc_id) exchange
+    (plan-asserted) — the same single-shuffle shape as
+    ``q_lay_paragraphs``' vertical pass; together they are the XY-cut
+    recursion's two primitives."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("doc_id").orderBy("x_l", "j")
+    boxes = _lay_boxes(spark, sf_dir)
+    reach = F.max("x_r").over(w.rowsBetween(Window.unboundedPreceding, -1))
+    cols = boxes.withColumn(
+        "new_col", (F.col("x_l") - reach > LAY_GAP_MIN).cast("int")
+    ).withColumn(
+        "col_id",
+        F.sum(F.coalesce("new_col", F.lit(0)))
+        .over(w.rowsBetween(Window.unboundedPreceding, 0))
+        .cast("int"),
+    )
+    return cols.groupBy("doc_id", "col_id").agg(
+        F.count("*").cast("int").alias("n_words"),
+        F.min("x_l").alias("x_left"),
+        F.max("x_r").alias("x_right"),
+    )
+
+
+def q_lay_reading_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column-aware reading order: the reference's _sorted_by_position
+    top-to-bottom/left-to-right sort (main_body.py reading-order rule)
+    breaks on multi-column pages — a straight (y, x) sort interleaves
+    the columns. Detect columns first (x-gutter pass), then rank
+    column-major: (col_id, y, x). Both windows partition by doc_id, so
+    Catalyst plans ONE exchange and two in-partition sorts
+    (plan-asserted)."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("doc_id").orderBy("x_l", "j")
+    boxes = _lay_boxes(spark, sf_dir)
+    reach = F.max("x_r").over(w.rowsBetween(Window.unboundedPreceding, -1))
+    cols = boxes.withColumn(
+        "col_id",
+        F.sum(((F.col("x_l") - reach > LAY_GAP_MIN).cast("int")).cast("int"))
+        .over(w.rowsBetween(Window.unboundedPreceding, 0))
+        .cast("int"),
+    ).withColumn(
+        "col_id", F.coalesce("col_id", F.lit(0))
+    )
+    rank = F.row_number().over(
+        Window.partitionBy("doc_id").orderBy("col_id", "y", "x_l", "j")
+    )
+    return cols.select(
+        "doc_id",
+        F.col("j").alias("word_id"),
+        "col_id",
+        "y",
+        "x_l",
+        rank.alias("read_rank"),
+    )
+
+
+_SQL_LAY_BOXES = f"""
+  SELECT doc_id, j,
+         CAST(j * {LAY_WORD_STEP}
+              + CASE WHEN doc_id % 3 != 0 AND j >= doc_id % 5 + 4
+                     THEN {LAY_COL_SHIFT} ELSE 0 END AS INT) AS x_l,
+         CAST(j * {LAY_WORD_STEP}
+              + CASE WHEN doc_id % 3 != 0 AND j >= doc_id % 5 + 4
+                     THEN {LAY_COL_SHIFT} ELSE 0 END + {LAY_WORD_W} AS INT) AS x_r,
+         CAST(j % {LAY_ROWS} * {LAY_ROW_H} AS INT) AS y
+  FROM documents, unnest(generate_series(0, {LAY_WORDS - 1})) AS t(j)
+"""
+
+SQL_LAY_COLUMNS = f"""
+WITH boxes AS ({_SQL_LAY_BOXES}),
+marked AS (
+  SELECT doc_id, j, x_l, x_r,
+         CASE WHEN x_l - max(x_r) OVER (PARTITION BY doc_id ORDER BY x_l, j
+                                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                   > {LAY_GAP_MIN} THEN 1 ELSE 0 END AS new_col
+  FROM boxes
+),
+cols AS (
+  SELECT doc_id, x_l, x_r,
+         sum(new_col) OVER (PARTITION BY doc_id ORDER BY x_l, j
+                            ROWS UNBOUNDED PRECEDING) AS col_id
+  FROM marked
+)
+SELECT doc_id, CAST(col_id AS INT) AS col_id,
+       CAST(count(*) AS INT) AS n_words,
+       CAST(min(x_l) AS INT) AS x_left,
+       CAST(max(x_r) AS INT) AS x_right
+FROM cols GROUP BY doc_id, col_id
+"""
+
+SQL_LAY_READING_ORDER = f"""
+WITH boxes AS ({_SQL_LAY_BOXES}),
+marked AS (
+  SELECT doc_id, j, x_l, x_r, y,
+         CASE WHEN x_l - max(x_r) OVER (PARTITION BY doc_id ORDER BY x_l, j
+                                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                   > {LAY_GAP_MIN} THEN 1 ELSE 0 END AS new_col
+  FROM boxes
+),
+cols AS (
+  SELECT doc_id, j, x_l, y,
+         CAST(sum(new_col) OVER (PARTITION BY doc_id ORDER BY x_l, j
+                                 ROWS UNBOUNDED PRECEDING) AS INT) AS col_id
+  FROM marked
+)
+SELECT doc_id, CAST(j AS INT) AS word_id, col_id, y, x_l,
+       CAST(row_number() OVER (PARTITION BY doc_id
+                               ORDER BY col_id, y, x_l, j) AS INT) AS read_rank
+FROM cols
+"""
+
+
 QUERIES = {
     "x1_amazon_parse": q_x1_amazon_parse,
     "x4_google_parse": q_x4_google_parse,
     "x5_microsoft_parse": q_x5_microsoft_parse,
     "f1_f2_box_filters": q_f1_f2_box_filters,
     "lay_paragraphs": q_lay_paragraphs,
+    "lay_columns": q_lay_columns,
+    "lay_reading_order": q_lay_reading_order,
 }
 
 ORACLES = {
@@ -450,4 +609,6 @@ ORACLES = {
     "x5_microsoft_parse": SQL_X5,
     "f1_f2_box_filters": SQL_F1_F2,
     "lay_paragraphs": SQL_LAY_PARAGRAPHS,
+    "lay_columns": SQL_LAY_COLUMNS,
+    "lay_reading_order": SQL_LAY_READING_ORDER,
 }

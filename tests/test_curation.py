@@ -392,3 +392,34 @@ def test_cur_shard_pack_layout(spark, sf_tiny):
         for r in shard_rows:
             assert r.start_tok == off
             off += r.n_tokens
+
+
+def test_domain_mix_rates_and_caps(spark, sf_tiny):
+    """Each source keeps ~rate x its docs where rate = min(1,
+    T x w x SHRINK / (10^6 x tok_s)); heavy sources (id % 7 == 0,
+    weight 500 per-mille) are over-budget at 20 uniform sources and
+    keep EVERY doc; the keep set is the exact md5-bucket prefix."""
+    from handprint_spark.operators.curation import (
+        MIX_BASE_W,
+        MIX_HEAVY_W,
+        MIX_SHRINK,
+        SAMPLE_BUCKETS,
+        q_cur_domain_mix,
+    )
+    import hashlib
+
+    docs = spark.read.parquet(f"{sf_tiny}/documents.parquet").collect()
+    tok = {}
+    for r in docs:
+        tok[r.source] = tok.get(r.source, 0) + len(r.text.split(" "))
+    total = sum(tok.values())
+    kept = q_cur_domain_mix(spark, sf_tiny).collect()
+    kept_ids = {r.doc_id for r in kept}
+    for r in docs:
+        n = int(r.source.replace("src", ""))
+        w = MIX_HEAVY_W if n % 7 == 0 else MIX_BASE_W + (n % 7) * 10
+        bucket = int(hashlib.md5(str(r.doc_id).encode()).hexdigest()[:8], 16) % SAMPLE_BUCKETS
+        expect = bucket * tok[r.source] * 1000 < total * w * MIX_SHRINK
+        assert (r.doc_id in kept_ids) == expect, (r.doc_id, r.source)
+    heavy_docs = [r.doc_id for r in docs if int(r.source.replace("src", "")) % 7 == 0]
+    assert set(heavy_docs) <= kept_ids  # over-budget sources keep all

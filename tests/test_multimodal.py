@@ -103,3 +103,49 @@ def test_mm_frame_sample_query_matches_corpus_rule(spark, sf_tiny):
             assert (g.width, g.height) == (width, 24)
         checked += 1
     assert checked >= 10
+
+
+def test_interleave_pack_accounting(spark, sf_tiny):
+    """Token accounting closes: per doc, sum(tokens) == word cost of
+    every text span + MEDIA_TOKEN_COST per media span, sequences
+    partition the span list in offset order, and a skewed doc packs
+    SKEW_FACTOR x the spans of its unskewed line count."""
+    from handprint_spark.corpus import doc_slice_hash, SKEW_MOD, WORDS_PER_LINE
+    from handprint_spark.operators.multimodal import (
+        MEDIA_TOKEN_COST,
+        SEQ_BUDGET,
+        q_mm_interleave_pack,
+    )
+
+    rows = q_mm_interleave_pack(spark, sf_tiny).collect()
+    docs = {
+        str(r.doc_id): r.text
+        for r in spark.read.parquet(f"{sf_tiny}/documents.parquet").collect()
+    }
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    assert set(by_doc) == set(docs)
+    import math
+
+    for doc_id, seqs in by_doc.items():
+        words = docs[doc_id].split()
+        n_lines = math.ceil(len(words) / WORDS_PER_LINE)
+        if doc_slice_hash(doc_id) % SKEW_MOD == 0:
+            n_lines *= 25
+            total_words = len(words) * 25
+        else:
+            total_words = len(words)
+        assert sum(s.n_spans for s in seqs) == 2 * n_lines
+        assert sum(s.n_media for s in seqs) == n_lines
+        assert sum(s.tokens for s in seqs) == total_words + n_lines * MEDIA_TOKEN_COST
+        seqs = sorted(seqs, key=lambda s: s.seq_id)
+        # sequences tile the offset range contiguously in order
+        assert seqs[0].first_offset == 0
+        assert seqs[-1].last_offset == 2 * n_lines - 1
+        for a, b in zip(seqs, seqs[1:]):
+            assert b.first_offset == a.last_offset + 1
+        # every sequence starts under budget (greedy overflow is only
+        # ever by the final span of the sequence)
+        for s in seqs[:-1]:
+            assert s.tokens >= 1

@@ -417,3 +417,61 @@ def test_gopher_rules_zero_exchange_jvm_only(spark, sf_small):
     plan = plan_str(q_ta_gopher_rules(spark, sf_small), "simple")
     assert "Exchange" not in plan
     assert "EvalPython" not in plan
+
+
+def test_lay_columns_single_exchange(spark, sf_small):
+    """XY-cut horizontal pass: cumulative-max gutter detection and the
+    per-column rollup share hashpartitioning(doc_id) — ONE exchange."""
+    from handprint_spark.operators.service_queries import q_lay_columns
+
+    plan = plan_str(q_lay_columns(spark, sf_small), "simple")
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "EvalPython" not in plan
+
+
+def test_lay_reading_order_single_exchange(spark, sf_small):
+    """Column-aware reading order: the gutter window and the rank
+    window both partition by doc_id — ONE exchange, two sorts."""
+    from handprint_spark.operators.service_queries import q_lay_reading_order
+
+    plan = plan_str(q_lay_reading_order(spark, sf_small), "simple")
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "EvalPython" not in plan
+
+
+def test_host_budget_two_phase_topk(spark, sf_small):
+    """Per-host budget is skew-safe: a local (host, partition) rank
+    precedes the per-host rank, so the heavy host's global window sees
+    at most K x partitions rows. Plan: exactly three hashpartitioning
+    exchanges (local window, host window, totals agg) and a broadcast
+    join for the totals — never a shuffle join on host."""
+    from handprint_spark.operators.html_extract import q_hx_host_budget
+
+    plan = plan_str(q_hx_host_budget(spark, sf_small), "simple")
+    assert plan.count("Exchange hashpartitioning") == 3
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_interleave_pack_single_exchange_no_python(spark, sf_small):
+    """Sequence packing over the interleaved spans: the running-sum
+    window and the per-sequence rollup share hashpartitioning(doc_id)
+    — ONE exchange — and selecting only the spans column prunes the
+    HPM1 media-encode UDF out of the plan entirely."""
+    from handprint_spark.operators.multimodal import q_mm_interleave_pack
+
+    plan = plan_str(q_mm_interleave_pack(spark, sf_small), "simple")
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "EvalPython" not in plan
+
+
+def test_domain_mix_broadcasts_totals(spark, sf_small):
+    """Domain mixing: one partial-agg exchange for the per-source
+    totals; the 20-row totals and 1-row grand total come back as
+    broadcasts — the corpus-side filter never shuffles."""
+    from handprint_spark.operators.curation import q_cur_domain_mix
+
+    plan = plan_str(q_cur_domain_mix(spark, sf_small), "simple")
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+    assert "SortMergeJoin" not in plan
