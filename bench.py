@@ -101,7 +101,11 @@ def main() -> None:
         # a production run reads the Iceberg table both ways).
         from handprint_spark.plans.partitioning import extract_skew_aware
 
-        df = extract_skew_aware(spark.read.parquet(spans_dir))
+        # n_media_col: the materialized count column (sorted within
+        # partitions at write) makes the heavy/normal filter split
+        # row-group-prunable, so the split's second scan skips the
+        # media bytes of every all-normal row group.
+        df = extract_skew_aware(spark.read.parquet(spans_dir), n_media_col="n_media")
         return df.selectExpr(
             "count(*) AS docs", "sum(n_media) AS media", "sum(n_errors) AS errs"
         ).collect()[0]

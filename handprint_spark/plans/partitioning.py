@@ -41,6 +41,7 @@ def extract_skew_aware(
     spans_with_media: DataFrame,
     media_per_chunk: int = 64,
     skew_threshold: int = 256,
+    n_media_col: str | None = None,
     **extract_kwargs,
 ) -> DataFrame:
     """Extraction with heavy-document splitting.
@@ -51,6 +52,16 @@ def extract_skew_aware(
     parallel, then reassembled per doc_id (array_sort by offset keeps
     span order canonical). Output schema == extract_documents.
 
+    ``n_media_col``: name of a materialized media-count column on the
+    input table. The heavy/normal split is two filters over the same
+    scan; with the count derived as size(media) the predicate cannot
+    push down and the split pays a second full read of the media
+    bytes. A materialized count column (corpus.materialize_spans
+    writes one, sorted within partitions — the Iceberg
+    metrics-column + sort-order analog) turns both filters into
+    parquet row-group pruning: the heavy scan skips every
+    all-normal row group, which is almost all of them.
+
     Chunk membership is derived from the spans themselves, for ANY
     span/media interleave (not just the corpus's text+media-per-line
     2:1 layout): span j belongs to chunk floor(m_before(j) / k), where
@@ -60,7 +71,7 @@ def extract_skew_aware(
     chunk. A chunk's media objects are selected by media_ref
     membership in its own media spans, never by array position.
     """
-    n_media = F.size("media")
+    n_media = F.col(n_media_col) if n_media_col else F.size("media")
     normal = spans_with_media.filter(n_media <= skew_threshold)
     heavy = spans_with_media.filter(n_media > skew_threshold)
 

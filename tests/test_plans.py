@@ -475,3 +475,36 @@ def test_domain_mix_broadcasts_totals(spark, sf_small):
     assert plan.count("Exchange hashpartitioning") == 1
     assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_skew_split_pushes_down_on_materialized_count(spark, sf_tiny, tmp_path):
+    """With a materialized n_media column (corpus.materialize_spans),
+    the heavy/normal split filters push to the parquet scan
+    (PushedFilters on n_media) instead of re-reading media bytes to
+    evaluate size(media); results equal the derived-count path."""
+    from handprint_spark.corpus import materialize_spans
+    from handprint_spark.plans.partitioning import extract_skew_aware
+
+    out = str(tmp_path / "spans_nm")
+    materialize_spans(spark, sf_tiny, out, partitions=4)
+    table = spark.read.parquet(out)
+    assert "n_media" in table.columns
+
+    df = extract_skew_aware(
+        table, media_per_chunk=16, skew_threshold=40, n_media_col="n_media"
+    )
+    plan = plan_str(df, "simple")
+    assert "GreaterThan(n_media,40)" in plan.replace(" ", "")
+    assert "LessThanOrEqual(n_media,40)" in plan.replace(" ", "")
+
+    derived = extract_skew_aware(
+        spark.read.parquet(out).drop("n_media"),
+        media_per_chunk=16,
+        skew_threshold=40,
+    )
+    key = lambda rows: {  # noqa: E731
+        r.doc_id: ([(s.kind, s.text, s.media_ref, s.offset) for s in r.spans],
+                   r.n_media, r.n_errors)
+        for r in rows
+    }
+    assert key(df.collect()) == key(derived.collect())
