@@ -118,6 +118,17 @@ def main() -> None:
         ("time_bucket_agg", relational.QUERIES["time_bucket_agg"]),
         ("dd_exact", dedup.QUERIES["dd_exact"]),
         ("dd_minhash_lsh_pairs", dedup.QUERIES["dd_minhash_lsh_pairs"]),
+        # production banding (K=128, 16 bands x 8 rows): the width a
+        # real pipeline runs; benched so the cost of 32x the signature
+        # work is a measured number, not an extrapolation
+        (
+            "dd_minhash_prod_pairs",
+            lambda spark, sf: dedup.minhash_lsh_pairs(
+                dedup._docs(spark, sf, spread=True),
+                k=dedup.MINHASH_K_PROD,
+                bands=dedup.MINHASH_BANDS_PROD,
+            ),
+        ),
         ("dd_simhash", dedup.QUERIES["dd_simhash"]),
         ("dd_simhash_pairs", dedup.QUERIES["dd_simhash_pairs"]),
         ("dd_embedding_neardup", dedup.QUERIES["dd_embedding_neardup"]),
