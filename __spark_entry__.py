@@ -89,23 +89,32 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["cmp_lines_clean"] = compare.QUERIES["cmp_lines_clean"]
     out["cmp_totals"] = compare.QUERIES["cmp_totals"]
     out.update(multimodal.QUERIES)
-    out.update(text_analysis.QUERIES)
+    # ta_token_count yields its slot to the new cur_full_pipeline:
+    # body byte-unchanged since its r02 green driver row.
+    out.update({k: v for k, v in text_analysis.QUERIES.items() if k != "ta_token_count"})
     out["cur_domain_mix"] = curation.QUERIES["cur_domain_mix"]
+    out["cur_full_pipeline"] = curation.QUERIES["cur_full_pipeline"]
     # sim_lsh_buckets yields its slot: function body byte-unchanged
     # this round (the similarity.py diff is the zero-norm guard +
     # partial-top-k knn) and it has an r03 green driver row.
     out.update({k: v for k, v in similarity.QUERIES.items() if k != "sim_lsh_buckets"})
-    # dd_exact and dd_simhash yield their slots: their function bodies
-    # are byte-unchanged this round (the dedup.py diff is CC
-    # width/reliability + minhash parameterization) and both have r03
-    # green driver rows.
+    # dd_exact, dd_simhash and dd_ngram_jaccard yield their slots:
+    # their function bodies are byte-unchanged this round (the
+    # dedup.py diff is CC width/reliability + minhash parameterization
+    # + the NEW dd_neardup_keep, which takes the freed slot) and all
+    # three have r03 green driver rows.
     out.update(
-        {k: v for k, v in dedup.QUERIES.items() if k not in ("dd_exact", "dd_simhash")}
+        {
+            k: v
+            for k, v in dedup.QUERIES.items()
+            if k not in ("dd_exact", "dd_simhash", "dd_ngram_jaccard")
+        }
     )
     out.update(html_extract.QUERIES)
     # --- driver window boundary (50 entries above) ---
     out.update(similarity.QUERIES)  # sim_lsh_buckets (r03 green)
-    out.update(dedup.QUERIES)  # dd_exact/dd_simhash (r03 green)
+    out.update(dedup.QUERIES)  # dd_exact/dd_simhash/dd_ngram_jaccard (r03 green)
+    out.update(text_analysis.QUERIES)  # ta_token_count (r02 green)
     out.update(compare.QUERIES)  # cmp_lines/cmp_tsv (rows-only)
     out.update(service_queries.QUERIES)  # x1/x4/x5 (f1 keeps its slot)
     out.update(curation.QUERIES)

@@ -383,12 +383,102 @@ WHERE d.bucket * totals.tok_s * 1000
 """
 
 
+# --- full curation pipeline ---------------------------------------------------
+
+
+def q_cur_full_pipeline(spark, sf_dir):
+    """Per-document stage verdicts for the WHOLE curation pass — the
+    audit table a production run materializes next to the keep-list:
+
+        exact_keep    doc is its md5(text) group's keeper
+        neardup_keep  doc is not a dropped member of a MinHash-LSH
+                      duplicate cluster (docs in no cluster keep)
+        quality_keep  ta_quality's gate bundle passes
+        kept          all three
+
+    One row per document with every verdict, so downstream reporting
+    can attribute loss per stage without re-running any of them.
+    Shape: the exact stage is one shuffle on the md5 key, the near-dup
+    stage reuses the clusters subplan (equi-joins on band keys + CC),
+    the quality stage is a zero-shuffle projection, and the three
+    verdicts meet on equi-joins keyed by doc_id — the cluster side is
+    dup-fraction-sized (AQE broadcasts when small), the quality join
+    is doc-aligned sort-merge. No new scale hazards beyond the parts
+    already audited individually."""
+    from .dedup import duplicate_clusters, q_dd_minhash_lsh_pairs
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", F.md5(F.col("text").cast("binary")).alias("h")
+    )
+    groups = q_dd_exact(spark, sf_dir)  # (h, n_docs, keeper)
+    exact = docs.join(groups, "h").select(
+        "doc_id", (F.col("doc_id") == F.col("keeper")).alias("exact_keep")
+    )
+    clusters = duplicate_clusters(q_dd_minhash_lsh_pairs(spark, sf_dir)).select(
+        "doc_id", F.col("is_keeper").alias("nd_keep")
+    )
+    quality = q_ta_quality(spark, sf_dir).select(
+        "doc_id", F.col("passes_quality").alias("quality_keep")
+    )
+    return (
+        exact.join(clusters, "doc_id", "left")
+        .withColumn("neardup_keep", F.coalesce("nd_keep", F.lit(True)))
+        .drop("nd_keep")
+        .join(quality, "doc_id")
+        .select(
+            "doc_id",
+            "exact_keep",
+            "neardup_keep",
+            "quality_keep",
+            (
+                F.col("exact_keep") & F.col("neardup_keep") & F.col("quality_keep")
+            ).alias("kept"),
+        )
+    )
+
+
+def _sql_cur_full_pipeline() -> str:
+    from .dedup import SQL_DD_MINHASH_LSH
+
+    return f"""
+WITH RECURSIVE lshpairs AS ({SQL_DD_MINHASH_LSH}),
+edges AS (
+  SELECT d1 AS src, d2 AS dst FROM lshpairs
+  UNION ALL
+  SELECT d2 AS src, d1 AS dst FROM lshpairs
+),
+nodes AS (SELECT DISTINCT src AS node FROM edges),
+reach(node, label) AS (
+  SELECT node, node FROM nodes
+  UNION
+  SELECT e.dst, r.label FROM reach r JOIN edges e ON e.src = r.node
+),
+members AS (
+  SELECT node AS doc_id, (node = min(label)) AS nd_keep FROM reach GROUP BY node
+),
+groups AS ({SQL_DD_EXACT}),
+quality AS ({SQL_TA_QUALITY}),
+exact AS (
+  SELECT d.doc_id, (d.doc_id = g.keeper) AS exact_keep
+  FROM documents d JOIN groups g ON md5(d.text) = g.h
+)
+SELECT e.doc_id, e.exact_keep,
+       coalesce(m.nd_keep, TRUE) AS neardup_keep,
+       q.passes_quality AS quality_keep,
+       (e.exact_keep AND coalesce(m.nd_keep, TRUE) AND q.passes_quality) AS kept
+FROM exact e
+LEFT JOIN members m USING (doc_id)
+JOIN quality q USING (doc_id)
+"""
+
+
 QUERIES = {
     "cur_keep_list": q_cur_keep_list,
     "cur_sample_strat": q_cur_sample_strat,
     "cur_report": q_cur_report,
     "cur_shard_pack": q_cur_shard_pack,
     "cur_domain_mix": q_cur_domain_mix,
+    "cur_full_pipeline": q_cur_full_pipeline,
 }
 ORACLES = {
     "cur_keep_list": SQL_CUR_KEEP_LIST,
@@ -396,4 +486,5 @@ ORACLES = {
     "cur_report": SQL_CUR_REPORT,
     "cur_shard_pack": SQL_CUR_SHARD_PACK,
     "cur_domain_mix": SQL_CUR_DOMAIN_MIX,
+    "cur_full_pipeline": _sql_cur_full_pipeline(),
 }

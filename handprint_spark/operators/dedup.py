@@ -1154,6 +1154,50 @@ FROM reach GROUP BY node
 """
 
 
+def q_dd_neardup_keep(spark, sf_dir):
+    """Surviving corpus after near-duplicate REMOVAL — the table a
+    dedup pass actually ships: MinHash-LSH candidate pairs → connected
+    components → every non-keeper cluster member dropped by anti-join.
+
+    Scale shape: the drop set is the dup fraction of the corpus (a
+    real table, never a driver list), and the anti-join is an
+    equi-join on the well-spread doc_id key — AQE broadcasts it when
+    it measures small, sort-merge otherwise. The survivors' side
+    projects only (doc_id, lang, n_chars): the corpus `text` column is
+    read ONCE, in the signature branch — the output scan is pruned to
+    three thin columns (the reference's analog is S4's keep-one-per-
+    base dedup, handprint/main_body.py:311-323, lifted from filenames
+    to content)."""
+    drop = (
+        duplicate_clusters(q_dd_minhash_lsh_pairs(spark, sf_dir))
+        .filter(~F.col("is_keeper"))
+        .select("doc_id")
+    )
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return docs.join(drop, "doc_id", "left_anti").select("doc_id", "lang", "n_chars")
+
+
+SQL_DD_NEARDUP_KEEP = f"""
+WITH RECURSIVE lshpairs AS ({SQL_DD_MINHASH_LSH}),
+edges AS (
+  SELECT d1 AS src, d2 AS dst FROM lshpairs
+  UNION ALL
+  SELECT d2 AS src, d1 AS dst FROM lshpairs
+),
+nodes AS (SELECT DISTINCT src AS node FROM edges),
+reach(node, label) AS (
+  SELECT node, node FROM nodes
+  UNION
+  SELECT e.dst, r.label FROM reach r JOIN edges e ON e.src = r.node
+),
+dropped AS (
+  SELECT node AS doc_id FROM reach GROUP BY node HAVING node <> min(label)
+)
+SELECT d.doc_id, d.lang, d.n_chars
+FROM documents d ANTI JOIN dropped x ON d.doc_id = x.doc_id
+"""
+
+
 QUERIES = {
     "dd_exact": q_dd_exact,
     "dd_ngram_jaccard": q_dd_ngram_jaccard,
@@ -1167,6 +1211,7 @@ QUERIES = {
     "dd_substring_dup": q_dd_substring_dup,
     "dd_semantic_clusters": q_dd_semantic_clusters,
     "dd_lsh_stats": q_dd_lsh_stats,
+    "dd_neardup_keep": q_dd_neardup_keep,
 }
 
 ORACLES = {
@@ -1181,6 +1226,7 @@ ORACLES = {
     "dd_contamination": SQL_DD_CONTAMINATION,
     "dd_substring_dup": SQL_DD_SUBSTRING_DUP,
     "dd_lsh_stats": SQL_DD_LSH_STATS,
+    "dd_neardup_keep": SQL_DD_NEARDUP_KEEP,
     "dd_semantic_clusters": f"""
 WITH RECURSIVE embpairs AS ({_sql_dd_emb()}),
 edges AS (

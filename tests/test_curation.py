@@ -423,3 +423,59 @@ def test_domain_mix_rates_and_caps(spark, sf_tiny):
         assert (r.doc_id in kept_ids) == expect, (r.doc_id, r.source)
     heavy_docs = [r.doc_id for r in docs if int(r.source.replace("src", "")) % 7 == 0]
     assert set(heavy_docs) <= kept_ids  # over-budget sources keep all
+
+
+def test_neardup_keep_partitions_corpus(spark, sf_tiny):
+    """dd_neardup_keep's survivors are exactly the corpus minus the
+    non-keeper cluster members: every cluster keeps exactly one doc
+    (its min doc_id), unclustered docs all survive, and the survivor
+    set plus the clusters' dropped members partition the corpus."""
+    from handprint_spark.operators.dedup import (
+        q_dd_dup_clusters,
+        q_dd_neardup_keep,
+    )
+
+    docs = {
+        r.doc_id
+        for r in spark.read.parquet(f"{sf_tiny}/documents.parquet")
+        .select("doc_id")
+        .collect()
+    }
+    clusters = q_dd_dup_clusters(spark, sf_tiny).collect()
+    dropped = {r.doc_id for r in clusters if not r.is_keeper}
+    keepers = {r.doc_id for r in clusters if r.is_keeper}
+    assert keepers == {
+        min(m.doc_id for m in clusters if m.cluster == c)
+        for c in {r.cluster for r in clusters}
+    }
+    survivors = {r.doc_id for r in q_dd_neardup_keep(spark, sf_tiny).collect()}
+    assert survivors == docs - dropped
+    assert keepers <= survivors
+
+
+def test_full_pipeline_verdicts_consistent(spark, sf_tiny):
+    """cur_full_pipeline emits one row per doc; kept is the exact
+    conjunction of the three stage verdicts, and each stage verdict
+    matches the standalone operator it composes."""
+    from pyspark.sql import functions as F
+
+    from handprint_spark.operators.curation import q_cur_full_pipeline
+    from handprint_spark.operators.dedup import q_dd_dup_clusters, q_dd_exact
+    from handprint_spark.operators.text_analysis import q_ta_quality
+
+    rows = q_cur_full_pipeline(spark, sf_tiny).collect()
+    n_docs = spark.read.parquet(f"{sf_tiny}/documents.parquet").count()
+    assert len(rows) == n_docs
+    for r in rows:
+        assert r.kept == (r.exact_keep and r.neardup_keep and r.quality_keep)
+    exact_keepers = {
+        r.keeper for r in q_dd_exact(spark, sf_tiny).collect()
+    }
+    nd = {r.doc_id: r.is_keeper for r in q_dd_dup_clusters(spark, sf_tiny).collect()}
+    quality = {
+        r.doc_id: r.passes_quality for r in q_ta_quality(spark, sf_tiny).collect()
+    }
+    for r in rows:
+        assert r.exact_keep == (r.doc_id in exact_keepers), r.doc_id
+        assert r.neardup_keep == nd.get(r.doc_id, True), r.doc_id
+        assert r.quality_keep == quality[r.doc_id], r.doc_id
