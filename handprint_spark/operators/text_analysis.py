@@ -58,19 +58,28 @@ FROM documents
 
 # --- quality scoring -----------------------------------------------------------
 
-def q_ta_quality(spark, sf_dir):
+def quality_verdicts(df: DataFrame) -> DataFrame:
+    """The ta_quality gate bundle over ANY (doc_id, text) relation —
+    one stateless Catalyst projection (no shuffle, no Python, no
+    state), shared by the batch query and the streaming ingest gate
+    (streaming/pipeline.stream_quality_gate) so the two answers can
+    never drift."""
     words = _words()
     n_tokens = F.size(words)
     n_chars_nospace = F.length(F.replace(F.col("text"), F.lit(" "), F.lit("")))
     stop_ratio = F.round(_stop_hits(EN_STOP) / n_tokens, 4)
     avg_len = F.round(n_chars_nospace / n_tokens, 4)
-    return _docs(spark, sf_dir).select(
+    return df.select(
         "doc_id",
         n_tokens.alias("n_tokens"),
         avg_len.alias("avg_token_len"),
         stop_ratio.alias("stopword_ratio"),
         ((n_tokens >= 20) & (n_tokens <= 500) & (stop_ratio >= 0.05)).alias("passes_quality"),
     )
+
+
+def q_ta_quality(spark, sf_dir):
+    return quality_verdicts(_docs(spark, sf_dir))
 
 
 _EN_LIST = ", ".join(f"'{w}'" for w in EN_STOP)

@@ -372,3 +372,31 @@ def stream_main_content(
         .parquet(source_dir)
     )
     return main_content(htmlized(stream))
+
+
+def stream_quality_gate(
+    spark: SparkSession,
+    source_dir: str,
+    schema=None,
+    max_files_per_trigger: int = 1,
+):
+    """Quality gating at INGEST: readStream over a documents directory
+    → the ta_quality gate bundle. The verdict projection is SHARED
+    with the batch query (operators/text_analysis.quality_verdicts),
+    so a document admitted by the stream gate and one admitted by the
+    batch screen agree by construction — the same batch-parity
+    contract as stream_decontaminate, with zero state (stateless
+    narrow projection: no watermark, no shuffle, no Python). Returns
+    an unstarted streaming DataFrame of
+    (doc_id, n_tokens, avg_token_len, stopword_ratio, passes_quality).
+    """
+    from ..operators.text_analysis import quality_verdicts
+
+    if schema is None:
+        schema = spark.read.parquet(source_dir).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(source_dir)
+    )
+    return quality_verdicts(stream)

@@ -346,3 +346,39 @@ def test_stream_main_content_matches_batch(spark, sf_tiny, tmpdir):
         for r in main_content(htmlized(spark.read.parquet(src))).collect()
     }
     assert got == expected
+
+
+def test_stream_quality_gate_matches_batch(spark, sf_tiny, tmpdir):
+    """The quality gate is one stateless projection shared with the
+    batch query, so streaming and batch verdicts are identical
+    row-for-row across micro-batches."""
+    from handprint_spark.operators.text_analysis import q_ta_quality
+    from handprint_spark.streaming.pipeline import stream_quality_gate
+
+    src = f"{tmpdir}/src_quality"
+    docs = spark.read.parquet(f"{sf_tiny}/documents.parquet").limit(40)
+    docs.repartition(4).write.parquet(src)
+
+    q = (
+        stream_quality_gate(spark, src, max_files_per_trigger=1)
+        .writeStream.format("memory")
+        .queryName("stream_quality")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", f"{tmpdir}/ckpt_quality")
+        .start()
+    )
+    q.awaitTermination(120)
+
+    got = {
+        r.doc_id: (r.n_tokens, r.avg_token_len, r.stopword_ratio, r.passes_quality)
+        for r in spark.sql("select * from stream_quality").collect()
+    }
+    batch = q_ta_quality(spark, sf_tiny)
+    kept_ids = {r.doc_id for r in docs.select("doc_id").collect()}
+    expected = {
+        r.doc_id: (r.n_tokens, r.avg_token_len, r.stopword_ratio, r.passes_quality)
+        for r in batch.collect()
+        if r.doc_id in kept_ids
+    }
+    assert got == expected
+    assert any(v[3] for v in got.values())  # gate passes some docs
