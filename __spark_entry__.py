@@ -89,9 +89,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["cmp_lines_clean"] = compare.QUERIES["cmp_lines_clean"]
     out["cmp_totals"] = compare.QUERIES["cmp_totals"]
     out.update(multimodal.QUERIES)
-    # ta_token_count yields its slot to the new cur_full_pipeline:
-    # body byte-unchanged since its r02 green driver row.
-    out.update({k: v for k, v in text_analysis.QUERIES.items() if k != "ta_token_count"})
+    # ta_token_count yields its slot to the new cur_full_pipeline;
+    # ta_lang_id + ta_fingerprint yield theirs to the new PQ pair
+    # (sim_pq_encode/sim_pq_topk): all three bodies byte-unchanged
+    # since their r02 green driver rows (+ judge✓ r03 + full-sweep
+    # green this round).
+    out.update(
+        {
+            k: v
+            for k, v in text_analysis.QUERIES.items()
+            if k not in ("ta_token_count", "ta_lang_id", "ta_fingerprint")
+        }
+    )
     out["cur_domain_mix"] = curation.QUERIES["cur_domain_mix"]
     out["cur_full_pipeline"] = curation.QUERIES["cur_full_pipeline"]
     # sim_lsh_buckets yields its slot: function body byte-unchanged
@@ -114,7 +123,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # --- driver window boundary (50 entries above) ---
     out.update(similarity.QUERIES)  # sim_lsh_buckets (r03 green)
     out.update(dedup.QUERIES)  # dd_exact/dd_simhash/dd_ngram_jaccard (r03 green)
-    out.update(text_analysis.QUERIES)  # ta_token_count (r02 green)
+    out.update(text_analysis.QUERIES)  # ta_token_count/lang_id/fingerprint (r02 green)
     out.update(compare.QUERIES)  # cmp_lines/cmp_tsv (rows-only)
     out.update(service_queries.QUERIES)  # x1/x4/x5 (f1 keeps its slot)
     out.update(curation.QUERIES)

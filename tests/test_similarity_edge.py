@@ -95,3 +95,55 @@ def test_unigram_logprob_single_documents_scan(spark, sf_small):
 
     plan = plan_str(q_ta_unigram_logprob(spark, sf_small), "simple")
     assert plan.count("Scan parquet") == 1, plan
+
+
+def test_pq_adc_equals_reconstruction_dot(spark, sf_tiny):
+    """The PQ contract that IS exact: the ADC LUT-sum score equals
+    dot(q, reconstruction(v)) for every vector (algebraic identity of
+    product quantization), and the encode is the per-subspace argmin
+    against the codebook. Recall vs exact top-k is intentionally NOT
+    pinned here — see q_sim_pq_topk's docstring for the measured
+    fidelity limits on this isotropic synthetic corpus."""
+    import numpy as np
+
+    from handprint_spark.operators.similarity import (
+        PQ_KS,
+        PQ_M,
+        PQ_SUB,
+        _pq_codebook,
+        _query_vec,
+        q_sim_pq_encode,
+        q_sim_pq_topk,
+    )
+
+    B = _pq_codebook(spark, sf_tiny)
+    assert B.shape == (PQ_KS, PQ_M * PQ_SUB)
+    q = np.asarray(_query_vec(spark, sf_tiny, 0), dtype=np.float64)
+
+    codes = {}
+    for r in q_sim_pq_encode(spark, sf_tiny).collect():
+        codes.setdefault(r.vec_id, {})[r.m] = r.code
+    emb = {
+        r.vec_id: np.asarray(list(r.embedding), dtype=np.float64)
+        for r in spark.read.parquet(f"{sf_tiny}/embeddings.parquet").collect()
+    }
+    assert set(codes) == set(emb)
+
+    # encode == per-subspace argmin (ties to lowest code)
+    for vid in list(codes)[:50]:
+        v = emb[vid]
+        for m in range(PQ_M):
+            sub = v[m * PQ_SUB : (m + 1) * PQ_SUB]
+            cb = B[:, m * PQ_SUB : (m + 1) * PQ_SUB]
+            d = np.round(((cb - sub[None, :]) ** 2).sum(axis=1), 4)
+            assert codes[vid][m] == int(np.argmin(d)), (vid, m)
+
+    # ADC score == dot(q, reconstruction)
+    for r in q_sim_pq_topk(spark, sf_tiny).collect():
+        recon = np.concatenate(
+            [
+                B[codes[r.vec_id][m], m * PQ_SUB : (m + 1) * PQ_SUB]
+                for m in range(PQ_M)
+            ]
+        )
+        assert abs(r.score_adc - round(float(np.dot(q, recon)), 4)) <= 1e-9, r
