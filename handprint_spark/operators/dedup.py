@@ -1209,7 +1209,7 @@ def q_dd_neardup_keep(spark, sf_dir):
     projects only (doc_id, lang, n_chars): the corpus `text` column is
     read ONCE, in the signature branch — the output scan is pruned to
     three thin columns (the reference's analog is S4's keep-one-per-
-    base dedup, handprint/main_body.py:311-323, lifted from filenames
+    base dedup, handprint/main_body.py:167-180, lifted from filenames
     to content)."""
     drop = (
         duplicate_clusters(q_dd_minhash_lsh_pairs(spark, sf_dir))
