@@ -26,7 +26,7 @@ from pyspark.sql.window import Window
 # accepted extensions (reference services/__init__.py:21-22)
 ACCEPTED_FORMATS = ("jpg", "jpeg", "jp2", "pdf", "png", "gif", "bmp", "tif", "tiff")
 
-# the canonical output format (reference main_body.py:34 _OUTPUT_EXT =
+# the canonical output format (reference handprint/__init__.py:47 _OUTPUT_EXT =
 # '.png'): S4 drops a file only when its .png sibling exists — any
 # other format mix (x.jpg + x.tif, no x.png) keeps ALL files, exactly
 # like the reference's `ext != _OUTPUT_EXT and base + _OUTPUT_EXT in
