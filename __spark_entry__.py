@@ -88,7 +88,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # yield window slots to the new oracle-backed layout queries.
     out["cmp_lines_clean"] = compare.QUERIES["cmp_lines_clean"]
     out["cmp_totals"] = compare.QUERIES["cmp_totals"]
-    out.update(multimodal.QUERIES)
+    # mm_media_features yields its slot to the NEW ta_hash_score: its
+    # body is byte-unchanged since its r02 green driver row (the
+    # round-4 multimodal.py diff is the NEW mm_interleave_pack) and it
+    # re-passed the full sf0.01 sweep this round.
+    out.update({k: v for k, v in multimodal.QUERIES.items() if k != "mm_media_features"})
     # ta_token_count yields its slot to the new cur_full_pipeline;
     # ta_lang_id + ta_fingerprint yield theirs to the new PQ pair
     # (sim_pq_encode/sim_pq_topk): all three bodies byte-unchanged
@@ -111,12 +115,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # their function bodies are byte-unchanged this round (the
     # dedup.py diff is CC width/reliability + minhash parameterization
     # + the NEW dd_neardup_keep, which takes the freed slot) and all
-    # three have r03 green driver rows.
+    # three have r03 green driver rows. dd_contamination and
+    # dd_lsh_stats yield theirs to the NEW dd_incremental and
+    # hx_pagerank by the same standard (bodies byte-unchanged this
+    # round, r03 green rows, full-sweep green this round).
     out.update(
         {
             k: v
             for k, v in dedup.QUERIES.items()
-            if k not in ("dd_exact", "dd_simhash", "dd_ngram_jaccard")
+            if k
+            not in (
+                "dd_exact",
+                "dd_simhash",
+                "dd_ngram_jaccard",
+                "dd_contamination",
+                "dd_lsh_stats",
+            )
         }
     )
     out.update(html_extract.QUERIES)
@@ -125,6 +139,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out.update(dedup.QUERIES)  # dd_exact/dd_simhash/dd_ngram_jaccard (r03 green)
     out.update(text_analysis.QUERIES)  # ta_token_count/lang_id/fingerprint (r02 green)
     out.update(compare.QUERIES)  # cmp_lines/cmp_tsv (rows-only)
+    out.update(multimodal.QUERIES)  # mm_media_features (r02 green)
     out.update(service_queries.QUERIES)  # x1/x4/x5 (f1 keeps its slot)
     out.update(curation.QUERIES)
     out.update(relational.QUERIES)

@@ -164,6 +164,13 @@ def main() -> None:
         # and the Gopher gate bundle (zero-shuffle O(L^2) HOF scan)
         ("lay_paragraphs", service_queries.QUERIES["lay_paragraphs"]),
         ("ta_gopher_rules", text_analysis.QUERIES["ta_gopher_rules"]),
+        # round 4 session 3: incremental index-probe dedup (semi-join
+        # against the band index), iterative link-graph PageRank
+        # (3 join+agg rounds), and hashed-feature linear inference
+        # (zero-shuffle HOF fold)
+        ("dd_incremental", dedup.QUERIES["dd_incremental"]),
+        ("hx_pagerank", html_extract.QUERIES["hx_pagerank"]),
+        ("ta_hash_score", text_analysis.QUERIES["ta_hash_score"]),
     ]
     # Full suite passes (default 3); per-query best across passes.
     # Pass 1 also absorbs each query's one-time whole-stage-codegen

@@ -266,6 +266,31 @@ def _minhash_sigs(
     return exploded.groupBy("doc_id").agg(*aggs)
 
 
+def minhash_band_posting(
+    docs: DataFrame, k: int = MINHASH_K, bands: int = MINHASH_BANDS
+) -> DataFrame:
+    """(doc_id, band_key) posting rows — the LSH banding of
+    ``_minhash_sigs`` factored out so batch pair-generation
+    (``minhash_lsh_pairs``: self-join) and incremental index probing
+    (``incremental_dedup``: semi-join against a materialized index)
+    share one banding definition. The sig table is materialized once
+    (lazy localCheckpoint) so the shingle-explode + min-agg subtree
+    isn't re-evaluated per consumer of the posting rows."""
+    if k % bands != 0:
+        raise ValueError(f"k={k} must divide into bands={bands}")
+    rows = k // bands
+    sigs = _minhash_sigs(docs, k).localCheckpoint(eager=False)
+    band_cols = [
+        F.concat_ws(
+            "|",
+            F.lit(f"b{b}"),
+            *[F.col(f"sig{b * rows + r}") for r in range(rows)],
+        )
+        for b in range(bands)
+    ]
+    return sigs.select("doc_id", F.explode(F.array(*band_cols)).alias("band_key"))
+
+
 def minhash_lsh_pairs(
     docs: DataFrame, k: int = MINHASH_K, bands: int = MINHASH_BANDS
 ) -> DataFrame:
@@ -280,19 +305,7 @@ def minhash_lsh_pairs(
     per true near-dup). The PLAN is parameter-independent: one shingle
     explode + k min-aggs (single shuffle), band keys exploded to
     bands rows/doc, candidates from ONE equi-join on band_key."""
-    if k % bands != 0:
-        raise ValueError(f"k={k} must divide into bands={bands}")
-    rows = k // bands
-    sigs = _minhash_sigs(docs, k).localCheckpoint(eager=False)
-    band_cols = [
-        F.concat_ws(
-            "|",
-            F.lit(f"b{b}"),
-            *[F.col(f"sig{b * rows + r}") for r in range(rows)],
-        )
-        for b in range(bands)
-    ]
-    bands_df = sigs.select("doc_id", F.explode(F.array(*band_cols)).alias("band_key"))
+    bands_df = minhash_band_posting(docs, k, bands)
     a, b = bands_df.alias("a"), bands_df.alias("b")
     return (
         a.join(b, (F.col("a.band_key") == F.col("b.band_key"))
@@ -1241,6 +1254,84 @@ FROM documents d ANTI JOIN dropped x ON d.doc_id = x.doc_id
 """
 
 
+def incremental_dedup(new_docs: DataFrame, index_bands: DataFrame) -> DataFrame:
+    """Dedup verdict for a NEW ingest batch against an EXISTING corpus's
+    materialized MinHash band index — the continuous-ingest shape a
+    100 TB pipeline actually runs (the batch `minhash_lsh_pairs`
+    self-join rebuilds all signatures every pass; an append-only index
+    never re-reads old documents).
+
+    (doc_id, dup_of_index) per new doc: true iff ANY of the doc's band
+    keys collides with a key already in the index — the same
+    all-rows-of-some-band-agree candidate rule as the batch path, so
+    batch and incremental agree on what counts as a near-dup.
+
+    Scale shape: per-batch cost is O(batch) signature compute plus ONE
+    equi-join of the batch's band posting against the index (left
+    semi — the index side never flows past the join). The index is a
+    plain (band_key) table: append the accepted batch's posting rows
+    after each ingest and the next batch probes the union. Written
+    ``partitionBy`` a band_key prefix (as ``ann_index.py`` does for
+    LSH buckets) the probe prunes to candidate buckets by file
+    listing. Nothing here scans the existing corpus — that is the
+    whole point. Reference analog: S8's cached-result resume scan
+    (handprint/main_body.py:132-145) lifted from per-file cache hits
+    to content near-dup hits."""
+    new_bands = minhash_band_posting(new_docs)
+    hits = (
+        new_bands.join(index_bands.select("band_key"), "band_key", "left_semi")
+        .select("doc_id")
+        .distinct()
+        .withColumn("dup_of_index", F.lit(True))
+    )
+    return (
+        new_docs.select("doc_id")
+        .join(hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("dup_of_index", F.lit(False)).alias("dup_of_index"),
+        )
+    )
+
+
+def q_dd_incremental(spark, sf_dir):
+    """Incremental-ingest dedup over a deterministic corpus split:
+    even doc_ids are the already-indexed snapshot, odd doc_ids the
+    arriving batch. Every odd doc gets a verdict (docs too short to
+    shingle have no bands and are trivially non-duplicates)."""
+    docs = _docs(spark, sf_dir, spread=True)
+    existing = docs.filter(F.col("doc_id") % 2 == 0)
+    new = docs.filter(F.col("doc_id") % 2 == 1)
+    return incremental_dedup(new, minhash_band_posting(existing))
+
+
+SQL_DD_INCREMENTAL = """
+WITH posting AS (
+  SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(string_split(text, ' '))),
+           i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i+1]))) AS s
+  FROM documents
+), sigs AS (
+  SELECT doc_id,
+         min(md5('0|' || s)) AS sig0, min(md5('1|' || s)) AS sig1,
+         min(md5('2|' || s)) AS sig2, min(md5('3|' || s)) AS sig3
+  FROM posting GROUP BY doc_id
+), bands AS (
+  SELECT doc_id, 'b0|' || sig0 || '|' || sig1 AS band_key FROM sigs
+  UNION ALL
+  SELECT doc_id, 'b1|' || sig2 || '|' || sig3 AS band_key FROM sigs
+), idx AS (
+  SELECT DISTINCT band_key FROM bands WHERE doc_id % 2 = 0
+), hits AS (
+  SELECT DISTINCT b.doc_id
+  FROM bands b JOIN idx i USING (band_key)
+  WHERE b.doc_id % 2 = 1
+)
+SELECT d.doc_id, (h.doc_id IS NOT NULL) AS dup_of_index
+FROM (SELECT doc_id FROM documents WHERE doc_id % 2 = 1) d
+LEFT JOIN hits h ON d.doc_id = h.doc_id
+"""
+
+
 QUERIES = {
     "dd_exact": q_dd_exact,
     "dd_ngram_jaccard": q_dd_ngram_jaccard,
@@ -1255,6 +1346,7 @@ QUERIES = {
     "dd_semantic_clusters": q_dd_semantic_clusters,
     "dd_lsh_stats": q_dd_lsh_stats,
     "dd_neardup_keep": q_dd_neardup_keep,
+    "dd_incremental": q_dd_incremental,
 }
 
 ORACLES = {
@@ -1270,6 +1362,7 @@ ORACLES = {
     "dd_substring_dup": SQL_DD_SUBSTRING_DUP,
     "dd_lsh_stats": SQL_DD_LSH_STATS,
     "dd_neardup_keep": SQL_DD_NEARDUP_KEEP,
+    "dd_incremental": SQL_DD_INCREMENTAL,
     "dd_semantic_clusters": f"""
 WITH RECURSIVE embpairs AS ({_sql_dd_emb()}),
 edges AS (

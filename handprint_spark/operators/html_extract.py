@@ -592,6 +592,112 @@ FROM ranked WHERE page_rank <= {HOST_BUDGET}
 """
 
 
+# --- hx_pagerank: link-graph authority score ----------------------------------
+#
+# The crawl-curation authority signal (Common Crawl's harmonic-
+# centrality / PageRank host rankings) over the corpus's own link
+# graph — the one quality feature that needs an ITERATIVE plan, so it
+# exercises a shape nothing else in the registry does: per round, one
+# equi-join (rank lookup by edge source) + one well-spread groupBy
+# (mass arriving per target), rank frames lineage-truncated between
+# rounds exactly like the connected-components loop (dedup.py).
+#
+# Determinism across engines: rank mass is EXACT fixed-point
+# (PR_MICRO = 10^12 micro-units, integer `div` for the damping and
+# out-degree splits, integer sums) — order-independent, so Spark and
+# DuckDB agree digit-for-digit with no float-rounding contract.
+#
+# Scale shape at 10^12 docs: edges are materialized once (the
+# out-degree join is pre-fused); each round shuffles the rank table on
+# its key and the contributions on dst — both well-spread; the
+# iteration count is fixed (PR_ITERS), not convergence-polled, so the
+# job graph is static. Dangling mass: every synthetic doc carries an
+# outlink (out-degree ≥ 1); links to ids absent from the corpus drop
+# their mass at the final left join (the standard open-web
+# approximation), identically in the oracle.
+
+PR_ITERS = 3
+PR_MICRO = 1_000_000_000_000
+_PR_DOC_LINK_RE = r"/doc/([0-9]+)"
+
+
+def q_hx_pagerank(spark, sf_dir):
+    """(doc_id, pr_micro): damped PageRank (d = 0.85) after PR_ITERS
+    synchronous rounds over the parsed /doc/N link graph, in exact
+    integer micro-units. The corpus size enters as two scalar
+    constants (uniform init, teleport term) from a parquet
+    count-star — row-group metadata, not a data scan."""
+    docs = htmlized(_docs(spark, sf_dir))
+    n = docs.sparkSession.read.parquet(f"{sf_dir}/documents.parquet").count()
+    teleport = (15 * PR_MICRO // 100) // n
+    edges = docs.select(
+        F.col("doc_id").alias("src"),
+        F.explode(
+            F.regexp_extract_all(F.col("html"), F.lit(_PR_DOC_LINK_RE), F.lit(1))
+        ).alias("dst_s"),
+    ).select("src", F.col("dst_s").cast("long").alias("dst"))
+    outdeg = edges.groupBy("src").agg(F.count("*").alias("outdeg"))
+    edges_w = edges.join(outdeg, "src").localCheckpoint(eager=False)
+    nodes = docs.select("doc_id")
+    ranks = nodes.select("doc_id", F.lit(PR_MICRO // n).cast("long").alias("pr"))
+    for _ in range(PR_ITERS):
+        arriving = (
+            edges_w.join(ranks, edges_w["src"] == ranks["doc_id"])
+            .select(
+                F.col("dst").alias("doc_id"),
+                F.expr("(85 * pr) div (100 * outdeg)").alias("c"),
+            )
+            .groupBy("doc_id")
+            .agg(F.sum("c").alias("m"))
+        )
+        ranks = (
+            nodes.join(arriving, "doc_id", "left")
+            .select(
+                "doc_id",
+                (F.lit(teleport) + F.coalesce(F.col("m"), F.lit(0)))
+                .cast("long")
+                .alias("pr"),
+            )
+            .localCheckpoint(eager=False)
+        )
+    return ranks.select("doc_id", F.col("pr").alias("pr_micro"))
+
+
+def _pr_round_sql(prev: str) -> str:
+    return f"""
+  SELECT d.doc_id,
+         (SELECT 150000000000 // count(*) FROM documents)
+           + coalesce(s.m, 0) AS pr
+  FROM documents d LEFT JOIN (
+    SELECT e.dst AS doc_id, sum((85 * r.pr) // (100 * e.outdeg)) AS m
+    FROM edges_w e JOIN {prev} r ON r.doc_id = e.src
+    GROUP BY e.dst
+  ) s USING (doc_id)
+"""
+
+
+SQL_HX_PAGERANK = f"""
+WITH {_SQL_HTML_CTE},
+edges AS (
+  SELECT doc_id AS src,
+         CAST(unnest(regexp_extract_all(html, '{_PR_DOC_LINK_RE}', 1)) AS BIGINT) AS dst
+  FROM html
+),
+edges_w AS (
+  SELECT src, dst, count(*) OVER (PARTITION BY src) AS outdeg FROM edges
+),
+r0 AS (
+  SELECT doc_id,
+         CAST({PR_MICRO} AS BIGINT) // (SELECT count(*) FROM documents) AS pr
+  FROM documents
+),
+r1 AS ({_pr_round_sql("r0")}),
+r2 AS ({_pr_round_sql("r1")}),
+r3 AS ({_pr_round_sql("r2")})
+SELECT doc_id, CAST(pr AS BIGINT) AS pr_micro FROM r3
+"""
+
+
 QUERIES = {
     "hx_main_content": q_hx_main_content,
     "hx_parse_blocks": q_hx_parse_blocks,
@@ -599,6 +705,7 @@ QUERIES = {
     "hx_url_canonicalize": q_hx_url_canonicalize,
     "ct_chunk_tokens": q_ct_chunk_tokens,
     "hx_host_budget": q_hx_host_budget,
+    "hx_pagerank": q_hx_pagerank,
 }
 
 ORACLES = {
@@ -608,4 +715,5 @@ ORACLES = {
     "hx_url_canonicalize": SQL_HX_URL_CANON,
     "ct_chunk_tokens": SQL_CT_CHUNK_TOKENS,
     "hx_host_budget": SQL_HX_HOST_BUDGET,
+    "hx_pagerank": SQL_HX_PAGERANK,
 }

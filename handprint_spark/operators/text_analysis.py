@@ -859,6 +859,74 @@ FROM base
 """
 
 
+# --- hashed-feature linear model inference -----------------------------------
+#
+# The fastText-style quality-classifier skeleton: hashing-trick
+# bag-of-words features scored by a linear model, the inference shape
+# a production curation pass runs over every document (CCNet's
+# fastText lang-id + quality heads, Gopher's classifier gates). The
+# weights here are a deterministic pseudo-model (no training data in
+# the sandbox); what is REAL and load-bearing is the plan: bucket =
+# md5-hash of the token into HS_BUCKETS, weight = table-free function
+# of the bucket, score = mean token weight — all inside ONE
+# whole-stage-codegen projection (HOF fold over the split tokens), so
+# model inference costs a scan with ZERO shuffle and ZERO Python. A
+# trained model swaps the weight expression for a broadcast
+# map_from_arrays lookup — same plan class.
+
+HS_BUCKETS = 512
+HS_MIX = 2654435761  # Knuth multiplicative constant; bucket*HS_MIX < 2^41
+
+
+def _hs_weight(bucket):
+    """Deterministic weight in [-1, 1] for a feature bucket: the
+    multiplicative-mix residue mapped linearly. Mirrored digit-for-
+    digit by the oracle SQL (all-integer until the final divide)."""
+    return ((bucket * F.lit(HS_MIX)) % 2001 - F.lit(1000)) / F.lit(1000.0)
+
+
+def q_ta_hash_score(spark, sf_dir):
+    """(doc_id, n_tokens, hash_score, keep): mean hashed-feature
+    weight per document and the threshold verdict (score > 0). Scores
+    are rounded at 6 places to absorb float summation-order wobble
+    (the fold is sequential over the token array in both engines, but
+    rounding keeps the contract engine-order-independent)."""
+    words = _words()
+    bucket = lambda w: (  # noqa: E731
+        F.conv(F.substring(F.md5(w.cast("binary")), 1, 8), 16, 10).cast("long")
+        % HS_BUCKETS
+    )
+    total = F.aggregate(
+        words, F.lit(0.0), lambda acc, w: acc + _hs_weight(bucket(w))
+    )
+    score = F.round(total / F.size(words), 6)
+    return (
+        _docs(spark, sf_dir)
+        .select(
+            "doc_id",
+            F.size(words).alias("n_tokens"),
+            score.alias("hash_score"),
+        )
+        .withColumn("keep", F.col("hash_score") > 0)
+    )
+
+
+SQL_TA_HASH_SCORE = f"""
+WITH scored AS (
+  SELECT doc_id,
+         len(string_split(text, ' ')) AS n_tokens,
+         round(list_sum(list_transform(string_split(text, ' '),
+             w -> ((('0x' || substr(md5(w), 1, 8))::BIGINT % {HS_BUCKETS})
+                   * {HS_MIX} % 2001 - 1000) / 1000.0))
+           / len(string_split(text, ' ')), 6) AS hash_score
+  FROM documents
+)
+SELECT doc_id, CAST(n_tokens AS INT) AS n_tokens, hash_score,
+       hash_score > 0 AS keep
+FROM scored
+"""
+
+
 QUERIES = {
     "ta_token_count": q_ta_token_count,
     "ta_quality": q_ta_quality,
@@ -873,6 +941,7 @@ QUERIES = {
     "ta_unigram_logprob": q_ta_unigram_logprob,
     "ta_bpe_pairs": q_ta_bpe_pairs,
     "ta_gopher_rules": q_ta_gopher_rules,
+    "ta_hash_score": q_ta_hash_score,
 }
 
 ORACLES = {
@@ -889,4 +958,5 @@ ORACLES = {
     "ta_unigram_logprob": SQL_TA_UNIGRAM_LP,
     "ta_bpe_pairs": SQL_TA_BPE_PAIRS,
     "ta_gopher_rules": _gopher_sql(),
+    "ta_hash_score": SQL_TA_HASH_SCORE,
 }

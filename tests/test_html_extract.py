@@ -235,3 +235,52 @@ def test_bpe_pairs_handcrafted(spark, monkeypatch, tmp_path):
     assert all(" " in r.pair for r in rows)
     counts = [r.n_pairs for r in rows]
     assert counts == sorted(counts, reverse=True)
+
+
+def test_pagerank_closed_form_on_planted_graph(spark, tmp_path):
+    """3-doc corpus with ids {0, 1, 2}: the synthetic html links
+    doc_id -> doc_id*7 % 1000, so 0 links to itself and 1, 2 link to
+    absent ids (their mass drops at the corpus join). Closed form with
+    the operator's own integer arithmetic: node 0 compounds
+    r <- teleport + (85*r)//100 each round; nodes 1 and 2 sit at the
+    teleport floor."""
+    import pandas as pd
+
+    from handprint_spark.operators.html_extract import (
+        PR_ITERS,
+        PR_MICRO,
+        q_hx_pagerank,
+    )
+
+    docs = pd.DataFrame(
+        {
+            "doc_id": [0, 1, 2],
+            "text": ["one two three four", "five six seven eight", "nine ten more words"],
+            "lang": ["en"] * 3,
+            "source": ["s"] * 3,
+            "n_chars": [18, 20, 19],
+        }
+    )
+    docs.to_parquet(tmp_path / "documents.parquet")
+    rows = {r.doc_id: r.pr_micro for r in q_hx_pagerank(spark, str(tmp_path)).collect()}
+
+    teleport = (15 * PR_MICRO // 100) // 3
+    expect0 = PR_MICRO // 3
+    for _ in range(PR_ITERS):
+        expect0 = teleport + (85 * expect0) // 100
+    assert rows == {0: expect0, 1: teleport, 2: teleport}
+
+
+def test_pagerank_corpus_invariants(spark, sf_tiny):
+    """Teleport floor, mass conservation (integer truncation + dropped
+    out-of-corpus mass only ever LOSE mass), and in-link mass showing
+    up above the floor somewhere."""
+    from handprint_spark.operators.html_extract import PR_MICRO, q_hx_pagerank
+
+    rows = q_hx_pagerank(spark, sf_tiny).collect()
+    n = len(rows)
+    teleport = (15 * PR_MICRO // 100) // n
+    prs = [r.pr_micro for r in rows]
+    assert min(prs) >= teleport
+    assert sum(prs) <= PR_MICRO
+    assert max(prs) > teleport

@@ -65,3 +65,30 @@ def test_sim_quantized_topk_close_to_exact(spark, sf_tiny):
     assert overlap >= 8, (sorted(exact), sorted(quant))
     for vid in set(exact) & set(quant):
         assert abs(exact[vid] - quant[vid]) < 0.05
+
+
+def test_ta_hash_score_invariants(spark, sf_tiny, tmp_path):
+    """Scores are bounded means of [-1, 1] weights, the verdict is the
+    threshold, and identical texts get identical scores (the model is
+    a pure function of content)."""
+    import pandas as pd
+
+    from handprint_spark.operators.text_analysis import q_ta_hash_score
+
+    rows = q_ta_hash_score(spark, sf_tiny).collect()
+    assert rows
+    for r in rows:
+        assert -1.0 <= r.hash_score <= 1.0
+        assert r.keep == (r.hash_score > 0)
+    # identical texts score identically; word order changes the bag
+    # only through the mean, so a permutation scores the same too
+    docs = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3, 4],
+            "text": ["red blue green", "red blue green", "green blue red", "teal"],
+        }
+    )
+    docs.to_parquet(tmp_path / "documents.parquet")
+    planted = {r.doc_id: r.hash_score for r in q_ta_hash_score(spark, str(tmp_path)).collect()}
+    assert planted[1] == planted[2] == planted[3]
+    assert planted[4] != planted[1]
