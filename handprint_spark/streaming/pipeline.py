@@ -400,3 +400,91 @@ def stream_quality_gate(
         .parquet(source_dir)
     )
     return quality_verdicts(stream)
+
+
+def stream_incremental_dedup(
+    spark: SparkSession,
+    source_dir: str,
+    index_dir: str,
+    verdict_dir: str,
+    checkpoint_dir: str,
+    schema=None,
+    max_files_per_trigger: int = 1,
+):
+    """Continuous-ingest near-duplicate gate: every micro-batch is
+    probed against the MinHash band index accumulated from all PRIOR
+    batches, then the accepted (non-duplicate) docs' bands are
+    appended — the streaming form of ``operators.dedup.
+    incremental_dedup``, reusing the SAME banding and the SAME
+    verdict function, so stream and batch dedup agree by construction
+    (the batch-parity contract every gate in this module keeps).
+
+    This runs through ``foreachBatch`` rather than a stream-stream or
+    stream-static join: the index GROWS as the stream runs (a static
+    side is a point-in-time snapshot), and the per-doc verdict needs
+    an any-band-hit reduce that would be unbounded keyed state as a
+    streaming aggregation. Inside foreachBatch each trigger is a
+    plain batch job with the full DataFrame API — the standard shape
+    for evolving-side-input pipelines.
+
+    Replay idempotence (a crashed trigger re-runs): both sinks are
+    partitioned by ``ingest_batch`` and written with DYNAMIC partition
+    overwrite, and the probe reads only index partitions with
+    ``ingest_batch < batch_id`` (partition-pruned by the filter). A
+    replayed micro-batch therefore overwrites exactly its own
+    partitions and re-probes exactly the prior-batch index — retries
+    are deterministic, and a doc can never collide with its own
+    partially-written bands from the failed attempt.
+
+    Scale: the index grows by O(accepted x bands) 2-column rows per
+    batch and nothing ever re-reads prior batches' document text;
+    per-trigger cost is one signature projection over the batch plus
+    one semi-join against the index.
+    """
+    from ..operators.dedup import incremental_dedup, minhash_band_posting
+
+    if schema is None:
+        schema = spark.read.parquet(source_dir).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(source_dir)
+    )
+
+    def process(batch_df, batch_id: int):
+        sess = batch_df.sparkSession
+        try:
+            prior = sess.read.parquet(index_dir).filter(
+                F.col("ingest_batch") < batch_id
+            )
+        except Exception:  # first batch: no index written yet
+            prior = sess.createDataFrame(
+                [], "doc_id bigint, band_key string, ingest_batch bigint"
+            )
+        verdicts = incremental_dedup(batch_df, prior).localCheckpoint(eager=False)
+        (
+            verdicts.withColumn("ingest_batch", F.lit(batch_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("ingest_batch")
+            .parquet(verdict_dir)
+        )
+        accepted = batch_df.join(
+            verdicts.filter(~F.col("dup_of_index")).select("doc_id"),
+            "doc_id",
+            "left_semi",
+        )
+        (
+            minhash_band_posting(accepted)
+            .withColumn("ingest_batch", F.lit(batch_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("ingest_batch")
+            .parquet(index_dir)
+        )
+
+    return (
+        stream.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("update")
+    )

@@ -382,3 +382,83 @@ def test_stream_quality_gate_matches_batch(spark, sf_tiny, tmpdir):
     }
     assert got == expected
     assert any(v[3] for v in got.values())  # gate passes some docs
+
+
+def test_stream_incremental_dedup_matches_sequential_batches(spark, tmpdir):
+    """Two micro-batches through the streaming gate: batch 0 seeds the
+    band index (no dups possible), batch 1's copies of batch-0 docs
+    are flagged and its novel docs accepted; re-running a trigger's
+    body with the same batch_id is idempotent (partition overwrite +
+    prior-batch-only probe)."""
+    import pandas as pd
+
+    from handprint_spark.streaming.pipeline import stream_incremental_dedup
+
+    LOREM = "alpha beta gamma delta epsilon zeta eta theta"
+    NOVEL2 = "quick brown foxes jump over seven lazy rivers"
+    NOVEL3 = "nine silver clouds drift past quiet mountain lakes"
+
+    src = f"{tmpdir}/inc_src"
+    os.makedirs(src)
+    pd.DataFrame({"doc_id": [0, 2], "text": [LOREM, NOVEL3]}).to_parquet(
+        f"{src}/a.parquet"
+    )
+    time.sleep(1.1)  # distinct mtime => deterministic trigger order
+    pd.DataFrame(
+        {"doc_id": [1, 3, 5], "text": [LOREM, NOVEL2, NOVEL3]}
+    ).to_parquet(f"{src}/b.parquet")
+
+    index_dir = f"{tmpdir}/inc_index"
+    verdict_dir = f"{tmpdir}/inc_verdicts"
+    q = (
+        stream_incremental_dedup(
+            spark,
+            src,
+            index_dir,
+            verdict_dir,
+            f"{tmpdir}/inc_ckpt",
+            schema="doc_id long, text string",
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    verdicts = spark.read.parquet(verdict_dir)
+    got = {r.doc_id: (r.dup_of_index, r.ingest_batch) for r in verdicts.collect()}
+    assert got == {
+        0: (False, 0),
+        2: (False, 0),
+        1: (True, 1),   # copy of batch-0 doc 0
+        3: (False, 1),  # novel
+        5: (True, 1),   # copy of batch-0 doc 2
+    }
+    # index holds bands for ACCEPTED docs only (0, 2, 3)
+    idx = spark.read.parquet(index_dir)
+    assert set(r.doc_id for r in idx.select("doc_id").distinct().collect()) == {0, 2, 3}
+
+    # replay idempotence: re-running batch 1's body leaves both sinks
+    # with identical contents (same verdicts, no band duplication)
+    from handprint_spark.operators.dedup import incremental_dedup, minhash_band_posting
+    from pyspark.sql import functions as F
+
+    n_idx_before = idx.count()
+    batch1 = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [1, 3, 5], "text": [LOREM, NOVEL2, NOVEL3]})
+    )
+    prior = spark.read.parquet(index_dir).filter(F.col("ingest_batch") < 1)
+    replay = {
+        r.doc_id: r.dup_of_index
+        for r in incremental_dedup(batch1, prior).collect()
+    }
+    assert replay == {1: True, 3: False, 5: True}
+    accepted = batch1.filter(batch1.doc_id.isin([3]))
+    (
+        minhash_band_posting(accepted)
+        .withColumn("ingest_batch", F.lit(1))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("ingest_batch")
+        .parquet(index_dir)
+    )
+    assert spark.read.parquet(index_dir).count() == n_idx_before
