@@ -508,3 +508,43 @@ def test_skew_split_pushes_down_on_materialized_count(spark, sf_tiny, tmp_path):
         for r in rows
     }
     assert key(df.collect()) == key(derived.collect())
+
+
+def test_hash_score_zero_exchange_jvm_only(spark, sf_small):
+    """Hashed-feature linear inference is ONE codegen projection:
+    no shuffle, no Python worker — model inference at scan cost."""
+    from handprint_spark.operators.text_analysis import q_ta_hash_score
+
+    plan = plan_str(q_ta_hash_score(spark, sf_small), "simple")
+    assert "Exchange" not in plan
+    assert "EvalPython" not in plan
+
+
+def test_incremental_probe_is_semi_join_no_cartesian(spark, sf_small):
+    """The index probe is an equi-join (semi) on band_key — never a
+    cartesian/nested-loop pair blowup, and the existing-corpus side
+    appears only as the band posting (no second documents scan joined
+    full-width)."""
+    from handprint_spark.operators.dedup import q_dd_incremental
+
+    plan = plan_str(q_dd_incremental(spark, sf_small), "simple")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "LeftSemi" in plan
+
+
+def test_pagerank_round_shape(spark, sf_small):
+    """Each PageRank round is join + partial-agg groupBy; rank frames
+    are lineage-truncated between rounds, so the FINAL plan contains
+    only the last round's join/agg over a checkpointed scan — constant
+    plan depth per round (no exponential growth), the CC-loop
+    property."""
+    from handprint_spark.operators.html_extract import q_hx_pagerank
+
+    plan = plan_str(q_hx_pagerank(spark, sf_small), "simple")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # exactly one rank-update join survives in the final frame's plan
+    # (earlier rounds are behind the localCheckpoint scan)
+    assert plan.count("SortMergeJoin") + plan.count("BroadcastHashJoin") <= 3
+    assert "Scan ExistingRDD" in plan  # the checkpointed prior round
