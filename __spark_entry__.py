@@ -102,7 +102,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         {
             k: v
             for k, v in text_analysis.QUERIES.items()
-            if k not in ("ta_token_count", "ta_lang_id", "ta_fingerprint")
+            # ta_bigram_logprob is NEW this session and registers below
+            # the boundary (full-sweep verified), keeping the window on
+            # the never-driver-verified set.
+            if k not in ("ta_token_count", "ta_lang_id", "ta_fingerprint", "ta_bigram_logprob")
         }
     )
     out["cur_domain_mix"] = curation.QUERIES["cur_domain_mix"]
@@ -133,11 +136,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             )
         }
     )
-    out.update(html_extract.QUERIES)
+    # hx_anchor_text is NEW this session: it registers below the
+    # boundary (full-sweep verified) so it does not displace a
+    # never-driver-verified query from the window.
+    out.update({k: v for k, v in html_extract.QUERIES.items() if k != "hx_anchor_text"})
     # --- driver window boundary (50 entries above) ---
     out.update(similarity.QUERIES)  # sim_lsh_buckets (r03 green)
     out.update(dedup.QUERIES)  # dd_exact/dd_simhash/dd_ngram_jaccard (r03 green)
     out.update(text_analysis.QUERIES)  # ta_token_count/lang_id/fingerprint (r02 green)
+    out.update(html_extract.QUERIES)  # hx_anchor_text (new, sweep-verified)
     out.update(compare.QUERIES)  # cmp_lines/cmp_tsv (rows-only)
     out.update(multimodal.QUERIES)  # mm_media_features (r02 green)
     out.update(service_queries.QUERIES)  # x1/x4/x5 (f1 keeps its slot)

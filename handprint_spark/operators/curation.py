@@ -472,6 +472,59 @@ JOIN quality q USING (doc_id)
 """
 
 
+# --- deterministic train/val/test split ----------------------------------------
+#
+# The last curation stage before shards ship: held-out splits must be
+# (a) deterministic under re-runs (resumable pipelines re-derive them),
+# (b) decided from each row's own bytes (no global sort / window at
+# 10^12 rows), and (c) independent of every other hash decision in the
+# pipeline — hence a salted key: reusing the sampling hash would make
+# "val" a biased subsample of the stratified-sampling rejects.
+SPLIT_BUCKETS = 1000
+SPLIT_VAL_LT = 10  # bucket in [0, 10)  → val  (1%)
+SPLIT_TEST_LT = 20  # bucket in [10, 20) → test (1%); rest → train
+
+
+def q_cur_train_split(spark, sf_dir):
+    """(doc_id, bucket, split): deterministic salted-hash train/val/
+    test assignment, 98/1/1 in expectation. Zero-shuffle projection —
+    every row decides its split from md5('split:' || doc_id) alone, so
+    the assignment survives re-runs, repartitions, and corpus growth
+    (old docs never change split when new docs arrive)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    bucket = (
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit("split:"), F.col("doc_id").cast("string"))), 1, 8),
+            16,
+            10,
+        ).cast("long")
+        % SPLIT_BUCKETS
+    )
+    split = (
+        F.when(F.col("bucket") < SPLIT_VAL_LT, F.lit("val"))
+        .when(F.col("bucket") < SPLIT_TEST_LT, F.lit("test"))
+        .otherwise(F.lit("train"))
+    )
+    return docs.select("doc_id", bucket.alias("bucket")).select(
+        "doc_id", "bucket", split.alias("split")
+    )
+
+
+SQL_CUR_TRAIN_SPLIT = f"""
+WITH b AS (
+  SELECT doc_id,
+         ('0x' || substr(md5('split:' || doc_id::VARCHAR), 1, 8))::BIGINT
+             % {SPLIT_BUCKETS} AS bucket
+  FROM documents
+)
+SELECT doc_id, bucket,
+       CASE WHEN bucket < {SPLIT_VAL_LT} THEN 'val'
+            WHEN bucket < {SPLIT_TEST_LT} THEN 'test'
+            ELSE 'train' END AS split
+FROM b
+"""
+
+
 QUERIES = {
     "cur_keep_list": q_cur_keep_list,
     "cur_sample_strat": q_cur_sample_strat,
@@ -479,6 +532,7 @@ QUERIES = {
     "cur_shard_pack": q_cur_shard_pack,
     "cur_domain_mix": q_cur_domain_mix,
     "cur_full_pipeline": q_cur_full_pipeline,
+    "cur_train_split": q_cur_train_split,
 }
 ORACLES = {
     "cur_keep_list": SQL_CUR_KEEP_LIST,
@@ -487,4 +541,5 @@ ORACLES = {
     "cur_shard_pack": SQL_CUR_SHARD_PACK,
     "cur_domain_mix": SQL_CUR_DOMAIN_MIX,
     "cur_full_pipeline": _sql_cur_full_pipeline(),
+    "cur_train_split": SQL_CUR_TRAIN_SPLIT,
 }

@@ -338,6 +338,62 @@ FROM links GROUP BY href
 """
 
 
+# --- hx_anchor_text: inbound anchor-text aggregation ---------------------------
+
+_ANCHOR_FULL_RE = r'<a href="[^"]*"[^>]*>[^<]*</a>'
+_ANCHOR_INNER_RE = r">([^<]*)</a>"
+
+
+def q_hx_anchor_text(spark, sf_dir):
+    """(href, anchor, n_refs, n_docs): inbound anchor-text table — for
+    every link target, what the web calls it and from how many pages.
+    The signal anchor-text corpora (MS MARCO-style query synthesis,
+    link-based page classification) are built from, and the natural
+    companion to hx_outlinks (which counts edges but drops the text).
+
+    Shape: full anchor snippets come from one regexp_extract_all over
+    the html column (href and inner text must be captured from the
+    SAME tag, so the snippet — not the page — is the extraction unit),
+    then one narrow explode and two per-snippet extracts, all
+    whole-stage codegen. ONE shuffle on the (href, anchor) key with
+    map-side partial aggregation; anchor keys embed doc-derived ids so
+    the key space grows with the corpus — no skew cliff at 10^12 docs."""
+    anchors = (
+        htmlized(_docs(spark, sf_dir))
+        .select(
+            "doc_id",
+            F.explode(
+                F.regexp_extract_all(F.col("html"), F.lit(_ANCHOR_FULL_RE), F.lit(0))
+            ).alias("a"),
+        )
+        .select(
+            "doc_id",
+            F.regexp_extract(F.col("a"), _HREF_RE, 1).alias("href"),
+            F.regexp_extract(F.col("a"), _ANCHOR_INNER_RE, 1).alias("anchor"),
+        )
+    )
+    return anchors.groupBy("href", "anchor").agg(
+        F.count("*").alias("n_refs"),
+        F.countDistinct("doc_id").alias("n_docs"),
+    )
+
+
+SQL_HX_ANCHOR_TEXT = f"""
+WITH {_SQL_HTML_CTE},
+snip AS (
+  SELECT doc_id, unnest(regexp_extract_all(html, '{_ANCHOR_FULL_RE}')) AS a
+  FROM html
+),
+pairs AS (
+  SELECT doc_id, regexp_extract(a, 'href="([^"]*)"', 1) AS href,
+         regexp_extract(a, '{_ANCHOR_INNER_RE}', 1) AS anchor
+  FROM snip
+)
+SELECT href, anchor, count(*) AS n_refs, count(DISTINCT doc_id) AS n_docs
+FROM pairs GROUP BY href, anchor
+"""
+
+
 # --- hx_url_canonicalize: crawl-frontier URL normalization --------------------
 
 _URL_HEAD_RE = r"^([^/]+//[^/?#]+)"
@@ -702,6 +758,7 @@ QUERIES = {
     "hx_main_content": q_hx_main_content,
     "hx_parse_blocks": q_hx_parse_blocks,
     "hx_outlinks": q_hx_outlinks,
+    "hx_anchor_text": q_hx_anchor_text,
     "hx_url_canonicalize": q_hx_url_canonicalize,
     "ct_chunk_tokens": q_ct_chunk_tokens,
     "hx_host_budget": q_hx_host_budget,
@@ -712,6 +769,7 @@ ORACLES = {
     "hx_main_content": SQL_HX_MAIN_CONTENT,
     "hx_parse_blocks": SQL_HX_PARSE_BLOCKS,
     "hx_outlinks": SQL_HX_OUTLINKS,
+    "hx_anchor_text": SQL_HX_ANCHOR_TEXT,
     "hx_url_canonicalize": SQL_HX_URL_CANON,
     "ct_chunk_tokens": SQL_CT_CHUNK_TOKENS,
     "hx_host_budget": SQL_HX_HOST_BUDGET,

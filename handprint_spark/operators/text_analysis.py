@@ -645,6 +645,78 @@ GROUP BY t.doc_id
 """
 
 
+# --- bigram LM perplexity (CCNet-style LM quality filter) ---------------------
+
+_BIGRAM_STRUCTS = (
+    "CASE WHEN size(ws) < 2 THEN array()"
+    " ELSE zip_with(slice(ws, 1, size(ws) - 1), slice(ws, 2, size(ws) - 1),"
+    " (a, b) -> struct(a AS w1, b AS w2)) END"
+)
+
+
+def q_ta_bigram_logprob(spark, sf_dir):
+    """(doc_id, n_bigrams, avg_neg_logprob): mean -ln p(w2|w1) under
+    the corpus bigram MLE — the order-2 analog of ta_unigram_logprob
+    and the sandbox stand-in for the KenLM perplexity gate CCNet-class
+    pipelines run (the real filter swaps the LM table, not the plan).
+    Docs with <2 tokens carry no bigram and drop out (mirrored in the
+    oracle). Rounded at 6 places to absorb summation-order wobble.
+
+    Shape: ONE corpus bigram pass feeds the LM (bigram counts are
+    lineage-truncated; context counts c(w1·) fold out of those counts
+    as a groupBy-sum, never a second corpus scan — the ta_unigram
+    single-pass lesson applied at order 2). Bigrams come from the
+    zip_with-over-slices form ta_bpe_pairs measured 5x faster than
+    the sequence/element_at lambda. The lookup join carries NO
+    broadcast hint for the same open-vocab reason as the unigram LM:
+    a web-crawl bigram vocabulary scales with the corpus, so AQE's
+    runtime-size decision is the safe default."""
+    docs = _docs(spark, sf_dir)
+    bi = (
+        docs.select("doc_id", _words().alias("ws"))
+        .select("doc_id", F.explode(F.expr(_BIGRAM_STRUCTS)).alias("g"))
+        .select("doc_id", F.col("g.w1").alias("w1"), F.col("g.w2").alias("w2"))
+    )
+    counts = (
+        bi.groupBy("w1", "w2").agg(F.count("*").alias("c12")).localCheckpoint(eager=False)
+    )
+    ctx = counts.groupBy("w1").agg(F.sum("c12").alias("c1"))
+    lm = counts.join(ctx, "w1").select(
+        "w1", "w2", (-F.log(F.col("c12") / F.col("c1"))).alias("neg_lp")
+    )
+    return (
+        bi.join(lm, ["w1", "w2"])
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("int").alias("n_bigrams"),
+            F.round(F.avg("neg_lp"), 6).alias("avg_neg_logprob"),
+        )
+    )
+
+
+SQL_TA_BIGRAM_LP = """
+WITH w AS (
+  SELECT doc_id, string_split(text, ' ') AS ws, len(string_split(text, ' ')) AS n
+  FROM documents
+),
+bi AS (
+  SELECT doc_id, ws[i] AS w1, ws[i + 1] AS w2
+  FROM w, unnest(generate_series(1, n - 1)) AS t(i)
+  WHERE n >= 2
+),
+counts AS (SELECT w1, w2, count(*) AS c12 FROM bi GROUP BY w1, w2),
+ctx AS (SELECT w1, sum(c12) AS c1 FROM counts GROUP BY w1),
+lm AS (
+  SELECT c.w1, c.w2, -ln(c.c12::DOUBLE / x.c1) AS neg_lp
+  FROM counts c JOIN ctx x USING (w1)
+)
+SELECT b.doc_id, CAST(count(*) AS INT) AS n_bigrams,
+       round(avg(l.neg_lp), 6) AS avg_neg_logprob
+FROM bi b JOIN lm l USING (w1, w2)
+GROUP BY b.doc_id
+"""
+
+
 # --- BPE merge-pair counting (tokenizer training support) --------------------
 
 BPE_TOP_PAIRS = 20
@@ -939,6 +1011,7 @@ QUERIES = {
     "ta_len_quantiles": q_ta_len_quantiles,
     "ta_boilerplate_strip": q_ta_boilerplate_strip,
     "ta_unigram_logprob": q_ta_unigram_logprob,
+    "ta_bigram_logprob": q_ta_bigram_logprob,
     "ta_bpe_pairs": q_ta_bpe_pairs,
     "ta_gopher_rules": q_ta_gopher_rules,
     "ta_hash_score": q_ta_hash_score,
@@ -956,6 +1029,7 @@ ORACLES = {
     "ta_len_quantiles": SQL_TA_LEN_Q,
     "ta_boilerplate_strip": SQL_TA_BOILERPLATE,
     "ta_unigram_logprob": SQL_TA_UNIGRAM_LP,
+    "ta_bigram_logprob": SQL_TA_BIGRAM_LP,
     "ta_bpe_pairs": SQL_TA_BPE_PAIRS,
     "ta_gopher_rules": _gopher_sql(),
     "ta_hash_score": SQL_TA_HASH_SCORE,

@@ -479,3 +479,35 @@ def test_full_pipeline_verdicts_consistent(spark, sf_tiny):
         assert r.exact_keep == (r.doc_id in exact_keepers), r.doc_id
         assert r.neardup_keep == nd.get(r.doc_id, True), r.doc_id
         assert r.quality_keep == quality[r.doc_id], r.doc_id
+
+
+def test_train_split_deterministic_disjoint_and_salted(spark, sf_small):
+    """Every doc lands in exactly one split, re-runs reproduce the
+    assignment byte-for-byte, expected fractions hold loosely at 500
+    docs, and the salted key decorrelates the split from the
+    stratified-sampling hash (reusing one hash would make val a biased
+    subsample of the sampling rejects)."""
+    from handprint_spark.operators.curation import (
+        SAMPLE_BUCKETS,
+        q_cur_sample_strat,
+        q_cur_train_split,
+    )
+
+    a = q_cur_train_split(spark, sf_small).collect()
+    b = q_cur_train_split(spark, sf_small).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+    splits = {}
+    for r in a:
+        assert r.split in ("train", "val", "test")
+        assert 0 <= r.bucket < 1000
+        splits[r.split] = splits.get(r.split, 0) + 1
+    n = len(a)
+    assert n == 500 and splits["train"] > 0.9 * n
+    assert 0 < splits.get("val", 0) < 0.1 * n
+    assert 0 < splits.get("test", 0) < 0.1 * n
+    # salted bucket != sampling bucket for the overwhelming majority
+    sample_buckets = {
+        r.doc_id: r.bucket for r in q_cur_sample_strat(spark, sf_small).collect()
+    }
+    same = sum(1 for r in a if sample_buckets.get(r.doc_id) == r.bucket)
+    assert same < 0.05 * len(sample_buckets)

@@ -284,3 +284,55 @@ def test_pagerank_corpus_invariants(spark, sf_tiny):
     assert min(prs) >= teleport
     assert sum(prs) <= PR_MICRO
     assert max(prs) > teleport
+
+
+def test_bigram_logprob_closed_form(spark, tmp_path):
+    """Hand-computed bigram MLE on a 3-doc corpus, and the <2-token
+    doc drops out (no bigram positions, mirrored by the oracle)."""
+    import math
+
+    import pandas as pd
+
+    from handprint_spark.operators.text_analysis import q_ta_bigram_logprob
+
+    docs = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3],
+            "text": ["x y z", "x z", "solo"],
+            "lang": ["en"] * 3,
+            "source": ["s"] * 3,
+            "n_chars": [5, 3, 4],
+        }
+    )
+    (tmp_path / "documents.parquet").write_bytes(b"")
+    docs.to_parquet(tmp_path / "documents.parquet")
+    rows = {r.doc_id: r for r in q_ta_bigram_logprob(spark, str(tmp_path)).collect()}
+    # corpus bigrams: (x,y) (y,z) (x,z); c(x.)=2 c(y.)=1
+    # doc1: -ln(1/2) + -ln(1/1) over 2 positions; doc2: -ln(1/2)
+    assert set(rows) == {1, 2}
+    assert rows[1].n_bigrams == 2
+    assert abs(rows[1].avg_neg_logprob - round(math.log(2) / 2, 6)) < 1e-9
+    assert abs(rows[2].avg_neg_logprob - round(math.log(2), 6)) < 1e-9
+
+
+def test_anchor_text_pairs_consistent_with_outlinks(spark, sf_tiny):
+    """(href, anchor) extraction pairs text with the SAME tag's href:
+    the fixed chrome anchors carry their known texts, and per-href
+    totals agree with hx_outlinks' edge counts."""
+    from handprint_spark.operators.html_extract import q_hx_anchor_text
+
+    anchors = q_hx_anchor_text(spark, sf_tiny)
+    by_pair = {(r.href, r.anchor): r.n_refs for r in anchors.collect()}
+    n_docs = q_hx_outlinks(spark, sf_tiny).agg(F.max("n_docs")).collect()[0][0]
+    # chrome anchors appear once per page with fixed text
+    assert by_pair[("/", "home")] == n_docs
+    assert by_pair[("/s/t", "tweet this")] == n_docs
+    assert by_pair[("/s/f", "share")] == n_docs
+    # per-href totals match the outlink edge counts exactly
+    out_counts = {r.href: r.n_refs for r in q_hx_outlinks(spark, sf_tiny).collect()}
+    agg = (
+        anchors.groupBy("href")
+        .agg(F.sum("n_refs").alias("n"))
+        .collect()
+    )
+    assert {r.href: r.n for r in agg} == out_counts

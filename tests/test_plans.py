@@ -548,3 +548,37 @@ def test_pagerank_round_shape(spark, sf_small):
     # (earlier rounds are behind the localCheckpoint scan)
     assert plan.count("SortMergeJoin") + plan.count("BroadcastHashJoin") <= 3
     assert "Scan ExistingRDD" in plan  # the checkpointed prior round
+
+
+def test_train_split_zero_exchange_jvm_only(spark, sf_small):
+    """Split assignment is decided from each row's own bytes — a pure
+    projection with no shuffle and no Python at any corpus size."""
+    from handprint_spark.operators.curation import q_cur_train_split
+
+    plan = plan_str(q_cur_train_split(spark, sf_small), "simple")
+    assert "Exchange" not in plan
+    assert "EvalPython" not in plan
+
+
+def test_anchor_text_two_stage_distinct_partial_agg(spark, sf_small):
+    """Anchor extraction is narrow (explode + per-snippet regexps);
+    counting with count_distinct(doc_id) takes Spark's two-stage
+    distinct shape on the (href, anchor) key — exactly two exchanges
+    with a map-side partial below the first, same as hx_outlinks."""
+    from handprint_spark.operators.html_extract import q_hx_anchor_text
+
+    plan = plan_str(q_hx_anchor_text(spark, sf_small), "simple")
+    assert plan.count("Exchange hashpartitioning") == 2
+    assert "EvalPython" not in plan
+    assert "partial_count" in plan
+
+
+def test_bigram_logprob_single_corpus_scan(spark, sf_small):
+    """The order-2 LM keeps the single-pass property: the vocab side
+    reads the checkpointed bigram counts, so exactly one scan of the
+    documents table remains in the final plan (the lookup side)."""
+    from handprint_spark.operators.text_analysis import q_ta_bigram_logprob
+
+    plan = plan_str(q_ta_bigram_logprob(spark, sf_small), "simple")
+    assert plan.count("documents.parquet") == 1
+    assert "EvalPython" not in plan
