@@ -171,6 +171,11 @@ def main() -> None:
         ("dd_incremental", dedup.QUERIES["dd_incremental"]),
         ("hx_pagerank", html_extract.QUERIES["hx_pagerank"]),
         ("ta_hash_score", text_analysis.QUERIES["ta_hash_score"]),
+        # round 4 session 4: order-2 LM scoring (single corpus pass
+        # feeding bigram counts + context fold) and inbound anchor-text
+        # aggregation (two-stage distinct agg over the link snippets)
+        ("ta_bigram_logprob", text_analysis.QUERIES["ta_bigram_logprob"]),
+        ("hx_anchor_text", html_extract.QUERIES["hx_anchor_text"]),
     ]
     # Full suite passes (default 3); per-query best across passes.
     # Pass 1 also absorbs each query's one-time whole-stage-codegen

@@ -336,3 +336,17 @@ def test_anchor_text_pairs_consistent_with_outlinks(spark, sf_tiny):
         .collect()
     )
     assert {r.href: r.n for r in agg} == out_counts
+
+
+def test_canonical_url_idempotent(spark, sf_tiny):
+    """canonical_url is a normal form: applying it to its own output
+    is the identity. A frontier that re-canonicalizes already-canonical
+    URLs (every recrawl does) must not drift keys."""
+    from handprint_spark.operators.html_extract import _messy_urls, canonical_url
+
+    from handprint_spark.operators.html_extract import _docs
+
+    urls = _messy_urls(_docs(spark, sf_tiny))
+    once = urls.select(canonical_url(F.col("url")).alias("c1"))
+    twice = once.select("c1", canonical_url(F.col("c1")).alias("c2"))
+    assert twice.filter(F.col("c1") != F.col("c2")).count() == 0
