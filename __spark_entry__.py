@@ -102,10 +102,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         {
             k: v
             for k, v in text_analysis.QUERIES.items()
-            # ta_bigram_logprob is NEW this session and registers below
-            # the boundary (full-sweep verified), keeping the window on
-            # the never-driver-verified set.
-            if k not in ("ta_token_count", "ta_lang_id", "ta_fingerprint", "ta_bigram_logprob")
+            # ta_bigram_logprob and ta_source_kl are NEW this session
+            # and register below the boundary (full-sweep verified),
+            # keeping the window on the never-driver-verified set.
+            if k
+            not in (
+                "ta_token_count",
+                "ta_lang_id",
+                "ta_fingerprint",
+                "ta_bigram_logprob",
+                "ta_source_kl",
+            )
         }
     )
     out["cur_domain_mix"] = curation.QUERIES["cur_domain_mix"]

@@ -717,6 +717,68 @@ GROUP BY b.doc_id
 """
 
 
+# --- per-source distribution shift (KL vs corpus unigram dist) ----------------
+
+
+def q_ta_source_kl(spark, sf_dir):
+    """(source, n_tokens, kl_vs_corpus): KL(q_source ‖ p_corpus) over
+    unigram distributions — the domain-shift dashboard metric a data
+    recipe watches when a new source lands (a source whose KL spikes
+    is lexically unlike the corpus and gets a human look before its
+    mix weight does). Every source token also appears in the corpus
+    distribution by construction, so no zero-support terms.
+
+    Shape: ONE corpus tokenize pass builds the (source, word) count
+    table (lineage-truncated); the corpus marginal, the per-source
+    totals, and the grand total all FOLD OUT of that table as
+    groupBy-sums — zero additional corpus scans, three posting-shape
+    aggregations whose keys are words/sources (well spread / tiny).
+    Rounded at 6 places to absorb summation-order wobble."""
+    docs = _docs(spark, sf_dir)
+    sw = (
+        docs.select("source", F.explode(_words()).alias("w"))
+        .groupBy("source", "w")
+        .agg(F.count("*").alias("c_sw"))
+        .localCheckpoint(eager=False)
+    )
+    wc = sw.groupBy("w").agg(F.sum("c_sw").alias("c_w"))
+    st = sw.groupBy("source").agg(F.sum("c_sw").alias("c_s"))
+    total = sw.agg(F.sum("c_sw").cast("double").alias("c_tot"))
+    return (
+        sw.join(wc, "w")
+        .join(st, "source")
+        .crossJoin(F.broadcast(total))
+        .groupBy("source")
+        .agg(
+            F.max("c_s").cast("long").alias("n_tokens"),
+            F.round(
+                F.sum(
+                    (F.col("c_sw") / F.col("c_s"))
+                    * F.log((F.col("c_sw") / F.col("c_s")) / (F.col("c_w") / F.col("c_tot")))
+                ),
+                6,
+            ).alias("kl_vs_corpus"),
+        )
+    )
+
+
+SQL_TA_SOURCE_KL = """
+WITH toks AS (
+  SELECT source, unnest(string_split(text, ' ')) AS w FROM documents
+),
+sw AS (SELECT source, w, count(*) AS c_sw FROM toks GROUP BY source, w),
+wc AS (SELECT w, sum(c_sw) AS c_w FROM sw GROUP BY w),
+st AS (SELECT source, sum(c_sw) AS c_s FROM sw GROUP BY source),
+tot AS (SELECT sum(c_sw)::DOUBLE AS c_tot FROM sw)
+SELECT s.source, CAST(max(st.c_s) AS BIGINT) AS n_tokens,
+       round(sum((s.c_sw / st.c_s)
+                 * ln((s.c_sw / st.c_s) / (w.c_w / t.c_tot))), 6)
+           AS kl_vs_corpus
+FROM sw s JOIN wc w USING (w) JOIN st USING (source), tot t
+GROUP BY s.source
+"""
+
+
 # --- BPE merge-pair counting (tokenizer training support) --------------------
 
 BPE_TOP_PAIRS = 20
@@ -1012,6 +1074,7 @@ QUERIES = {
     "ta_boilerplate_strip": q_ta_boilerplate_strip,
     "ta_unigram_logprob": q_ta_unigram_logprob,
     "ta_bigram_logprob": q_ta_bigram_logprob,
+    "ta_source_kl": q_ta_source_kl,
     "ta_bpe_pairs": q_ta_bpe_pairs,
     "ta_gopher_rules": q_ta_gopher_rules,
     "ta_hash_score": q_ta_hash_score,
@@ -1030,6 +1093,7 @@ ORACLES = {
     "ta_boilerplate_strip": SQL_TA_BOILERPLATE,
     "ta_unigram_logprob": SQL_TA_UNIGRAM_LP,
     "ta_bigram_logprob": SQL_TA_BIGRAM_LP,
+    "ta_source_kl": SQL_TA_SOURCE_KL,
     "ta_bpe_pairs": SQL_TA_BPE_PAIRS,
     "ta_gopher_rules": _gopher_sql(),
     "ta_hash_score": SQL_TA_HASH_SCORE,

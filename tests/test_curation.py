@@ -511,3 +511,30 @@ def test_train_split_deterministic_disjoint_and_salted(spark, sf_small):
     }
     same = sum(1 for r in a if sample_buckets.get(r.doc_id) == r.bucket)
     assert same < 0.05 * len(sample_buckets)
+
+
+def test_source_kl_nonnegative_and_zero_on_self(spark, sf_small, tmp_path):
+    """KL(q_source ‖ p_corpus) is >= 0 for every source (Gibbs), and a
+    single-source corpus scores exactly 0 (its distribution IS the
+    corpus distribution)."""
+    import pandas as pd
+
+    from handprint_spark.operators.text_analysis import q_ta_source_kl
+
+    rows = q_ta_source_kl(spark, sf_small).collect()
+    assert len(rows) > 1
+    assert all(r.kl_vs_corpus >= 0.0 for r in rows)
+    docs = pd.DataFrame(
+        {
+            "doc_id": [1, 2],
+            "text": ["a b c", "a a d"],
+            "lang": ["en"] * 2,
+            "source": ["only"] * 2,
+            "n_chars": [5, 5],
+        }
+    )
+    docs.to_parquet(tmp_path / "documents.parquet")
+    solo = q_ta_source_kl(spark, str(tmp_path)).collect()
+    assert len(solo) == 1
+    assert solo[0].n_tokens == 6
+    assert solo[0].kl_vs_corpus == 0.0

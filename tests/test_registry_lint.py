@@ -24,11 +24,12 @@ import __spark_entry__ as entry_mod
 
 # BroadcastNestedLoopJoin is acceptable ONLY where the build side is
 # constant-size by construction:
-# - ta_tfidf_topk / ta_unigram_logprob: 1-row corpus-total scalar
-#   attached via broadcast cross join (the single-pass total fold).
+# - ta_tfidf_topk / ta_unigram_logprob / ta_source_kl: 1-row
+#   corpus-total scalar attached via broadcast cross join (the
+#   single-pass total fold).
 # - j2_cross_fanout: the reference's documents x services fan-out —
 #   services is a 5-row constant dim (SURVEY J2).
-BNLJ_ALLOWED = {"ta_tfidf_topk", "ta_unigram_logprob", "j2_cross_fanout"}
+BNLJ_ALLOWED = {"ta_tfidf_topk", "ta_unigram_logprob", "ta_source_kl", "j2_cross_fanout"}
 
 _QUERIES = entry_mod.queries()
 
