@@ -383,6 +383,81 @@ WHERE d.bucket * totals.tok_s * 1000
 """
 
 
+# --- temperature sampling across sources ---------------------------------------
+
+
+def q_cur_temperature_mix(spark, sf_dir):
+    """Temperature-based source rebalancing at α = 1/2 (the
+    multilingual-LM sampling family: keep rate ∝ tok_s^(α-1), so the
+    expected kept tokens per source are sqrt(tok_s · tok_min) — big
+    sources are damped toward the small ones, the smallest source is
+    kept whole). Unlike cur_domain_mix (budgets from a hand-set weight
+    table), the rates here derive from the corpus itself.
+
+    Exactness: keep iff bucket² · tok_s < BUCKETS² · tok_min — the
+    squared form of bucket < B·sqrt(tok_min/tok_s) — is PURE INTEGER
+    math, so Spark and the oracle agree bit-for-bit with no float
+    rate anywhere. (Test-scale contract; at 10^12 tokens the product
+    needs the same double-rate form documented in cur_domain_mix.)
+    Shape: identical to cur_domain_mix — one partial-agg exchange for
+    the totals, min folded in as an empty-partition window over the
+    20 totals rows, enriched totals broadcast back; the keep filter is
+    embarrassingly parallel and deterministic under re-runs (salted
+    'tmix:' bucket, independent of every other hash decision)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id",
+        "source",
+        F.size(F.split(F.col("text"), " ")).cast("long").alias("n_tokens"),
+        (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.lit("tmix:"), F.col("doc_id").cast("string"))), 1, 8
+                ),
+                16,
+                10,
+            ).cast("long")
+            % SAMPLE_BUCKETS
+        ).alias("bucket"),
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy().rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    totals = (
+        docs.groupBy("source")
+        .agg(F.sum("n_tokens").alias("tok_s"))
+        .withColumn("tok_min", F.min("tok_s").over(w))
+    )
+    return (
+        docs.join(F.broadcast(totals), "source")
+        .filter(
+            F.col("bucket") * F.col("bucket") * F.col("tok_s")
+            < F.lit(SAMPLE_BUCKETS) * F.lit(SAMPLE_BUCKETS) * F.col("tok_min")
+        )
+        .select("doc_id", "source", "n_tokens")
+    )
+
+
+SQL_CUR_TEMPERATURE_MIX = f"""
+WITH d AS (
+  SELECT doc_id, source,
+         len(string_split(text, ' '))::BIGINT AS n_tokens,
+         ('0x' || substr(md5('tmix:' || doc_id::VARCHAR), 1, 8))::BIGINT
+             % {SAMPLE_BUCKETS} AS bucket
+  FROM documents
+), totals AS (
+  SELECT source, sum(n_tokens) AS tok_s FROM d GROUP BY source
+), m AS (
+  SELECT min(tok_s) AS tok_min FROM totals
+)
+SELECT d.doc_id, d.source, d.n_tokens
+FROM d JOIN totals USING (source), m
+WHERE d.bucket * d.bucket * totals.tok_s
+      < {SAMPLE_BUCKETS} * {SAMPLE_BUCKETS} * m.tok_min
+"""
+
+
 # --- full curation pipeline ---------------------------------------------------
 
 
@@ -533,6 +608,7 @@ QUERIES = {
     "cur_domain_mix": q_cur_domain_mix,
     "cur_full_pipeline": q_cur_full_pipeline,
     "cur_train_split": q_cur_train_split,
+    "cur_temperature_mix": q_cur_temperature_mix,
 }
 ORACLES = {
     "cur_keep_list": SQL_CUR_KEEP_LIST,
@@ -542,4 +618,5 @@ ORACLES = {
     "cur_domain_mix": SQL_CUR_DOMAIN_MIX,
     "cur_full_pipeline": _sql_cur_full_pipeline(),
     "cur_train_split": SQL_CUR_TRAIN_SPLIT,
+    "cur_temperature_mix": SQL_CUR_TEMPERATURE_MIX,
 }

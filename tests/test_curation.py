@@ -538,3 +538,34 @@ def test_source_kl_nonnegative_and_zero_on_self(spark, sf_small, tmp_path):
     assert len(solo) == 1
     assert solo[0].n_tokens == 6
     assert solo[0].kl_vs_corpus == 0.0
+
+
+def test_temperature_mix_sqrt_damping(spark, sf_small):
+    """α=1/2 temperature: expected kept tokens per source are
+    sqrt(tok_s · tok_min) — the smallest source is kept (near) whole,
+    larger sources are damped toward it; kept fractions are loose at
+    500 docs but the ordering and the sqrt target must hold."""
+    import math
+
+    from handprint_spark.operators.curation import q_cur_temperature_mix
+
+    docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet").select(
+        "source", F.size(F.split(F.col("text"), " ")).cast("long").alias("n_tokens")
+    )
+    tok_s = {r.source: r.t for r in docs.groupBy("source").agg(F.sum("n_tokens").alias("t")).collect()}
+    tok_min = min(tok_s.values())
+    kept = {
+        r.source: r.t
+        for r in q_cur_temperature_mix(spark, "/root/testdata/sf0.01")
+        .groupBy("source")
+        .agg(F.sum("n_tokens").alias("t"))
+        .collect()
+    }
+    for s, total in tok_s.items():
+        target = math.sqrt(total * tok_min)
+        # sampling noise at ~25 docs/source: accept a 2x band
+        assert kept.get(s, 0) < 2.2 * target, (s, kept.get(s), target)
+        assert kept.get(s, 0) > 0.35 * target, (s, kept.get(s), target)
+    # the smallest source keeps (nearly) everything
+    smallest = min(tok_s, key=tok_s.get)
+    assert kept[smallest] >= 0.9 * tok_s[smallest]
