@@ -92,7 +92,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # body is byte-unchanged since its r02 green driver row (the
     # round-4 multimodal.py diff is the NEW mm_interleave_pack) and it
     # re-passed the full sf0.01 sweep this round.
-    out.update({k: v for k, v in multimodal.QUERIES.items() if k != "mm_media_features"})
+    # mm_caption_align is NEW this session: below the boundary
+    # (full-sweep verified), window stays on the never-verified set.
+    out.update(
+        {
+            k: v
+            for k, v in multimodal.QUERIES.items()
+            if k not in ("mm_media_features", "mm_caption_align")
+        }
+    )
     # ta_token_count yields its slot to the new cur_full_pipeline;
     # ta_lang_id + ta_fingerprint yield theirs to the new PQ pair
     # (sim_pq_encode/sim_pq_topk): all three bodies byte-unchanged

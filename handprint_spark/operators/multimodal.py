@@ -441,13 +441,121 @@ FROM packed GROUP BY doc_id, seq_id
 """
 
 
+def caption_align(spans_df: DataFrame) -> DataFrame:
+    """(doc_id, media_ref, offset, cap_before, cap_after): pair every
+    media span with its nearest text span on each side by offset — the
+    MMC4/OBELICS-style image-text pairing step that turns interleaved
+    documents into (image, caption) training rows. Generic over ANY
+    interleaving: runs of consecutive media spans share the same
+    flanking captions; a leading/trailing media span gets NULL on the
+    open side.
+
+    Shape: one hashpartitioning(doc_id) exchange shared by both
+    ignore-nulls windows (same partitioning + ordering → one sort);
+    span order never crosses documents, so 10^12 docs align
+    embarrassingly parallel."""
+    from pyspark.sql import Window
+
+    rows = spans_df.select("doc_id", F.explode("spans").alias("s")).select(
+        "doc_id",
+        F.col("s.kind").alias("kind"),
+        F.col("s.text").alias("text"),
+        F.col("s.media_ref").alias("media_ref"),
+        F.col("s.offset").alias("offset"),
+    )
+    w = Window.partitionBy("doc_id").orderBy("offset")
+    txt = F.when(F.col("kind") == "text", F.col("text"))
+    aligned = rows.select(
+        "doc_id",
+        "kind",
+        "media_ref",
+        "offset",
+        F.last(txt, ignorenulls=True)
+        .over(w.rowsBetween(Window.unboundedPreceding, -1))
+        .alias("cap_before"),
+        F.first(txt, ignorenulls=True)
+        .over(w.rowsBetween(1, Window.unboundedFollowing))
+        .alias("cap_after"),
+    )
+    return aligned.filter(F.col("kind") != "text").select(
+        "doc_id", "media_ref", "offset", "cap_before", "cap_after"
+    )
+
+
+def q_mm_caption_align(spark, sf_dir):
+    """caption_align over the corpus span derivation; selecting only
+    the spans column prunes the media-encode UDF out of the plan (no
+    EvalPython). The alternating synthetic layout is one case of the
+    generic alignment — the pytest proves the general one (media runs,
+    leading media) on a hand-built document."""
+    from ..corpus import load_documents_spans
+
+    return caption_align(load_documents_spans(spark, sf_dir).select("doc_id", "spans"))
+
+
+def _sql_mm_caption_align() -> str:
+    # Mirrors the spanify CTE used by _sql_mm_interleave_pack — keep
+    # the base/lined/skewed stages in sync with corpus.spanify.
+    from ..corpus import SKEW_FACTOR, SKEW_MOD, WORDS_PER_LINE
+
+    w = WORDS_PER_LINE
+    return f"""
+WITH base AS (
+  SELECT doc_id::VARCHAR AS doc_id,
+         ('0x' || substr(sha256(doc_id::VARCHAR), 1, 8))::BIGINT AS h,
+         CASE WHEN trim(replace(text, chr(12), ' ')) = '' THEN []::VARCHAR[]
+              ELSE string_split(regexp_replace(trim(replace(text, chr(12), ' ')),
+                                               ' +', ' ', 'g'), ' ')
+         END AS words
+  FROM documents
+), lined AS (
+  SELECT doc_id, h,
+         list_transform(range(0, CAST(ceil(len(words) / {w}.0) AS INT)),
+                        i -> array_to_string(words[i*{w}+1 : i*{w}+{w}], ' ')) AS lines0
+  FROM base
+), skewed AS (
+  SELECT doc_id,
+         CASE WHEN h % {SKEW_MOD} = 0 AND len(lines0) > 0
+              THEN flatten(list_transform(range({SKEW_FACTOR}), r -> lines0))
+              ELSE lines0 END AS lines
+  FROM lined
+), srows AS (
+  SELECT doc_id, s.kind AS kind, s.text AS text, s.media_ref AS media_ref,
+         s.off AS off
+  FROM (SELECT doc_id,
+               unnest(flatten(list_transform(lines, (line, i) -> [
+                 struct_pack(kind := 'text', text := line, media_ref := '',
+                             off := 2 * (i - 1)),
+                 struct_pack(kind := 'line_image', text := '',
+                             media_ref := doc_id || '/line-' || (i - 1),
+                             off := 2 * (i - 1) + 1)]))) AS s
+        FROM skewed)
+), aligned AS (
+  SELECT doc_id, kind, media_ref, off,
+         last_value(CASE WHEN kind = 'text' THEN text END IGNORE NULLS)
+             OVER (PARTITION BY doc_id ORDER BY off
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+             AS cap_before,
+         first_value(CASE WHEN kind = 'text' THEN text END IGNORE NULLS)
+             OVER (PARTITION BY doc_id ORDER BY off
+                   ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)
+             AS cap_after
+  FROM srows
+)
+SELECT doc_id, media_ref, CAST(off AS INT) AS offset, cap_before, cap_after
+FROM aligned WHERE kind != 'text'
+"""
+
+
 QUERIES = {
     "mm_media_features": q_mm_media_features,
     "mm_frame_sample": q_mm_frame_sample,
     "mm_interleave_pack": q_mm_interleave_pack,
+    "mm_caption_align": q_mm_caption_align,
 }
 ORACLES: dict[str, str] = {
     "mm_media_features": _sql_mm_media_features(),
     "mm_frame_sample": _sql_mm_frame_sample(),
     "mm_interleave_pack": _sql_mm_interleave_pack(),
+    "mm_caption_align": _sql_mm_caption_align(),
 }

@@ -149,3 +149,34 @@ def test_interleave_pack_accounting(spark, sf_tiny):
         # ever by the final span of the sequence)
         for s in seqs[:-1]:
             assert s.tokens >= 1
+
+
+def test_caption_align_general_interleaving(spark):
+    """Alignment is generic, not an inverse of the alternating
+    synthesis: a leading media span has NULL cap_before, a run of
+    consecutive media spans shares its flanking captions, and a
+    trailing media span has NULL cap_after."""
+    from handprint_spark.operators.multimodal import caption_align
+
+    spans = [
+        {"kind": "page_image", "text": "", "media_ref": "d/p0", "offset": 0},
+        {"kind": "text", "text": "intro paragraph", "media_ref": "", "offset": 1},
+        {"kind": "line_image", "text": "", "media_ref": "d/l1", "offset": 2},
+        {"kind": "line_image", "text": "", "media_ref": "d/l2", "offset": 3},
+        {"kind": "text", "text": "closing words", "media_ref": "", "offset": 4},
+        {"kind": "page_image", "text": "", "media_ref": "d/p9", "offset": 5},
+    ]
+    df = spark.createDataFrame(
+        [("d", spans)],
+        T.StructType(
+            [T.StructField("doc_id", T.StringType()), T.StructField("spans", SPAN_TYPE)]
+        ),
+    )
+    rows = {r.media_ref: r for r in caption_align(df).collect()}
+    assert rows["d/p0"].cap_before is None
+    assert rows["d/p0"].cap_after == "intro paragraph"
+    for ref in ("d/l1", "d/l2"):  # the media run shares flanks
+        assert rows[ref].cap_before == "intro paragraph"
+        assert rows[ref].cap_after == "closing words"
+    assert rows["d/p9"].cap_before == "closing words"
+    assert rows["d/p9"].cap_after is None

@@ -582,3 +582,14 @@ def test_bigram_logprob_single_corpus_scan(spark, sf_small):
     plan = plan_str(q_ta_bigram_logprob(spark, sf_small), "simple")
     assert plan.count("documents.parquet") == 1
     assert "EvalPython" not in plan
+
+
+def test_caption_align_single_exchange_no_python(spark, sf_small):
+    """Both ignore-nulls caption windows share hashpartitioning(doc_id)
+    — ONE exchange — and selecting only the spans column prunes the
+    media-encode UDF from the plan entirely."""
+    from handprint_spark.operators.multimodal import q_mm_caption_align
+
+    plan = plan_str(q_mm_caption_align(spark, sf_small), "simple")
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "EvalPython" not in plan
