@@ -383,6 +383,96 @@ WHERE d.bucket * totals.tok_s * 1000
 """
 
 
+# --- deterministic train/val/test split constants --------------------------------
+#
+# (Used by q_cur_train_split below and the OOV audit here; see the
+# train-split section for the salting rationale.)
+SPLIT_BUCKETS = 1000
+SPLIT_VAL_LT = 10  # bucket in [0, 10)  → val  (1%)
+SPLIT_TEST_LT = 20  # bucket in [10, 20) → test (1%); rest → train
+
+
+# --- held-out OOV audit ----------------------------------------------------------
+
+
+def q_cur_split_oov(spark, sf_dir):
+    """(split, n_tokens, n_oov, oov_rate): out-of-vocabulary audit of
+    the held-out splits against the TRAIN split's vocabulary — the
+    sanity check a tokenizer/eval pipeline runs before trusting val
+    perplexities (a val slice with a high OOV rate is measuring
+    vocabulary mismatch, not model quality). Composes the
+    cur_train_split assignment (same salted bucket expression) with a
+    vocabulary semi-join.
+
+    Shape: one tokenize pass per side over a split-pruned scan; the
+    train vocabulary is a distinct on the well-spread word key
+    (lineage-truncated), and the held-out lookup is a left join on
+    that key — no broadcast hint (open vocabulary scales with the
+    corpus; AQE decides at runtime)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    bucket = (
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit("split:"), F.col("doc_id").cast("string"))), 1, 8),
+            16,
+            10,
+        ).cast("long")
+        % SPLIT_BUCKETS
+    )
+    split = (
+        F.when(bucket < SPLIT_VAL_LT, F.lit("val"))
+        .when(bucket < SPLIT_TEST_LT, F.lit("test"))
+        .otherwise(F.lit("train"))
+    )
+    toks = docs.select(
+        split.alias("split"), F.explode(F.split(F.col("text"), " ")).alias("w")
+    )
+    vocab = (
+        toks.filter(F.col("split") == "train")
+        .select("w")
+        .distinct()
+        .withColumn("in_train", F.lit(1))
+        .localCheckpoint(eager=False)
+    )
+    return (
+        toks.filter(F.col("split") != "train")
+        .join(vocab, "w", "left")
+        .groupBy("split")
+        .agg(
+            F.count("*").cast("long").alias("n_tokens"),
+            F.sum(F.col("in_train").isNull().cast("int")).cast("long").alias("n_oov"),
+            F.round(
+                F.sum(F.col("in_train").isNull().cast("int"))
+                / F.count("*").cast("double"),
+                6,
+            ).alias("oov_rate"),
+        )
+    )
+
+
+SQL_CUR_SPLIT_OOV = f"""
+WITH assigned AS (
+  SELECT text,
+         CASE WHEN b < {SPLIT_VAL_LT} THEN 'val'
+              WHEN b < {SPLIT_TEST_LT} THEN 'test'
+              ELSE 'train' END AS split
+  FROM (SELECT text,
+               ('0x' || substr(md5('split:' || doc_id::VARCHAR), 1, 8))::BIGINT
+                   % {SPLIT_BUCKETS} AS b
+        FROM documents)
+),
+toks AS (SELECT split, unnest(string_split(text, ' ')) AS w FROM assigned),
+vocab AS (SELECT DISTINCT w, 1 AS in_train FROM toks WHERE split = 'train')
+SELECT t.split, CAST(count(*) AS BIGINT) AS n_tokens,
+       CAST(sum(CASE WHEN v.in_train IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_oov,
+       round(sum(CASE WHEN v.in_train IS NULL THEN 1 ELSE 0 END)
+             / count(*)::DOUBLE, 6) AS oov_rate
+FROM toks t LEFT JOIN vocab v USING (w)
+WHERE t.split != 'train'
+GROUP BY t.split
+"""
+
+
 # --- temperature sampling across sources ---------------------------------------
 
 
@@ -555,9 +645,8 @@ JOIN quality q USING (doc_id)
 # 10^12 rows), and (c) independent of every other hash decision in the
 # pipeline — hence a salted key: reusing the sampling hash would make
 # "val" a biased subsample of the stratified-sampling rejects.
-SPLIT_BUCKETS = 1000
-SPLIT_VAL_LT = 10  # bucket in [0, 10)  → val  (1%)
-SPLIT_TEST_LT = 20  # bucket in [10, 20) → test (1%); rest → train
+# (SPLIT_BUCKETS / SPLIT_VAL_LT / SPLIT_TEST_LT are defined above the
+# OOV audit, which shares them.)
 
 
 def q_cur_train_split(spark, sf_dir):
@@ -609,6 +698,7 @@ QUERIES = {
     "cur_full_pipeline": q_cur_full_pipeline,
     "cur_train_split": q_cur_train_split,
     "cur_temperature_mix": q_cur_temperature_mix,
+    "cur_split_oov": q_cur_split_oov,
 }
 ORACLES = {
     "cur_keep_list": SQL_CUR_KEEP_LIST,
@@ -619,4 +709,5 @@ ORACLES = {
     "cur_full_pipeline": _sql_cur_full_pipeline(),
     "cur_train_split": SQL_CUR_TRAIN_SPLIT,
     "cur_temperature_mix": SQL_CUR_TEMPERATURE_MIX,
+    "cur_split_oov": SQL_CUR_SPLIT_OOV,
 }

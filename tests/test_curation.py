@@ -569,3 +569,27 @@ def test_temperature_mix_sqrt_damping(spark, sf_small):
     # the smallest source keeps (nearly) everything
     smallest = min(tok_s, key=tok_s.get)
     assert kept[smallest] >= 0.9 * tok_s[smallest]
+
+
+def test_split_oov_bounds_and_train_consistency(spark, sf_small):
+    """OOV audit: only held-out splits appear, rates live in [0, 1],
+    and every reported token count matches the split assignment's own
+    token totals (the audit must not re-tokenize differently)."""
+    from handprint_spark.operators.curation import q_cur_split_oov, q_cur_train_split
+
+    rows = {r.split: r for r in q_cur_split_oov(spark, sf_small).collect()}
+    assert set(rows) <= {"val", "test"} and rows
+    for r in rows.values():
+        assert 0 <= r.n_oov <= r.n_tokens
+        assert 0.0 <= r.oov_rate <= 1.0
+    split_docs = q_cur_train_split(spark, sf_small)
+    docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    toks = {
+        r.split: r.t
+        for r in split_docs.join(docs, "doc_id")
+        .groupBy("split")
+        .agg(F.sum(F.size(F.split(F.col("text"), " "))).alias("t"))
+        .collect()
+    }
+    for s, r in rows.items():
+        assert r.n_tokens == toks[s], (s, r.n_tokens, toks[s])
