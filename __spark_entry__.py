@@ -148,6 +148,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 "dd_ngram_jaccard",
                 "dd_contamination",
                 "dd_lsh_stats",
+                # NEW this session: register below the boundary
+                # (full-sweep verified) so the window stays on the
+                # never-driver-verified set.
+                "dd_paragraph_dedup",
+                "dd_fuzzy_contamination",
             )
         }
     )

@@ -1332,6 +1332,176 @@ LEFT JOIN hits h ON d.doc_id = h.doc_id
 """
 
 
+# --- cross-document paragraph dedup -----------------------------------------
+#
+# RefinedWeb/CCNet-class pipelines dedup BELOW the document: a
+# paragraph that already shipped in any earlier document is removed
+# from every later one (global first-occurrence keep), independent of
+# how often it repeats. This is distinct from ``ta_boilerplate_strip``
+# (which drops lines frequent WITHIN a source — chrome removal):
+# paragraph dedup fires on the second occurrence ever, across sources,
+# and keeps exactly one copy in the corpus. Reference analog: the
+# duplicate-format drop in handprint (main_body.py:171-180) keeps one
+# artifact per (base, format) group; this is the same keep-first rule
+# applied to content windows at corpus scale.
+PARA_WORDS = 6  # words per paragraph window (same layout as corpus lines)
+
+
+def q_dd_paragraph_dedup(spark, sf_dir):
+    """(doc_id, n_paras, n_dropped, clean_text): global
+    first-occurrence paragraph dedup with in-order document
+    reassembly. A paragraph survives only at its globally-first
+    occurrence — min (doc_id, pos) over every doc containing it —
+    so repeated paragraphs later in the SAME doc drop too.
+
+    Scale shape: posting rows are keyed by md5(para) (16-byte shuffle
+    keys, not paragraph text); the keeper table is ONE min-struct
+    groupBy (map-side partial, order-independent); membership rides
+    back on ONE equi-join; reassembly is the same sorted-collect
+    groupBy as ``ta_boilerplate_strip``. No window over the full
+    posting, no self-join — at 10^12 docs the only hot spot is a
+    paragraph shared by millions of docs, and that key carries an
+    8-byte min, not a pair blowup."""
+    w = PARA_WORDS
+    docs = _docs(spark, sf_dir, spread=True)
+    words = F.split(F.col("text"), " ")
+    n_paras = F.ceil(F.size(words) / w).cast("int")
+    paras = F.transform(
+        F.sequence(F.lit(0), n_paras - 1),
+        lambda i: F.struct(
+            i.alias("pos"), F.array_join(F.slice(words, i * w + 1, w), " ").alias("para")
+        ),
+    )
+    posting = (
+        docs.select("doc_id", F.explode(paras).alias("p"))
+        .select("doc_id", F.col("p.pos").alias("pos"), F.col("p.para").alias("para"))
+        .withColumn("h", F.md5(F.col("para").cast("binary")))
+    )
+    keeper = posting.groupBy("h").agg(F.min(F.struct("doc_id", "pos")).alias("k"))
+    flagged = posting.join(keeper, "h").withColumn(
+        "kept", (F.col("k.doc_id") == F.col("doc_id")) & (F.col("k.pos") == F.col("pos"))
+    )
+    return (
+        flagged.groupBy("doc_id")
+        .agg(
+            F.count("*").cast("int").alias("n_paras"),
+            F.sum((~F.col("kept")).cast("int")).cast("int").alias("n_dropped"),
+            F.array_join(
+                F.transform(
+                    F.filter(
+                        F.array_sort(F.collect_list(F.struct("pos", "kept", "para"))),
+                        lambda x: x["kept"],
+                    ),
+                    lambda x: x["para"],
+                ),
+                " ",
+            ).alias("clean_text"),
+        )
+        .select("doc_id", "n_paras", "n_dropped", "clean_text")
+    )
+
+
+SQL_DD_PARAGRAPH_DEDUP = f"""
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS ws,
+         CAST(ceil(len(string_split(text, ' ')) / {PARA_WORDS}.0) AS INT) AS np
+  FROM documents
+),
+posting AS (
+  SELECT doc_id, i AS pos,
+         array_to_string(ws[i*{PARA_WORDS}+1 : (i+1)*{PARA_WORDS}], ' ') AS para
+  FROM toks, LATERAL unnest(range(0, np)) AS t(i)
+),
+ranked AS (
+  SELECT doc_id, pos, para,
+         row_number() OVER (PARTITION BY md5(para) ORDER BY doc_id, pos) AS rn
+  FROM posting
+)
+SELECT doc_id,
+       CAST(count(*) AS INT) AS n_paras,
+       CAST(sum(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS INT) AS n_dropped,
+       coalesce(string_agg(CASE WHEN rn = 1 THEN para END, ' ' ORDER BY pos), '')
+           AS clean_text
+FROM ranked GROUP BY doc_id
+"""
+
+
+# --- fuzzy (MinHash-banded) decontamination ----------------------------------
+#
+# ``dd_contamination`` is the exact n-gram membership gate; real
+# leakage audits (GPT-3 app. C, Llama 2 app. A.6) ALSO run a fuzzy
+# pass, because paraphrased or lightly-edited benchmark items share no
+# exact 13-gram yet still leak. The fuzzy pass is LSH recycled as a
+# two-table probe: a train doc is flagged when any of its MinHash
+# bands collides with any eval doc's band — i.e. estimated Jaccard
+# above the banding's S-curve threshold against something held out.
+FUZZY_BANDS_HIT = 1  # >= this many colliding bands => flagged
+
+
+def q_dd_fuzzy_contamination(spark, sf_dir):
+    """(doc_id, n_bands_hit, flagged) for every TRAIN doc that carries
+    at least one shingle (docs under 2 words have no signature, hence
+    no fuzzy verdict — mirrored by the oracle). Eval slice is the same
+    deterministic doc_id % CONTAM_EVAL_MOD == 0 split as
+    ``dd_contamination``, so the two gates audit the same holdout.
+
+    Scale shape: ONE signature pass over the corpus (the banding
+    posting is shared machinery with ``dd_incremental``); the eval
+    side reduces to DISTINCT band keys (tiny vs the corpus — eval
+    suites are fixed-size while train grows), joined back with a LEFT
+    equi-join AQE is free to broadcast; verdicts from ONE groupBy.
+    Train×eval never forms a pair table — collisions resolve to a
+    per-band flag before any per-doc work."""
+    posting = minhash_band_posting(_docs(spark, sf_dir, spread=True)).withColumn(
+        "is_eval", F.col("doc_id") % CONTAM_EVAL_MOD == 0
+    )
+    eval_bands = (
+        posting.filter(F.col("is_eval"))
+        .select("band_key")
+        .distinct()
+        .withColumn("hit", F.lit(1))
+    )
+    return (
+        posting.filter(~F.col("is_eval"))
+        .join(eval_bands, "band_key", "left")
+        .groupBy("doc_id")
+        .agg(F.sum(F.coalesce("hit", F.lit(0))).cast("int").alias("n_bands_hit"))
+        .select(
+            "doc_id",
+            "n_bands_hit",
+            (F.col("n_bands_hit") >= FUZZY_BANDS_HIT).alias("flagged"),
+        )
+    )
+
+
+SQL_DD_FUZZY_CONTAM = f"""
+WITH posting AS (
+  SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(string_split(text, ' '))),
+           i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i+1]))) AS s
+  FROM documents
+), sigs AS (
+  SELECT doc_id,
+         min(md5('0|' || s)) AS sig0, min(md5('1|' || s)) AS sig1,
+         min(md5('2|' || s)) AS sig2, min(md5('3|' || s)) AS sig3
+  FROM posting GROUP BY doc_id
+), bands AS (
+  SELECT doc_id, 'b0|' || sig0 || '|' || sig1 AS band_key FROM sigs
+  UNION ALL
+  SELECT doc_id, 'b1|' || sig2 || '|' || sig3 AS band_key FROM sigs
+), ev AS (
+  SELECT DISTINCT band_key FROM bands WHERE doc_id % {CONTAM_EVAL_MOD} = 0
+)
+SELECT b.doc_id,
+       CAST(sum(CASE WHEN e.band_key IS NOT NULL THEN 1 ELSE 0 END) AS INT)
+           AS n_bands_hit,
+       (sum(CASE WHEN e.band_key IS NOT NULL THEN 1 ELSE 0 END)
+           >= {FUZZY_BANDS_HIT}) AS flagged
+FROM bands b LEFT JOIN ev e ON b.band_key = e.band_key
+WHERE b.doc_id % {CONTAM_EVAL_MOD} <> 0
+GROUP BY b.doc_id
+"""
+
+
 QUERIES = {
     "dd_exact": q_dd_exact,
     "dd_ngram_jaccard": q_dd_ngram_jaccard,
@@ -1347,6 +1517,8 @@ QUERIES = {
     "dd_lsh_stats": q_dd_lsh_stats,
     "dd_neardup_keep": q_dd_neardup_keep,
     "dd_incremental": q_dd_incremental,
+    "dd_paragraph_dedup": q_dd_paragraph_dedup,
+    "dd_fuzzy_contamination": q_dd_fuzzy_contamination,
 }
 
 ORACLES = {
@@ -1363,6 +1535,8 @@ ORACLES = {
     "dd_lsh_stats": SQL_DD_LSH_STATS,
     "dd_neardup_keep": SQL_DD_NEARDUP_KEEP,
     "dd_incremental": SQL_DD_INCREMENTAL,
+    "dd_paragraph_dedup": SQL_DD_PARAGRAPH_DEDUP,
+    "dd_fuzzy_contamination": SQL_DD_FUZZY_CONTAM,
     "dd_semantic_clusters": f"""
 WITH RECURSIVE embpairs AS ({_sql_dd_emb()}),
 edges AS (

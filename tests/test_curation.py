@@ -593,3 +593,67 @@ def test_split_oov_bounds_and_train_consistency(spark, sf_small):
     }
     for s, r in rows.items():
         assert r.n_tokens == toks[s], (s, r.n_tokens, toks[s])
+
+
+def test_paragraph_dedup_keeps_global_first_occurrence(spark):
+    """A paragraph survives only at its globally-first (doc_id, pos):
+    cross-doc copies drop, a repeat within the keeper doc drops at its
+    later position, a doc made entirely of seen paragraphs reassembles
+    to '', and a short tail paragraph is a paragraph of its own."""
+    import os
+    import tempfile
+
+    from handprint_spark.operators import dedup as dd
+
+    a = "a1 a2 a3 a4 a5 a6"
+    b = "b1 b2 b3 b4 b5 b6"
+    c = "c1 c2 c3 c4 c5 c6"
+    x = "x1 x2 x3 x4 x5 x6"
+    df = spark.createDataFrame(
+        [
+            (0, f"{x} {x}"),          # keeper doc with an internal repeat
+            (1, f"{a} {b}"),
+            (2, f"{c} {a}"),          # second occurrence of a -> drops
+            (3, b),                   # wholly duplicate -> clean_text ''
+            (4, f"{a} {a}"),          # both paras already seen
+            (5, "z1 z2 z3"),          # sub-width tail is still a paragraph
+        ],
+        "doc_id long, text string",
+    )
+    d = tempfile.mkdtemp(prefix="para_dedup_")
+    df.write.mode("overwrite").parquet(os.path.join(d, "documents.parquet"))
+    out = {r.doc_id: r for r in dd.q_dd_paragraph_dedup(spark, d).collect()}
+    assert (out[0].n_paras, out[0].n_dropped, out[0].clean_text) == (2, 1, x)
+    assert (out[1].n_paras, out[1].n_dropped, out[1].clean_text) == (2, 0, f"{a} {b}")
+    assert (out[2].n_paras, out[2].n_dropped, out[2].clean_text) == (2, 1, c)
+    assert (out[3].n_paras, out[3].n_dropped, out[3].clean_text) == (1, 1, "")
+    assert (out[4].n_paras, out[4].n_dropped, out[4].clean_text) == (2, 2, "")
+    assert (out[5].n_paras, out[5].n_dropped, out[5].clean_text) == (1, 0, "z1 z2 z3")
+
+
+def test_fuzzy_contamination_flags_eval_copies(spark):
+    """A train doc byte-identical to an eval doc collides in EVERY
+    band; a disjoint-vocabulary train doc collides in none; a doc too
+    short to shingle has no signature and hence no fuzzy verdict; no
+    eval doc appears in the output."""
+    import os
+    import tempfile
+
+    from handprint_spark.operators import dedup as dd
+
+    eval_text = "the quick brown fox jumps over the lazy dog tonight"
+    df = spark.createDataFrame(
+        [
+            (0, eval_text),  # 0 % 37 == 0 -> eval slice
+            (1, eval_text),  # exact leak -> all bands collide
+            (2, "completely disjoint vocabulary sentence with other words"),
+            (3, "short"),    # 1 word -> no shingles -> absent
+        ],
+        "doc_id long, text string",
+    )
+    d = tempfile.mkdtemp(prefix="fuzzy_contam_")
+    df.write.mode("overwrite").parquet(os.path.join(d, "documents.parquet"))
+    out = {r.doc_id: r for r in dd.q_dd_fuzzy_contamination(spark, d).collect()}
+    assert set(out) == {1, 2}
+    assert out[1].flagged and out[1].n_bands_hit == dd.MINHASH_BANDS
+    assert not out[2].flagged and out[2].n_bands_hit == 0

@@ -593,3 +593,32 @@ def test_caption_align_single_exchange_no_python(spark, sf_small):
     plan = plan_str(q_mm_caption_align(spark, sf_small), "simple")
     assert plan.count("Exchange hashpartitioning") == 1
     assert "EvalPython" not in plan
+
+
+def test_paragraph_dedup_no_pair_blowup_jvm_only(spark, sf_small):
+    """Keep-first paragraph dedup is ONE equi-join on the md5 key over
+    posting rows — no self-join pair table, no quadratic join, no
+    Python at any corpus size."""
+    from handprint_spark.operators.dedup import q_dd_paragraph_dedup
+
+    plan = plan_str(q_dd_paragraph_dedup(spark, sf_small), "simple")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert plan.count("SortMergeJoin") + plan.count("BroadcastHashJoin") == 1
+    assert "EvalPython" not in plan
+    assert "partial_min" in plan  # keeper table folds map-side
+
+
+def test_fuzzy_contamination_single_probe_join(spark, sf_small):
+    """The fuzzy gate probes DISTINCT eval band keys with one left
+    equi-join over the shared banding posting (sigs materialized once
+    behind the checkpoint scan) — train x eval never forms a pair
+    table and nothing crosses into Python."""
+    from handprint_spark.operators.dedup import q_dd_fuzzy_contamination
+
+    plan = plan_str(q_dd_fuzzy_contamination(spark, sf_small), "simple")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert plan.count("SortMergeJoin") + plan.count("BroadcastHashJoin") == 1
+    assert "EvalPython" not in plan
+    assert "Scan ExistingRDD" in plan  # the checkpointed sig table
