@@ -176,6 +176,12 @@ def main() -> None:
         # aggregation (two-stage distinct agg over the link snippets)
         ("ta_bigram_logprob", text_analysis.QUERIES["ta_bigram_logprob"]),
         ("hx_anchor_text", html_extract.QUERIES["hx_anchor_text"]),
+        # round 4 session 5: keep-first paragraph dedup (md5-keyed
+        # posting + one equi-join + sorted-collect reassembly) and the
+        # fuzzy MinHash decontamination probe (banding posting vs
+        # distinct eval band keys)
+        ("dd_paragraph_dedup", dedup.QUERIES["dd_paragraph_dedup"]),
+        ("dd_fuzzy_contamination", dedup.QUERIES["dd_fuzzy_contamination"]),
     ]
     # Full suite passes (default 3); per-query best across passes.
     # Pass 1 also absorbs each query's one-time whole-stage-codegen
