@@ -689,6 +689,72 @@ FROM b
 """
 
 
+# --- decontamination purge over the keep-list --------------------------------
+#
+# The last gate before a corpus ships to training: everything the
+# keep-list retained must ALSO clear both leakage audits — the exact
+# n-gram membership gate (dd_contamination) and the fuzzy MinHash
+# near-match gate (dd_fuzzy_contamination). Composed here so the
+# verdict table is oracle-checked end-to-end, mirroring how
+# cur_full_pipeline composes the dedup/quality stages.
+
+
+def q_cur_contam_purge(spark, sf_dir):
+    """(doc_id, n_tokens, exact_clean, fuzzy_clean, shippable) for
+    every keep-list doc in the train slice. The eval slice
+    (doc_id % CONTAM_EVAL_MOD == 0) is excluded outright — held-out
+    docs never ship as training data regardless of gates. A doc too
+    short to carry a MinHash signature has no fuzzy verdict and is
+    fuzzy-clean by construction (nothing to collide).
+
+    Shape: three already-audited subplans meet on doc_id equi-joins;
+    the keep-list side is survivor-sized and the verdict joins add no
+    new shuffle key beyond doc_id."""
+    from .dedup import CONTAM_EVAL_MOD, q_dd_contamination, q_dd_fuzzy_contamination
+
+    keep = (
+        q_cur_keep_list(spark, sf_dir)
+        .select("doc_id", "n_tokens")
+        .filter(F.col("doc_id") % CONTAM_EVAL_MOD != 0)
+    )
+    exact = q_dd_contamination(spark, sf_dir).select(
+        "doc_id", (~F.col("contaminated")).alias("exact_clean")
+    )
+    fuzzy = q_dd_fuzzy_contamination(spark, sf_dir).select(
+        "doc_id", (~F.col("flagged")).alias("fz_clean")
+    )
+    return (
+        keep.join(exact, "doc_id")
+        .join(fuzzy, "doc_id", "left")
+        .withColumn("fuzzy_clean", F.coalesce("fz_clean", F.lit(True)))
+        .select(
+            "doc_id",
+            "n_tokens",
+            "exact_clean",
+            "fuzzy_clean",
+            (F.col("exact_clean") & F.col("fuzzy_clean")).alias("shippable"),
+        )
+    )
+
+
+def _sql_cur_contam_purge() -> str:
+    from .dedup import CONTAM_EVAL_MOD, SQL_DD_CONTAMINATION, SQL_DD_FUZZY_CONTAM
+
+    return f"""
+WITH keep AS ({SQL_CUR_KEEP_LIST}),
+contam AS ({SQL_DD_CONTAMINATION}),
+fuzzy AS ({SQL_DD_FUZZY_CONTAM})
+SELECT k.doc_id, k.n_tokens,
+       NOT c.contaminated AS exact_clean,
+       coalesce(NOT f.flagged, TRUE) AS fuzzy_clean,
+       (NOT c.contaminated AND coalesce(NOT f.flagged, TRUE)) AS shippable
+FROM keep k
+JOIN contam c USING (doc_id)
+LEFT JOIN fuzzy f USING (doc_id)
+WHERE k.doc_id % {CONTAM_EVAL_MOD} <> 0
+"""
+
+
 QUERIES = {
     "cur_keep_list": q_cur_keep_list,
     "cur_sample_strat": q_cur_sample_strat,
@@ -699,6 +765,7 @@ QUERIES = {
     "cur_train_split": q_cur_train_split,
     "cur_temperature_mix": q_cur_temperature_mix,
     "cur_split_oov": q_cur_split_oov,
+    "cur_contam_purge": q_cur_contam_purge,
 }
 ORACLES = {
     "cur_keep_list": SQL_CUR_KEEP_LIST,
@@ -710,4 +777,5 @@ ORACLES = {
     "cur_train_split": SQL_CUR_TRAIN_SPLIT,
     "cur_temperature_mix": SQL_CUR_TEMPERATURE_MIX,
     "cur_split_oov": SQL_CUR_SPLIT_OOV,
+    "cur_contam_purge": _sql_cur_contam_purge(),
 }

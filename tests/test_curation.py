@@ -657,3 +657,29 @@ def test_fuzzy_contamination_flags_eval_copies(spark):
     assert set(out) == {1, 2}
     assert out[1].flagged and out[1].n_bands_hit == dd.MINHASH_BANDS
     assert not out[2].flagged and out[2].n_bands_hit == 0
+
+
+def test_contam_purge_composes_gates(spark, sf_tiny):
+    """Purge output = keep-list ∩ train slice; each verdict column
+    matches its underlying gate run standalone; shippable is their
+    conjunction; absent fuzzy verdicts default clean."""
+    from handprint_spark.operators.curation import q_cur_contam_purge, q_cur_keep_list
+    from handprint_spark.operators.dedup import (
+        CONTAM_EVAL_MOD,
+        q_dd_contamination,
+        q_dd_fuzzy_contamination,
+    )
+
+    out = {r.doc_id: r for r in q_cur_contam_purge(spark, sf_tiny).collect()}
+    keep = {
+        r.doc_id
+        for r in q_cur_keep_list(spark, sf_tiny).collect()
+        if r.doc_id % CONTAM_EVAL_MOD != 0
+    }
+    assert set(out) == keep
+    exact = {r.doc_id: not r.contaminated for r in q_dd_contamination(spark, sf_tiny).collect()}
+    fuzzy = {r.doc_id: not r.flagged for r in q_dd_fuzzy_contamination(spark, sf_tiny).collect()}
+    for d, r in out.items():
+        assert r.exact_clean == exact[d], d
+        assert r.fuzzy_clean == fuzzy.get(d, True), d
+        assert r.shippable == (r.exact_clean and r.fuzzy_clean), d
