@@ -153,6 +153,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 # never-driver-verified set.
                 "dd_paragraph_dedup",
                 "dd_fuzzy_contamination",
+                "dd_minhash_est",
             )
         }
     )

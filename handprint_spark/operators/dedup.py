@@ -1332,6 +1332,88 @@ LEFT JOIN hits h ON d.doc_id = h.doc_id
 """
 
 
+# --- signature-side Jaccard estimation over LSH candidates -------------------
+
+
+def q_dd_minhash_est(spark, sf_dir):
+    """(d1, d2, est_jaccard): MinHash estimate of Jaccard similarity
+    for every LSH candidate pair — mean component equality over the K
+    signatures (the unbiased estimator banding is built on). This is
+    the production "verify" stage run signature-side: at 10^12 docs
+    re-reading two documents' text per candidate is a random-read
+    storm, while the signature table answers from K integers per doc.
+    ``dd_ngram_jaccard`` (true Jaccard from posting rows) remains the
+    exact counterpart; at the demo K=4 the estimate is quantized to
+    {0, .25, .5, .75, 1}, and pytest pins the estimator's exactness at
+    the j=1 and j=0 endpoints.
+
+    Shape: ONE signature pass (checkpointed, shared by the banding and
+    both lookup sides), pair candidates from the banded equi-join, two
+    doc_id equi-joins to attach each side's signature row. The joins
+    carry K small values per row; nothing re-touches text."""
+    sigs = _minhash_sigs(_docs(spark, sf_dir, spread=True)).localCheckpoint(eager=False)
+    rows = MINHASH_K // MINHASH_BANDS
+    band_cols = [
+        F.concat_ws(
+            "|", F.lit(f"b{b}"), *[F.col(f"sig{b * rows + r}") for r in range(rows)]
+        )
+        for b in range(MINHASH_BANDS)
+    ]
+    bands = sigs.select("doc_id", F.explode(F.array(*band_cols)).alias("band_key"))
+    a, b = bands.alias("a"), bands.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2"))
+        .distinct()
+    )
+    s1 = sigs.select(
+        F.col("doc_id").alias("d1"), *[F.col(f"sig{i}").alias(f"x{i}") for i in range(MINHASH_K)]
+    )
+    s2 = sigs.select(
+        F.col("doc_id").alias("d2"), *[F.col(f"sig{i}").alias(f"y{i}") for i in range(MINHASH_K)]
+    )
+    matches = sum(
+        (F.col(f"x{i}") == F.col(f"y{i}")).cast("int") for i in range(MINHASH_K)
+    )
+    return (
+        pairs.join(s1, "d1")
+        .join(s2, "d2")
+        .select("d1", "d2", F.round(matches / MINHASH_K, 4).alias("est_jaccard"))
+    )
+
+
+SQL_DD_MINHASH_EST = f"""
+WITH posting AS (
+  SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(string_split(text, ' '))),
+           i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i+1]))) AS s
+  FROM documents
+), sigs AS (
+  SELECT doc_id,
+         min(md5('0|' || s)) AS sig0, min(md5('1|' || s)) AS sig1,
+         min(md5('2|' || s)) AS sig2, min(md5('3|' || s)) AS sig3
+  FROM posting GROUP BY doc_id
+), bands AS (
+  SELECT doc_id, 'b0|' || sig0 || '|' || sig1 AS band_key FROM sigs
+  UNION ALL
+  SELECT doc_id, 'b1|' || sig2 || '|' || sig3 AS band_key FROM sigs
+), pairs AS (
+  SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+  FROM bands a JOIN bands b ON a.band_key = b.band_key AND a.doc_id < b.doc_id
+)
+SELECT p.d1, p.d2,
+       round(((s1.sig0 = s2.sig0)::INT + (s1.sig1 = s2.sig1)::INT
+            + (s1.sig2 = s2.sig2)::INT + (s1.sig3 = s2.sig3)::INT)
+             / {MINHASH_K}.0, 4) AS est_jaccard
+FROM pairs p
+JOIN sigs s1 ON s1.doc_id = p.d1
+JOIN sigs s2 ON s2.doc_id = p.d2
+"""
+
+
 # --- cross-document paragraph dedup -----------------------------------------
 #
 # RefinedWeb/CCNet-class pipelines dedup BELOW the document: a
@@ -1519,6 +1601,7 @@ QUERIES = {
     "dd_incremental": q_dd_incremental,
     "dd_paragraph_dedup": q_dd_paragraph_dedup,
     "dd_fuzzy_contamination": q_dd_fuzzy_contamination,
+    "dd_minhash_est": q_dd_minhash_est,
 }
 
 ORACLES = {
@@ -1537,6 +1620,7 @@ ORACLES = {
     "dd_incremental": SQL_DD_INCREMENTAL,
     "dd_paragraph_dedup": SQL_DD_PARAGRAPH_DEDUP,
     "dd_fuzzy_contamination": SQL_DD_FUZZY_CONTAM,
+    "dd_minhash_est": SQL_DD_MINHASH_EST,
     "dd_semantic_clusters": f"""
 WITH RECURSIVE embpairs AS ({_sql_dd_emb()}),
 edges AS (

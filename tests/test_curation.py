@@ -683,3 +683,29 @@ def test_contam_purge_composes_gates(spark, sf_tiny):
         assert r.exact_clean == exact[d], d
         assert r.fuzzy_clean == fuzzy.get(d, True), d
         assert r.shippable == (r.exact_clean and r.fuzzy_clean), d
+
+
+def test_minhash_est_endpoints_and_band_floor(spark):
+    """Identical docs estimate 1.0; a disjoint-vocabulary doc is never
+    a candidate; every candidate estimates >= rows/K (a band collision
+    already fixes a full band of equal signature components)."""
+    import os
+    import tempfile
+
+    from handprint_spark.operators import dedup as dd
+
+    df = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "the quick brown fox jumps over the lazy dog"),
+            (3, "an entirely different sentence about unrelated topics here"),
+        ],
+        "doc_id long, text string",
+    )
+    d = tempfile.mkdtemp(prefix="mh_est_")
+    df.write.mode("overwrite").parquet(os.path.join(d, "documents.parquet"))
+    rows = {(r.d1, r.d2): r.est_jaccard for r in dd.q_dd_minhash_est(spark, d).collect()}
+    assert rows[(1, 2)] == 1.0
+    assert not any(3 in p for p in rows)
+    floor = (dd.MINHASH_K // dd.MINHASH_BANDS) / dd.MINHASH_K
+    assert all(v >= floor for v in rows.values())
