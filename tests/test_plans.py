@@ -622,3 +622,29 @@ def test_fuzzy_contamination_single_probe_join(spark, sf_small):
     assert plan.count("SortMergeJoin") + plan.count("BroadcastHashJoin") == 1
     assert "EvalPython" not in plan
     assert "Scan ExistingRDD" in plan  # the checkpointed sig table
+
+
+def test_minhash_est_shares_one_signature_pass(spark, sf_small):
+    """The estimator's three joins (banded pair join + two signature
+    lookups) all read the SAME checkpointed signature table — no
+    re-derivation of the shingle explode per side, no quadratic join,
+    no Python."""
+    from handprint_spark.operators.dedup import q_dd_minhash_est
+
+    plan = plan_str(q_dd_minhash_est(spark, sf_small), "simple")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert plan.count("SortMergeJoin") + plan.count("BroadcastHashJoin") == 3
+    assert "EvalPython" not in plan
+    assert "Scan ExistingRDD" in plan  # the shared checkpointed sigs
+    assert "partial_min" not in plan  # sig derivation happened once, pre-checkpoint
+
+
+def test_contam_purge_composes_without_new_hazards(spark, sf_small):
+    """The purge composition stays within its parts' audited shapes:
+    equi-joins only, no quadratic join anywhere in the combined plan."""
+    from handprint_spark.operators.curation import q_cur_contam_purge
+
+    plan = plan_str(q_cur_contam_purge(spark, sf_small), "simple")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
