@@ -182,6 +182,11 @@ def main() -> None:
         # distinct eval band keys)
         ("dd_paragraph_dedup", dedup.QUERIES["dd_paragraph_dedup"]),
         ("dd_fuzzy_contamination", dedup.QUERIES["dd_fuzzy_contamination"]),
+        # round 4 session 5 (late): signature-side candidate verify
+        # (shared sig checkpoint + 3 equi-joins) and the keep-list x
+        # decontamination purge composition
+        ("dd_minhash_est", dedup.QUERIES["dd_minhash_est"]),
+        ("cur_contam_purge", curation.QUERIES["cur_contam_purge"]),
     ]
     # Full suite passes (default 3); per-query best across passes.
     # Pass 1 also absorbs each query's one-time whole-stage-codegen
