@@ -752,6 +752,92 @@ FROM documents
 """
 
 
+# --- ordered-step funnel ------------------------------------------------------
+
+FUNNEL_STEPS = ("view", "click", "purchase")  # ordered conversion path
+
+
+def q_ev_funnel(spark, sf_dir):
+    """(user_id, t_view, t_click, t_purchase, steps_reached): ordered
+    conversion funnel — each step's time is the user's EARLIEST event
+    of that type strictly after the previous step (a purchase before
+    the first view does not convert). Users who never view are not in
+    the funnel; later steps are NULL once the path breaks.
+
+    Shape: three cascaded min-aggregates, every one keyed on user_id —
+    the per-step frames are user-count-sized (monotonically shrinking
+    down the funnel), so each join's small side is funnel-sized and
+    AQE broadcasts it; the events table is scanned once per step with
+    the event_type filter pushed to the scan. Step comparisons use
+    full-precision timestamps; only the OUTPUT truncates to epoch
+    seconds (truncating before comparing would reorder same-second
+    events — the sessionize oracle's floor-epoch lesson)."""
+    ev = _t(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    s1 = (
+        ev.filter(F.col("event_type") == FUNNEL_STEPS[0])
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("ts1"))
+    )
+    s2 = (
+        ev.filter(F.col("event_type") == FUNNEL_STEPS[1])
+        .join(s1, "user_id")
+        .filter(F.col("ts") > F.col("ts1"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("ts2"))
+    )
+    s3 = (
+        ev.filter(F.col("event_type") == FUNNEL_STEPS[2])
+        .join(s2, "user_id")
+        .filter(F.col("ts") > F.col("ts2"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("ts3"))
+    )
+    return (
+        s1.join(s2, "user_id", "left")
+        .join(s3, "user_id", "left")
+        .select(
+            "user_id",
+            F.unix_timestamp("ts1").alias("t_view"),
+            F.unix_timestamp("ts2").alias("t_click"),
+            F.unix_timestamp("ts3").alias("t_purchase"),
+            (
+                F.lit(1)
+                + F.col("ts2").isNotNull().cast("int")
+                + F.col("ts3").isNotNull().cast("int")
+            )
+            .cast("int")
+            .alias("steps_reached"),
+        )
+    )
+
+
+SQL_EV_FUNNEL = f"""
+WITH s1 AS (
+  SELECT user_id, min(ts) AS ts1 FROM events
+  WHERE event_type = '{FUNNEL_STEPS[0]}' GROUP BY user_id
+),
+s2 AS (
+  SELECT e.user_id, min(e.ts) AS ts2
+  FROM events e JOIN s1 USING (user_id)
+  WHERE e.event_type = '{FUNNEL_STEPS[1]}' AND e.ts > s1.ts1
+  GROUP BY e.user_id
+),
+s3 AS (
+  SELECT e.user_id, min(e.ts) AS ts3
+  FROM events e JOIN s2 USING (user_id)
+  WHERE e.event_type = '{FUNNEL_STEPS[2]}' AND e.ts > s2.ts2
+  GROUP BY e.user_id
+)
+SELECT s1.user_id,
+       CAST(floor(epoch(s1.ts1)) AS BIGINT) AS t_view,
+       CAST(floor(epoch(s2.ts2)) AS BIGINT) AS t_click,
+       CAST(floor(epoch(s3.ts3)) AS BIGINT) AS t_purchase,
+       CAST(1 + (s2.ts2 IS NOT NULL)::INT + (s3.ts3 IS NOT NULL)::INT AS INT)
+           AS steps_reached
+FROM s1 LEFT JOIN s2 USING (user_id) LEFT JOIN s3 USING (user_id)
+"""
+
+
 QUERIES = {
     "c1_format_canonical": q_c1_format_canonical,
     "k7_url_sidecar": q_k7_url_sidecar,
@@ -780,6 +866,7 @@ QUERIES = {
     "ev_sessionize": q_ev_sessionize,
     "ev_asof_join": q_ev_asof_join,
     "j_interval_join": q_j_interval_join,
+    "ev_funnel": q_ev_funnel,
 }
 
 ORACLES = {
@@ -810,4 +897,5 @@ ORACLES = {
     "ev_sessionize": SQL_EV_SESSIONIZE,
     "ev_asof_join": SQL_EV_ASOF,
     "j_interval_join": SQL_J_INTERVAL,
+    "ev_funnel": SQL_EV_FUNNEL,
 }

@@ -709,3 +709,33 @@ def test_minhash_est_endpoints_and_band_floor(spark):
     assert not any(3 in p for p in rows)
     floor = (dd.MINHASH_K // dd.MINHASH_BANDS) / dd.MINHASH_K
     assert all(v >= floor for v in rows.values())
+
+
+def test_funnel_ordered_steps(spark, tmp_path):
+    """Funnel semantics are ORDER-aware: a purchase before the first
+    view does not convert; the path breaks at the first missing step
+    (a purchase after view with no intervening click stays NULL);
+    users who never view are absent."""
+    import datetime as dt
+
+    rows = []
+    t0 = dt.datetime(2024, 1, 1)
+
+    def ev(i, user, typ, minutes):
+        rows.append((i, t0 + dt.timedelta(minutes=minutes), user, typ, 1.0, "{}"))
+
+    ev(0, 1, "view", 0); ev(1, 1, "click", 10); ev(2, 1, "purchase", 20)  # full path
+    ev(3, 2, "purchase", 0); ev(4, 2, "view", 10)        # purchase precedes view
+    ev(5, 3, "view", 0); ev(6, 3, "purchase", 5)         # no click: path breaks
+    ev(7, 4, "click", 0); ev(8, 4, "purchase", 5)        # never views: absent
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    )
+    df.write.mode("overwrite").parquet(str(tmp_path / "events.parquet"))
+    from handprint_spark.operators.relational import q_ev_funnel
+
+    out = {r.user_id: r for r in q_ev_funnel(spark, str(tmp_path)).collect()}
+    assert set(out) == {1, 2, 3}
+    assert out[1].steps_reached == 3 and out[1].t_purchase is not None
+    assert out[2].steps_reached == 1 and out[2].t_click is None and out[2].t_purchase is None
+    assert out[3].steps_reached == 1 and out[3].t_purchase is None
