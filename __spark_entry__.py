@@ -160,7 +160,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # hx_anchor_text is NEW this session: it registers below the
     # boundary (full-sweep verified) so it does not displace a
     # never-driver-verified query from the window.
-    out.update({k: v for k, v in html_extract.QUERIES.items() if k != "hx_anchor_text"})
+    out.update({k: v for k, v in html_extract.QUERIES.items() if k not in ("hx_anchor_text", "hx_tables")})
     # --- driver window boundary (50 entries above) ---
     out.update(similarity.QUERIES)  # sim_lsh_buckets (r03 green)
     out.update(dedup.QUERIES)  # dd_exact/dd_simhash/dd_ngram_jaccard (r03 green)

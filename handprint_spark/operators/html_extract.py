@@ -754,6 +754,107 @@ SELECT doc_id, CAST(pr AS BIGINT) AS pr_micro FROM r3
 """
 
 
+# --- hx_tables: table-structure recovery --------------------------------------
+#
+# Tables are the one DOM structure a line-mode extractor flattens
+# badly: cell text concatenated in document order loses the (row, col)
+# grid that gives it meaning. Structure recovery — emitting one row
+# per CELL with its grid coordinates — is its own extraction op
+# (what table-aware corpus builds run next to main-content). The
+# table-bearing HTML here is derived per doc inside the query
+# (deterministic 2x3 grid from the doc's leading words, '-'-padded),
+# self-contained so the shared chrome CTE and every other hx_* oracle
+# stay byte-identical.
+
+TBL_ROWS = 2
+TBL_COLS = 3
+_TR_RE = r"<tr>(.*?)</tr>"
+_TD_RE = r"<td>([^<]*)</td>"
+
+
+def q_hx_tables(spark, sf_dir):
+    """(doc_id, row_idx, col_idx, cell): the recovered cell grid.
+    Extraction is the real operator under test — the <tr> snippets
+    come from one non-greedy regexp_extract_all (row text must bind
+    its OWN cells, so the row snippet is the extraction unit — the
+    same same-tag argument as hx_anchor_text), then per-row cell
+    extraction; posexplode supplies both grid coordinates. Narrow
+    end-to-end: two explodes, zero shuffles, zero Python at any
+    corpus size."""
+    words = F.split(F.col("text"), " ")
+    cell = lambda i: F.coalesce(F.get(words, i), F.lit("-"))  # noqa: E731
+    tr = lambda r: F.concat(  # noqa: E731
+        F.lit("<tr>"),
+        *[
+            F.concat(F.lit("<td>"), cell(r * TBL_COLS + c), F.lit("</td>"))
+            for c in range(TBL_COLS)
+        ],
+        F.lit("</tr>"),
+    )
+    html_t = F.concat(
+        F.lit("<table>"), *[tr(r) for r in range(TBL_ROWS)], F.lit("</table>")
+    )
+    # inject html_t via a projection first (the expr() below reads it)
+    rows = (
+        _docs(spark, sf_dir)
+        .select("doc_id", html_t.alias("html_t"))
+        .select(
+            "doc_id",
+            F.posexplode(F.expr(f"regexp_extract_all(html_t, '{_TR_RE}', 1)")).alias(
+                "row_idx", "tr"
+            ),
+        )
+    )
+    return rows.select(
+        "doc_id",
+        "row_idx",
+        F.posexplode(F.expr(f"regexp_extract_all(tr, '{_TD_RE}', 1)")).alias(
+            "col_idx", "cell"
+        ),
+    ).select(
+        "doc_id",
+        F.col("row_idx").cast("int").alias("row_idx"),
+        F.col("col_idx").cast("int").alias("col_idx"),
+        "cell",
+    )
+
+
+def _sql_hx_tables() -> str:
+    cells = " || ".join(
+        "'<td>' || coalesce(ws[{i}], '-') || '</td>'".format(i=r * TBL_COLS + c + 1)
+        for r in range(TBL_ROWS)
+        for c in range(TBL_COLS)
+    )
+    # rebuild per-row <tr> wrapping by position
+    trs = " || ".join(
+        "'<tr>' || "
+        + " || ".join(
+            "'<td>' || coalesce(ws[{i}], '-') || '</td>'".format(i=r * TBL_COLS + c + 1)
+            for c in range(TBL_COLS)
+        )
+        + " || '</tr>'"
+        for r in range(TBL_ROWS)
+    )
+    return f"""
+WITH t AS (
+  SELECT doc_id,
+         '<table>' || {trs} || '</table>' AS html_t
+  FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)
+),
+rows_x AS (
+  SELECT doc_id, i - 1 AS row_idx,
+         regexp_extract_all(html_t, '{_TR_RE}', 1)[i] AS tr
+  FROM t, LATERAL unnest(generate_series(1,
+         len(regexp_extract_all(html_t, '{_TR_RE}', 1)))) AS u(i)
+)
+SELECT doc_id, CAST(row_idx AS INT) AS row_idx,
+       CAST(j - 1 AS INT) AS col_idx,
+       regexp_extract_all(tr, '{_TD_RE}', 1)[j] AS cell
+FROM rows_x, LATERAL unnest(generate_series(1,
+       len(regexp_extract_all(tr, '{_TD_RE}', 1)))) AS v(j)
+"""
+
+
 QUERIES = {
     "hx_main_content": q_hx_main_content,
     "hx_parse_blocks": q_hx_parse_blocks,
@@ -762,6 +863,7 @@ QUERIES = {
     "hx_url_canonicalize": q_hx_url_canonicalize,
     "ct_chunk_tokens": q_ct_chunk_tokens,
     "hx_host_budget": q_hx_host_budget,
+    "hx_tables": q_hx_tables,
     "hx_pagerank": q_hx_pagerank,
 }
 
@@ -773,5 +875,6 @@ ORACLES = {
     "hx_url_canonicalize": SQL_HX_URL_CANON,
     "ct_chunk_tokens": SQL_CT_CHUNK_TOKENS,
     "hx_host_budget": SQL_HX_HOST_BUDGET,
+    "hx_tables": _sql_hx_tables(),
     "hx_pagerank": SQL_HX_PAGERANK,
 }

@@ -350,3 +350,31 @@ def test_canonical_url_idempotent(spark, sf_tiny):
     once = urls.select(canonical_url(F.col("url")).alias("c1"))
     twice = once.select("c1", canonical_url(F.col("c1")).alias("c2"))
     assert twice.filter(F.col("c1") != F.col("c2")).count() == 0
+
+
+def test_tables_grid_recovery(spark, tmp_path):
+    """Cell extraction binds cells to their OWN row: a 7-word doc
+    fills the 2x3 grid row-major from its leading words; a 2-word doc
+    pads the remaining cells with '-'; every doc yields exactly
+    rows*cols cells with dense coordinates."""
+    import pandas as pd
+
+    from handprint_spark.operators.html_extract import TBL_COLS, TBL_ROWS, q_hx_tables
+
+    docs = pd.DataFrame(
+        {
+            "doc_id": [1, 2],
+            "text": ["a b c d e f g", "x y"],
+            "lang": ["en", "en"],
+            "source": ["s", "s"],
+            "n_chars": [13, 3],
+        }
+    )
+    docs.to_parquet(tmp_path / "documents.parquet")
+    out = q_hx_tables(spark, str(tmp_path)).collect()
+    grid = {(r.doc_id, r.row_idx, r.col_idx): r.cell for r in out}
+    assert len(out) == 2 * TBL_ROWS * TBL_COLS
+    assert [grid[(1, 0, c)] for c in range(TBL_COLS)] == ["a", "b", "c"]
+    assert [grid[(1, 1, c)] for c in range(TBL_COLS)] == ["d", "e", "f"]
+    assert [grid[(2, 0, c)] for c in range(TBL_COLS)] == ["x", "y", "-"]
+    assert [grid[(2, 1, c)] for c in range(TBL_COLS)] == ["-", "-", "-"]

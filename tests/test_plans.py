@@ -648,3 +648,13 @@ def test_contam_purge_composes_without_new_hazards(spark, sf_small):
     plan = plan_str(q_cur_contam_purge(spark, sf_small), "simple")
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_tables_zero_shuffle_jvm_only(spark, sf_small):
+    """Table-structure recovery is narrow end-to-end: build + two
+    posexplodes + per-snippet regexps, no exchange, no Python."""
+    from handprint_spark.operators.html_extract import q_hx_tables
+
+    plan = plan_str(q_hx_tables(spark, sf_small), "simple")
+    assert "Exchange" not in plan
+    assert "EvalPython" not in plan
