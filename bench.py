@@ -187,6 +187,10 @@ def main() -> None:
         # decontamination purge composition
         ("dd_minhash_est", dedup.QUERIES["dd_minhash_est"]),
         ("cur_contam_purge", curation.QUERIES["cur_contam_purge"]),
+        # round 4 session 5 (late): ordered-step funnel (cascaded
+        # user-keyed min-aggs) and zero-shuffle table recovery
+        ("ev_funnel", relational.QUERIES["ev_funnel"]),
+        ("hx_tables", html_extract.QUERIES["hx_tables"]),
     ]
     # Full suite passes (default 3); per-query best across passes.
     # Pass 1 also absorbs each query's one-time whole-stage-codegen
