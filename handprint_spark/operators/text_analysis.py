@@ -58,12 +58,15 @@ FROM documents
 
 # --- quality scoring -----------------------------------------------------------
 
-def quality_verdicts(df: DataFrame) -> DataFrame:
+def quality_verdicts(df: DataFrame, carry: tuple[str, ...] = ()) -> DataFrame:
     """The ta_quality gate bundle over ANY (doc_id, text) relation —
     one stateless Catalyst projection (no shuffle, no Python, no
-    state), shared by the batch query and the streaming ingest gate
-    (streaming/pipeline.stream_quality_gate) so the two answers can
-    never drift."""
+    state), shared by the batch query, the streaming ingest gate
+    (streaming/pipeline.stream_quality_gate), and the keep-list's
+    single-scan frame (curation.q_cur_keep_list) so every consumer's
+    answer can never drift. ``carry`` names extra input columns to
+    pass through the projection (the keep-list carries its md5 key so
+    one scan serves both the gate and the dup-group aggregate)."""
     words = _words()
     n_tokens = F.size(words)
     n_chars_nospace = F.length(F.replace(F.col("text"), F.lit(" "), F.lit("")))
@@ -71,6 +74,7 @@ def quality_verdicts(df: DataFrame) -> DataFrame:
     avg_len = F.round(n_chars_nospace / n_tokens, 4)
     return df.select(
         "doc_id",
+        *carry,
         n_tokens.alias("n_tokens"),
         avg_len.alias("avg_token_len"),
         stop_ratio.alias("stopword_ratio"),

@@ -658,3 +658,16 @@ def test_tables_zero_shuffle_jvm_only(spark, sf_small):
     plan = plan_str(q_hx_tables(spark, sf_small), "simple")
     assert "Exchange" not in plan
     assert "EvalPython" not in plan
+
+
+def test_keep_list_single_corpus_scan(spark, sf_small):
+    """The keep-list reads the text column ONCE: both the dup-group
+    aggregate and the membership join consume the checkpointed
+    single-projection frame, so the final plan contains no parquet
+    scan of the documents table at all (only the frame scan)."""
+    from handprint_spark.operators.curation import q_cur_keep_list
+
+    plan = plan_str(q_cur_keep_list(spark, sf_small), "simple")
+    assert plan.count("documents.parquet") == 0
+    assert plan.count("Scan ExistingRDD") >= 1
+    assert "EvalPython" not in plan
