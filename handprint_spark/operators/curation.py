@@ -19,8 +19,8 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from .dedup import SQL_DD_EXACT, q_dd_exact
-from .text_analysis import EN_STOP, SQL_TA_QUALITY, q_ta_quality
+from .dedup import SQL_DD_EXACT
+from .text_analysis import EN_STOP, SQL_TA_QUALITY
 
 
 def q_cur_keep_list(spark, sf_dir):
@@ -588,25 +588,32 @@ def q_cur_full_pipeline(spark, sf_dir):
     is doc-aligned sort-merge. No new scale hazards beyond the parts
     already audited individually."""
     from .dedup import duplicate_clusters, q_dd_minhash_lsh_pairs
+    from .text_analysis import quality_verdicts
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
-        "doc_id", F.md5(F.col("text").cast("binary")).alias("h")
-    )
-    groups = q_dd_exact(spark, sf_dir)  # (h, n_docs, keeper)
-    exact = docs.join(groups, "h").select(
-        "doc_id", (F.col("doc_id") == F.col("keeper")).alias("exact_keep")
+    # Single-scan frame for the text-projection stages (the same
+    # 3-scans-to-1 rewrite as q_cur_keep_list): exact-dup groups and
+    # the quality gate both read the checkpointed (doc_id, h,
+    # passes_quality) frame. The near-dup side keeps its own scan —
+    # MinHash signatures consume shingles, not these projections.
+    frame = quality_verdicts(
+        spark.read.parquet(f"{sf_dir}/documents.parquet").withColumn(
+            "h", F.md5(F.col("text").cast("binary"))
+        ),
+        carry=("h",),
+    ).localCheckpoint(eager=False)
+    groups = frame.groupBy("h").agg(F.min("doc_id").alias("keeper"))
+    exact = frame.join(groups, "h").select(
+        "doc_id",
+        (F.col("doc_id") == F.col("keeper")).alias("exact_keep"),
+        F.col("passes_quality").alias("quality_keep"),
     )
     clusters = duplicate_clusters(q_dd_minhash_lsh_pairs(spark, sf_dir)).select(
         "doc_id", F.col("is_keeper").alias("nd_keep")
-    )
-    quality = q_ta_quality(spark, sf_dir).select(
-        "doc_id", F.col("passes_quality").alias("quality_keep")
     )
     return (
         exact.join(clusters, "doc_id", "left")
         .withColumn("neardup_keep", F.coalesce("nd_keep", F.lit(True)))
         .drop("nd_keep")
-        .join(quality, "doc_id")
         .select(
             "doc_id",
             "exact_keep",
