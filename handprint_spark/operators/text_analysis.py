@@ -303,6 +303,13 @@ def q_ta_tfidf_topk(spark, sf_dir):
         docs.select("doc_id", F.explode(_words()).alias("term"))
         .groupBy("doc_id", "term")
         .agg(F.count("*").alias("tf"))
+        # materialized once (lazy localCheckpoint): document frequency
+        # folds OUT of the tf table, and without the checkpoint the
+        # join's df side re-ran the whole tokenize-explode-aggregate
+        # subtree — the corpus's most expensive job — a second time.
+        # (The n_docs branch keeps its own scan: it prunes every
+        # column, so it reads parquet statistics, not text.)
+        .localCheckpoint(eager=False)
     )
     df_counts = tf.groupBy("term").agg(F.count("*").alias("df"))
     n_docs = docs.agg(F.count("*").alias("n_total"))
