@@ -50,6 +50,16 @@ def test_registry_plan_lint(spark, sf_small, name):
     assert "BatchEvalPython" not in plan, f"{name}: row-at-a-time Python UDF"
     cols = df.columns
     assert len(cols) == len(set(cols)), f"{name}: duplicate column names {cols}"
+    # Scan-amplification gate: a query whose final plan scans the
+    # documents table 3+ times is re-running a derivation subtree that
+    # should be checkpointed (session-5 audit: only ta_tfidf_topk
+    # violated this — fixed by materializing tf once). Two scans stay
+    # legal: deliberate two-branch shapes (eval/train splits,
+    # posting + totals, skew split) whose second scan is column-pruned.
+    assert plan.count("documents.parquet") <= 2, (
+        f"{name}: {plan.count('documents.parquet')} documents scans — "
+        "checkpoint the shared subtree"
+    )
 
 
 def test_bnlj_allowlist_is_tight(spark, sf_small):
