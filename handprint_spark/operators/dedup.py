@@ -969,7 +969,22 @@ def _cc_persist(df: DataFrame, reliable: bool) -> DataFrame:
         import tempfile
 
         sc.setCheckpointDir(tempfile.mkdtemp(prefix="handprint_cc_ckpt_"))
-    return df.persist(StorageLevel.MEMORY_AND_DISK).checkpoint(eager=False)
+    cached = df.persist(StorageLevel.MEMORY_AND_DISK)
+    out = cached.checkpoint(eager=False)
+    # checkpoint() returns a NEW frame over the checkpointed plan;
+    # calling unpersist() on it would be a no-op against the cache,
+    # which belongs to the pre-checkpoint frame. Stash that handle so
+    # _cc_unpersist frees the right blocks once the next round's
+    # durable copy exists — without this, every round's full label
+    # frame stayed cached for the life of the session.
+    out._cc_cached_src = cached
+    return out
+
+
+def _cc_unpersist(frame: DataFrame) -> None:
+    """Free the cache blocks behind a ``_cc_persist`` round frame
+    (the pre-checkpoint handle when one was stashed)."""
+    getattr(frame, "_cc_cached_src", frame).unpersist()
 
 
 def _cc_local(spark: SparkSession, staged: DataFrame) -> DataFrame:
@@ -1149,7 +1164,7 @@ def duplicate_clusters(
         if reliable and prev_round is not None:
             # round k-1's cache blocks are dead once round k is
             # materialized (its checkpoint file is the durable copy)
-            prev_round.unpersist()
+            _cc_unpersist(prev_round)
         prev_round = new_labels
         labels = new_labels.drop("prev")
         if changed == 0:
@@ -1254,7 +1269,12 @@ FROM documents d ANTI JOIN dropped x ON d.doc_id = x.doc_id
 """
 
 
-def incremental_dedup(new_docs: DataFrame, index_bands: DataFrame) -> DataFrame:
+def incremental_dedup(
+    new_docs: DataFrame,
+    index_bands: DataFrame,
+    k: int = MINHASH_K,
+    bands: int = MINHASH_BANDS,
+) -> DataFrame:
     """Dedup verdict for a NEW ingest batch against an EXISTING corpus's
     materialized MinHash band index — the continuous-ingest shape a
     100 TB pipeline actually runs (the batch `minhash_lsh_pairs`
@@ -1276,8 +1296,15 @@ def incremental_dedup(new_docs: DataFrame, index_bands: DataFrame) -> DataFrame:
     listing. Nothing here scans the existing corpus — that is the
     whole point. Reference analog: S8's cached-result resume scan
     (handprint/main_body.py:132-145) lifted from per-file cache hits
-    to content near-dup hits."""
-    new_bands = minhash_band_posting(new_docs)
+    to content near-dup hits.
+
+    ``(k, bands)`` MUST match the banding the index was built at:
+    band keys embed the band index and signature values, so probing a
+    production-banded index (k=128/16) with demo keys would collide on
+    nothing and silently accept every duplicate — pass the same
+    parameters to both ``minhash_band_posting`` (index build) and this
+    probe."""
+    new_bands = minhash_band_posting(new_docs, k, bands)
     hits = (
         new_bands.join(index_bands.select("band_key"), "band_key", "left_semi")
         .select("doc_id")

@@ -820,11 +820,6 @@ def q_hx_tables(spark, sf_dir):
 
 
 def _sql_hx_tables() -> str:
-    cells = " || ".join(
-        "'<td>' || coalesce(ws[{i}], '-') || '</td>'".format(i=r * TBL_COLS + c + 1)
-        for r in range(TBL_ROWS)
-        for c in range(TBL_COLS)
-    )
     # rebuild per-row <tr> wrapping by position
     trs = " || ".join(
         "'<tr>' || "

@@ -739,3 +739,19 @@ def test_funnel_ordered_steps(spark, tmp_path):
     assert out[1].steps_reached == 3 and out[1].t_purchase is not None
     assert out[2].steps_reached == 1 and out[2].t_click is None and out[2].t_purchase is None
     assert out[3].steps_reached == 1 and out[3].t_purchase is None
+
+
+def test_cc_reliable_round_cache_is_freed(spark):
+    """_cc_persist(reliable=True) stashes the pre-checkpoint cache
+    handle on the round frame, and _cc_unpersist frees THOSE blocks —
+    unpersisting the checkpointed frame itself was a no-op, leaking
+    every round's labels for the session lifetime."""
+    from handprint_spark.operators.dedup import _cc_persist, _cc_unpersist
+
+    df = spark.range(100).withColumnRenamed("id", "node")
+    out = _cc_persist(df, reliable=True)
+    out.count()  # materialize cache + checkpoint
+    cached = out._cc_cached_src
+    assert cached.storageLevel.useMemory or cached.storageLevel.useDisk
+    _cc_unpersist(out)
+    assert not (cached.storageLevel.useMemory or cached.storageLevel.useDisk)

@@ -85,3 +85,33 @@ def test_incremental_agrees_with_batch_candidate_rule(spark, sf_tiny):
     flagged = {d for d, dup in verdicts.items() if dup}
     assert flagged == expected_dups
     assert all(d % 2 == 1 for d in verdicts)  # only the new batch gets verdicts
+
+
+def test_incremental_probe_at_production_banding(spark, sf_tiny):
+    """The probe accepts (k, bands) and MUST be run at the banding the
+    index was built with: at the matching production banding an exact
+    re-ingest is caught; the demo-banded probe of a production index
+    finds nothing (the silent-miss mode the parameter exists to
+    avoid)."""
+    from pyspark.sql import functions as F
+
+    from handprint_spark.operators.dedup import (
+        MINHASH_BANDS_PROD,
+        MINHASH_K_PROD,
+        _docs,
+        incremental_dedup,
+        minhash_band_posting,
+    )
+
+    docs = _docs(spark, sf_tiny).limit(50).cache()
+    idx = minhash_band_posting(docs, MINHASH_K_PROD, MINHASH_BANDS_PROD)
+    verdicts = {
+        r.doc_id: r.dup_of_index
+        for r in incremental_dedup(docs, idx, MINHASH_K_PROD, MINHASH_BANDS_PROD).collect()
+    }
+    assert all(verdicts.values())  # every doc is its own exact dup
+    mismatched = incremental_dedup(docs, idx).agg(
+        F.sum(F.col("dup_of_index").cast("int")).alias("n")
+    ).collect()[0].n
+    assert mismatched == 0  # demo keys never match production keys
+    docs.unpersist()
