@@ -345,8 +345,20 @@ def q_cur_domain_mix(spark, sf_dir):
         "source",
         F.size(F.split(F.col("text"), " ")).cast("long").alias("n_tokens"),
         (
-            F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
-            .cast("long") % SAMPLE_BUCKETS
+            # salted key ('dmix:'): the mix decision must be INDEPENDENT
+            # of cur_sample_strat's unsalted md5(doc_id) bucket — reusing
+            # one hash would make the mix keep a fully-correlated slice
+            # of the sampling survivors (per-source budgets silently
+            # blown or doubly cut), the exact hazard the train-split
+            # salt documents below.
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.lit("dmix:"), F.col("doc_id").cast("string"))), 1, 8
+                ),
+                16,
+                10,
+            ).cast("long")
+            % SAMPLE_BUCKETS
         ).alias("bucket"),
     )
     from pyspark.sql import Window
@@ -364,7 +376,12 @@ def q_cur_domain_mix(spark, sf_dir):
             )
         ),
     )
-    src_num = F.regexp_extract(F.col("source"), r"(\d+)$", 1).cast("long")
+    # try_cast + coalesce: a source with no trailing digits yields ''
+    # and ANSI-mode cast('' AS LONG) is a job-killing error; digitless
+    # sources deterministically take num=0 (the heavy weight) instead.
+    src_num = F.coalesce(
+        F.expr("try_cast(regexp_extract(source, '(\\\\d+)$', 1) AS long)"), F.lit(0)
+    )
     return (
         docs.join(F.broadcast(totals), "source")
         .filter(
@@ -379,7 +396,7 @@ SQL_CUR_DOMAIN_MIX = f"""
 WITH d AS (
   SELECT doc_id, source,
          len(string_split(text, ' '))::BIGINT AS n_tokens,
-         ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT % {SAMPLE_BUCKETS}
+         ('0x' || substr(md5('dmix:' || doc_id::VARCHAR), 1, 8))::BIGINT % {SAMPLE_BUCKETS}
              AS bucket
   FROM documents
 ), totals AS (
@@ -391,10 +408,10 @@ SELECT d.doc_id, d.source, d.n_tokens
 FROM d JOIN totals USING (source), grand
 WHERE d.bucket * totals.tok_s * 1000
       < grand.tok_total
-        * (CASE WHEN CAST(regexp_extract(d.source, '(\\d+)$', 1) AS BIGINT) % 7 = 0
+        * (CASE WHEN coalesce(TRY_CAST(regexp_extract(d.source, '(\\d+)$', 1) AS BIGINT), 0) % 7 = 0
                 THEN {MIX_HEAVY_W}
                 ELSE {MIX_BASE_W}
-                     + (CAST(regexp_extract(d.source, '(\\d+)$', 1) AS BIGINT) % 7) * 10
+                     + (coalesce(TRY_CAST(regexp_extract(d.source, '(\\d+)$', 1) AS BIGINT), 0) % 7) * 10
            END)
         * {MIX_SHRINK}
 """

@@ -397,7 +397,15 @@ FROM pairs GROUP BY href, anchor
 # --- hx_url_canonicalize: crawl-frontier URL normalization --------------------
 
 _URL_HEAD_RE = r"^([^/]+//[^/?#]+)"
-_TRACKING_RE = r"(utm_[a-z]+|ref)=[^&#]*&?"
+# Anchored to the param delimiter and delimiter-preserving: without
+# the ([?&]) anchor, any param whose NAME merely ends in "ref" (pref,
+# xref, href) had its tail eaten, corrupting the page identity URL-
+# dedup keys on. Applied TWICE on both engines — a consuming match
+# eats the "&" the NEXT tracking param needs, so one global pass
+# misses adjacent params (RE2 has no lookbehind, so the oracle cannot
+# mirror a lookbehind form; two identical passes keep the engines
+# byte-equal and cover up to 3 consecutive tracking params).
+_TRACKING_RE = r"([?&])(utm_[a-z]+|ref)=[^&#]*&?"
 
 
 def canonical_url(url: Column) -> Column:
@@ -418,7 +426,9 @@ def canonical_url(url: Column) -> Column:
         "$1",
     )
     no_www = F.regexp_replace(no_port, r"^(https?://)www\.", "$1")
-    no_tracking = F.regexp_replace(no_www, _TRACKING_RE, "")
+    no_tracking = F.regexp_replace(
+        F.regexp_replace(no_www, _TRACKING_RE, "$1"), _TRACKING_RE, "$1"
+    )
     return F.regexp_replace(F.regexp_replace(no_tracking, r"[?&]$", ""), r"/$", "")
 
 
@@ -493,13 +503,15 @@ canon AS (
           regexp_replace(
             regexp_replace(
               regexp_replace(
-                regexp_replace(url, '^([^/]+//[^/?#]+)',
-                               lower(regexp_extract(url, '^([^/]+//[^/?#]+)', 1))),
-                '#.*$', ''),
-              '^(https://[^/?#]+):443', '\1'),
-            '^(http://[^/?#]+):80', '\1'),
-          '^(https?://)www\.', '\1'),
-        '(utm_[a-z]+|ref)=[^&#]*&?', '', 'g'),
+                regexp_replace(
+                  regexp_replace(url, '^([^/]+//[^/?#]+)',
+                                 lower(regexp_extract(url, '^([^/]+//[^/?#]+)', 1))),
+                  '#.*$', ''),
+                '^(https://[^/?#]+):443', '\1'),
+              '^(http://[^/?#]+):80', '\1'),
+            '^(https?://)www\.', '\1'),
+          '([?&])(utm_[a-z]+|ref)=[^&#]*&?', '\1', 'g'),
+        '([?&])(utm_[a-z]+|ref)=[^&#]*&?', '\1', 'g'),
       '[?&]$', ''), '/$', '') AS canon_url
   FROM raw
 )

@@ -418,7 +418,10 @@ def test_domain_mix_rates_and_caps(spark, sf_tiny):
     for r in docs:
         n = int(r.source.replace("src", ""))
         w = MIX_HEAVY_W if n % 7 == 0 else MIX_BASE_W + (n % 7) * 10
-        bucket = int(hashlib.md5(str(r.doc_id).encode()).hexdigest()[:8], 16) % SAMPLE_BUCKETS
+        bucket = (
+            int(hashlib.md5(f"dmix:{r.doc_id}".encode()).hexdigest()[:8], 16)
+            % SAMPLE_BUCKETS
+        )
         expect = bucket * tok[r.source] * 1000 < total * w * MIX_SHRINK
         assert (r.doc_id in kept_ids) == expect, (r.doc_id, r.source)
     heavy_docs = [r.doc_id for r in docs if int(r.source.replace("src", "")) % 7 == 0]

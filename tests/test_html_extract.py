@@ -378,3 +378,25 @@ def test_tables_grid_recovery(spark, tmp_path):
     assert [grid[(1, 1, c)] for c in range(TBL_COLS)] == ["d", "e", "f"]
     assert [grid[(2, 0, c)] for c in range(TBL_COLS)] == ["x", "y", "-"]
     assert [grid[(2, 1, c)] for c in range(TBL_COLS)] == ["-", "-", "-"]
+
+
+def test_canonical_url_tracking_strip_is_param_anchored(spark):
+    """The tracking strip fires only on whole param NAMES: params
+    merely ending in 'ref' (pref, href, xref) survive intact, while
+    adjacent utm_*/ref params are both removed (the two-pass form —
+    a single consuming pass eats the '&' the next match needs)."""
+    from pyspark.sql import functions as F
+
+    from handprint_spark.operators.html_extract import canonical_url
+
+    cases = {
+        "https://e.com/p?pref=abc&x=1": "https://e.com/p?pref=abc&x=1",
+        "https://e.com/p?href=u&xref=v": "https://e.com/p?href=u&xref=v",
+        "https://e.com/p?utm_source=f&ref=x&id=1": "https://e.com/p?id=1",
+        "https://e.com/p?utm_a=1&utm_b=2&utm_c=3": "https://e.com/p",
+        "https://e.com/p?ref=x": "https://e.com/p",
+    }
+    df = spark.createDataFrame([(u,) for u in cases], "url string")
+    out = {r.url: r.c for r in df.select("url", canonical_url(F.col("url")).alias("c")).collect()}
+    for url, want in cases.items():
+        assert out[url] == want, (url, out[url])
