@@ -23,6 +23,21 @@ from .dedup import SQL_DD_EXACT
 from .text_analysis import EN_STOP, SQL_TA_QUALITY
 
 
+def _hash_quality_frame(spark, sf_dir):
+    """The curation stages' shared single-scan frame: (doc_id, h,
+    n_tokens, avg_token_len, stopword_ratio, passes_quality),
+    checkpointed so exact-dup grouping and gate filtering both read
+    ONE materialization of the text column. One definition — the
+    keep-list and the full-pipeline audit must agree byte-for-byte on
+    the hash and the gate."""
+    from .text_analysis import quality_verdicts
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").withColumn(
+        "h", F.md5(F.col("text").cast("binary"))
+    )
+    return quality_verdicts(docs, carry=("h",)).localCheckpoint(eager=False)
+
+
 def q_cur_keep_list(spark, sf_dir):
     """(doc_id, n_tokens, n_copies) for every document that passes the
     quality gates AND is its exact-duplicate group's keeper. n_copies
@@ -42,12 +57,7 @@ def q_cur_keep_list(spark, sf_dir):
     subplan. Oracle unchanged — same verdict table, different plan. The gate
     predicate comes from the shared ``quality_verdicts`` projection
     (carry=("h",)) — one definition, zero drift risk."""
-    from .text_analysis import quality_verdicts
-
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").withColumn(
-        "h", F.md5(F.col("text").cast("binary"))
-    )
-    frame = quality_verdicts(docs, carry=("h",)).localCheckpoint(eager=False)
+    frame = _hash_quality_frame(spark, sf_dir)
     groups = frame.groupBy("h").agg(
         F.count("*").alias("n_copies"), F.min("doc_id").alias("keeper")
     )
@@ -444,19 +454,7 @@ def q_cur_split_oov(spark, sf_dir):
     that key — no broadcast hint (open vocabulary scales with the
     corpus; AQE decides at runtime)."""
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    bucket = (
-        F.conv(
-            F.substring(F.md5(F.concat(F.lit("split:"), F.col("doc_id").cast("string"))), 1, 8),
-            16,
-            10,
-        ).cast("long")
-        % SPLIT_BUCKETS
-    )
-    split = (
-        F.when(bucket < SPLIT_VAL_LT, F.lit("val"))
-        .when(bucket < SPLIT_TEST_LT, F.lit("test"))
-        .otherwise(F.lit("train"))
-    )
+    _, split = split_assignment()
     toks = docs.select(
         split.alias("split"), F.explode(F.split(F.col("text"), " ")).alias("w")
     )
@@ -605,19 +603,13 @@ def q_cur_full_pipeline(spark, sf_dir):
     is doc-aligned sort-merge. No new scale hazards beyond the parts
     already audited individually."""
     from .dedup import duplicate_clusters, q_dd_minhash_lsh_pairs
-    from .text_analysis import quality_verdicts
 
     # Single-scan frame for the text-projection stages (the same
     # 3-scans-to-1 rewrite as q_cur_keep_list): exact-dup groups and
     # the quality gate both read the checkpointed (doc_id, h,
     # passes_quality) frame. The near-dup side keeps its own scan —
     # MinHash signatures consume shingles, not these projections.
-    frame = quality_verdicts(
-        spark.read.parquet(f"{sf_dir}/documents.parquet").withColumn(
-            "h", F.md5(F.col("text").cast("binary"))
-        ),
-        carry=("h",),
-    ).localCheckpoint(eager=False)
+    frame = _hash_quality_frame(spark, sf_dir)
     groups = frame.groupBy("h").agg(F.min("doc_id").alias("keeper"))
     exact = frame.join(groups, "h").select(
         "doc_id",
@@ -690,6 +682,30 @@ JOIN quality q USING (doc_id)
 # OOV audit, which shares them.)
 
 
+def split_assignment():
+    """(bucket, split) Column pair for the deterministic salted-hash
+    train/val/test rule — ONE definition shared by the assignment
+    query (q_cur_train_split) and the OOV audit (q_cur_split_oov), so
+    a salt/boundary change can never make the audit measure a
+    different split than the one that ships."""
+    bucket = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("split:"), F.col("doc_id").cast("string"))), 1, 8
+            ),
+            16,
+            10,
+        ).cast("long")
+        % SPLIT_BUCKETS
+    )
+    split = (
+        F.when(bucket < SPLIT_VAL_LT, F.lit("val"))
+        .when(bucket < SPLIT_TEST_LT, F.lit("test"))
+        .otherwise(F.lit("train"))
+    )
+    return bucket, split
+
+
 def q_cur_train_split(spark, sf_dir):
     """(doc_id, bucket, split): deterministic salted-hash train/val/
     test assignment, 98/1/1 in expectation. Zero-shuffle projection —
@@ -697,22 +713,8 @@ def q_cur_train_split(spark, sf_dir):
     the assignment survives re-runs, repartitions, and corpus growth
     (old docs never change split when new docs arrive)."""
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    bucket = (
-        F.conv(
-            F.substring(F.md5(F.concat(F.lit("split:"), F.col("doc_id").cast("string"))), 1, 8),
-            16,
-            10,
-        ).cast("long")
-        % SPLIT_BUCKETS
-    )
-    split = (
-        F.when(F.col("bucket") < SPLIT_VAL_LT, F.lit("val"))
-        .when(F.col("bucket") < SPLIT_TEST_LT, F.lit("test"))
-        .otherwise(F.lit("train"))
-    )
-    return docs.select("doc_id", bucket.alias("bucket")).select(
-        "doc_id", "bucket", split.alias("split")
-    )
+    bucket, split = split_assignment()
+    return docs.select("doc_id", bucket.alias("bucket"), split.alias("split"))
 
 
 SQL_CUR_TRAIN_SPLIT = f"""

@@ -267,7 +267,10 @@ def _minhash_sigs(
 
 
 def minhash_band_posting(
-    docs: DataFrame, k: int = MINHASH_K, bands: int = MINHASH_BANDS
+    docs: DataFrame | None = None,
+    k: int = MINHASH_K,
+    bands: int = MINHASH_BANDS,
+    sigs: DataFrame | None = None,
 ) -> DataFrame:
     """(doc_id, band_key) posting rows — the LSH banding of
     ``_minhash_sigs`` factored out so batch pair-generation
@@ -279,7 +282,8 @@ def minhash_band_posting(
     if k % bands != 0:
         raise ValueError(f"k={k} must divide into bands={bands}")
     rows = k // bands
-    sigs = _minhash_sigs(docs, k).localCheckpoint(eager=False)
+    if sigs is None:
+        sigs = _minhash_sigs(docs, k).localCheckpoint(eager=False)
     band_cols = [
         F.concat_ws(
             "|",
@@ -305,7 +309,13 @@ def minhash_lsh_pairs(
     per true near-dup). The PLAN is parameter-independent: one shingle
     explode + k min-aggs (single shuffle), band keys exploded to
     bands rows/doc, candidates from ONE equi-join on band_key."""
-    bands_df = minhash_band_posting(docs, k, bands)
+    return _band_pairs(minhash_band_posting(docs, k, bands))
+
+
+def _band_pairs(bands_df: DataFrame) -> DataFrame:
+    """(d1, d2) candidate pairs from a (doc_id, band_key) posting —
+    the one banded self-join, shared by the batch pair query and the
+    signature-side estimator."""
     a, b = bands_df.alias("a"), bands_df.alias("b")
     return (
         a.join(b, (F.col("a.band_key") == F.col("b.band_key"))
@@ -1379,24 +1389,7 @@ def q_dd_minhash_est(spark, sf_dir):
     doc_id equi-joins to attach each side's signature row. The joins
     carry K small values per row; nothing re-touches text."""
     sigs = _minhash_sigs(_docs(spark, sf_dir, spread=True)).localCheckpoint(eager=False)
-    rows = MINHASH_K // MINHASH_BANDS
-    band_cols = [
-        F.concat_ws(
-            "|", F.lit(f"b{b}"), *[F.col(f"sig{b * rows + r}") for r in range(rows)]
-        )
-        for b in range(MINHASH_BANDS)
-    ]
-    bands = sigs.select("doc_id", F.explode(F.array(*band_cols)).alias("band_key"))
-    a, b = bands.alias("a"), bands.alias("b")
-    pairs = (
-        a.join(
-            b,
-            (F.col("a.band_key") == F.col("b.band_key"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2"))
-        .distinct()
-    )
+    pairs = _band_pairs(minhash_band_posting(sigs=sigs))
     s1 = sigs.select(
         F.col("doc_id").alias("d1"), *[F.col(f"sig{i}").alias(f"x{i}") for i in range(MINHASH_K)]
     )
