@@ -81,6 +81,16 @@ SIMHASH_CHUNK_BITS = (20, 20, 20)
 EMB_BANDS = 4
 EMB_BAND_BITS = 4
 EMB_COS_THRESHOLD = 0.3
+# Oversized-bucket guard for the embedding-LSH candidate join: a
+# (band, key) bucket larger than this is hash-salted into
+# ceil(nb / EMB_MAX_BUCKET) sub-chunks before in-bucket scoring, so
+# the per-task n x n matmul is bounded by ~EMB_MAX_BUCKET^2 and total
+# in-bucket work degrades to O(nb * EMB_MAX_BUCKET) — LINEAR in the
+# bucket, never quadratic. 10_000 vectors => a 10k x 10k x 64 matmul
+# (~6 GFLOP, ~1 s of one core) per chunk; grow (bands, bits) first —
+# salting is the backstop for the hot bucket banding cannot predict,
+# at the documented cost of cross-chunk recall inside that bucket.
+EMB_MAX_BUCKET = 10_000
 
 
 def _docs(spark: SparkSession, sf_dir: str, spread: bool = False) -> DataFrame:
@@ -283,6 +293,8 @@ def minhash_band_posting(
         raise ValueError(f"k={k} must divide into bands={bands}")
     rows = k // bands
     if sigs is None:
+        if docs is None:
+            raise ValueError("minhash_band_posting: pass docs or sigs")
         sigs = _minhash_sigs(docs, k).localCheckpoint(eager=False)
     band_cols = [
         F.concat_ws(
@@ -513,22 +525,26 @@ WHERE bit_count(xor(a.simhash, b.simhash)) <= {HAMMING_MAX}
 
 # --- embedding cosine near-dup ------------------------------------------------
 
-def _emb_planes():
-    """EMB_BANDS x EMB_BAND_BITS deterministic hyperplanes (disjoint
-    from the similarity module's 8 index planes via the seed offset)."""
+def _emb_planes(bands: int = EMB_BANDS, bits: int = EMB_BAND_BITS):
+    """bands x bits deterministic hyperplanes (disjoint from the
+    similarity module's 8 index planes via the seed offset). The
+    banding is PARAMETERIZED exactly like ``minhash_band_posting``:
+    production grows ``bits`` with corpus size (buckets per band =
+    2^bits, expected bucket population n/2^bits) so the in-bucket
+    candidate work tracks a target chunk size instead of a constant."""
     from .similarity import _plane
 
-    return [_plane(100 + i) for i in range(EMB_BANDS * EMB_BAND_BITS)]
+    return [_plane(100 + i) for i in range(bands * bits)]
 
 
-def _band_keys_udf():
+def _band_keys_udf(bands: int = EMB_BANDS, bits: int = EMB_BAND_BITS):
     """Vectorized banded-LSH signature: one numpy matmul against the
-    (EMB_BANDS*EMB_BAND_BITS) x DIM plane matrix per Arrow batch, then
-    a bit-fold per band — no interpreted per-row HOF work."""
+    (bands*bits) x DIM plane matrix per Arrow batch, then a bit-fold
+    per band — no interpreted per-row HOF work."""
     import numpy as np
 
-    P = np.asarray(_emb_planes(), dtype=np.float64)
-    weights = 1 << np.arange(EMB_BAND_BITS)
+    P = np.asarray(_emb_planes(bands, bits), dtype=np.float64)
+    weights = 1 << np.arange(bits)
 
     @F.pandas_udf("array<int>")
     def band_keys(v: pd.Series) -> pd.Series:
@@ -537,10 +553,7 @@ def _band_keys_udf():
         M = np.stack(v.values).astype(np.float64)
         S = (M @ P.T) >= 0.0  # n x (bands*bits) sign bits
         keys = np.stack(
-            [
-                (S[:, b * EMB_BAND_BITS : (b + 1) * EMB_BAND_BITS] * weights).sum(axis=1)
-                for b in range(EMB_BANDS)
-            ],
+            [(S[:, b * bits : (b + 1) * bits] * weights).sum(axis=1) for b in range(bands)],
             axis=1,
         ).astype("int32")
         return pd.Series(list(keys))
@@ -562,30 +575,22 @@ def _pair_cos_udf():
     return pair_cos
 
 
-def q_dd_embedding_neardup(spark, sf_dir):
-    """Near-duplicate embedding pairs, candidates-then-verify:
-    candidate = the pair shares >= 1 of EMB_BANDS random-hyperplane
-    band buckets (equi-join on (band, key) — never an all-pairs
-    compare); verify = exact cosine >= EMB_COS_THRESHOLD, scored by a
-    vectorized pandas UDF. Recall below 1.0 on non-colliding pairs is
-    the standard banded-LSH tradeoff; the DuckDB oracle computes the
-    identical banded semantics from the same plane constants."""
+def _score_bucket_fn(threshold: float, first_band_dedup: bool):
+    """applyInPandas kernel for one LSH bucket (or salted sub-chunk):
+    score every in-group pair with ONE n x n matmul; each vector
+    crosses to Python once per band it lands in, never once per
+    candidate pair.
+
+    ``first_band_dedup=True`` (the exact, unsalted plan): a pair
+    colliding in several bands is emitted only by its FIRST colliding
+    band — cross-band dedup without a second shuffle. With salting
+    active the first-band rule is UNSOUND (the first colliding band
+    may have split the pair across salt chunks, so no band would emit
+    it); the salted path emits from every co-grouped collision and
+    dedups with one distinct() over the sparse pair set instead."""
     import numpy as np
 
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
-        "vec_id", F.col("embedding").cast("array<double>").alias("v")
-    )
-    keys_udf = _band_keys_udf()
-    banded = emb.withColumn("keys", keys_udf(F.col("v"))).select(
-        "vec_id", "v", "keys", F.posexplode("keys").alias("band", "key")
-    )
-
     def score_bucket(pdf: pd.DataFrame) -> pd.DataFrame:
-        """All rows share one (band, key) bucket: score every in-bucket
-        pair with ONE n x n matmul; each vector crosses to Python once
-        per band it lands in, never once per candidate pair. A pair
-        colliding in several bands is emitted only by its FIRST
-        colliding band (dedup without a second shuffle)."""
         empty = pd.DataFrame(
             {
                 "v1": pd.Series(dtype="int64"),
@@ -597,46 +602,174 @@ def q_dd_embedding_neardup(spark, sf_dir):
         if n < 2:
             return empty
         pdf = pdf.sort_values("vec_id").reset_index(drop=True)
-        band = int(pdf["band"].iloc[0])
         ids = pdf["vec_id"].to_numpy()
-        K = np.stack(pdf["keys"].values)  # n x EMB_BANDS
         M = np.stack(pdf["v"].values).astype(np.float64)
         norms = np.sqrt((M * M).sum(axis=1))
         S = np.round((M @ M.T) / np.outer(norms, norms), 4)
         iu, ju = np.triu_indices(n, k=1)  # vec_id-sorted: v1 < v2
-        first = (K[iu] == K[ju]).argmax(axis=1)  # first colliding band
-        keep = (first == band) & (S[iu, ju] >= EMB_COS_THRESHOLD)
+        keep = S[iu, ju] >= threshold
+        if first_band_dedup:
+            band = int(pdf["band"].iloc[0])
+            K = np.stack(pdf["keys"].values)  # n x bands
+            first = (K[iu] == K[ju]).argmax(axis=1)  # first colliding band
+            keep &= first == band
         return pd.DataFrame(
             {"v1": ids[iu[keep]], "v2": ids[ju[keep]], "cos": S[iu, ju][keep]}
         )
 
-    return banded.groupBy("band", "key").applyInPandas(
-        score_bucket, "v1 bigint, v2 bigint, cos double"
+    return score_bucket
+
+
+_PAIR_SCHEMA = "v1 bigint, v2 bigint, cos double"
+
+
+def embedding_neardup(
+    emb: DataFrame,
+    bands: int = EMB_BANDS,
+    bits: int = EMB_BAND_BITS,
+    threshold: float = EMB_COS_THRESHOLD,
+    max_bucket: int = EMB_MAX_BUCKET,
+) -> DataFrame:
+    """Near-duplicate embedding pairs at ANY (bands, bits) banding,
+    candidates-then-verify: candidate = the pair shares >= 1 of
+    ``bands`` random-hyperplane band buckets (grouped equi-keys —
+    never an all-pairs compare); verify = exact cosine >= threshold,
+    scored in-bucket by a vectorized matmul. Recall below 1.0 on
+    non-colliding pairs is the standard banded-LSH tradeoff.
+
+    Oversized-bucket guard (adaptive, like ``duplicate_clusters``):
+    bucket sizes are measured from ONE aggregation over the
+    checkpointed keyed frame; when every bucket is within
+    ``max_bucket`` the exact first-band plan runs unchanged (no salt
+    column, no distinct — the common case the banding is sized for).
+    When any bucket exceeds it — the hot-bucket degeneracy that made
+    the unguarded in-bucket matmul quadratic — the oversized buckets
+    are hash-salted into ceil(nb / max_bucket) sub-chunks
+    (xxhash64(vec_id) spread, adversarial-id safe), every co-grouped
+    collision is scored, and the sparse pair set is deduped with one
+    distinct(). In-bucket work is then O(nb * max_bucket) per hot
+    bucket, never O(nb^2), at the cost of cross-chunk recall INSIDE
+    oversized buckets only — ``q_dd_emb_lsh_stats`` is the pre-join
+    gate that reports exactly which buckets pay that cost.
+
+    Production sizing note: at 10^12 vectors the keyed frame should be
+    a materialized table (the ``ann_index.py`` pattern), and (bands,
+    bits) grown so expected bucket population n/2^bits sits well under
+    ``max_bucket``; the salt is the backstop for the buckets a real
+    corpus concentrates anyway (null/zero embeddings, template pages)."""
+    keys_udf = _band_keys_udf(bands, bits)
+    keyed = emb.withColumn("keys", keys_udf(F.col("v"))).localCheckpoint(eager=False)
+    banded = keyed.select(
+        "vec_id", "v", "keys", F.posexplode("keys").alias("band", "key")
+    )
+    sizes = banded.groupBy("band", "key").agg(F.count("*").alias("nb"))
+    max_nb = sizes.agg(F.max("nb")).first()[0] or 0
+    if max_nb <= max_bucket:
+        return banded.groupBy("band", "key").applyInPandas(
+            _score_bucket_fn(threshold, first_band_dedup=True), _PAIR_SCHEMA
+        )
+    over = sizes.filter(F.col("nb") > max_bucket).select(
+        "band",
+        "key",
+        F.ceil(F.col("nb") / max_bucket).cast("int").alias("n_salts"),
+    )
+    salted = (
+        banded.join(over, ["band", "key"], "left")  # AQE broadcasts when small
+        .withColumn(
+            "salt",
+            F.when(F.col("n_salts").isNull(), F.lit(0)).otherwise(
+                F.pmod(F.xxhash64("vec_id"), F.col("n_salts")).cast("int")
+            ),
+        )
+    )
+    pairs = salted.groupBy("band", "key", "salt").applyInPandas(
+        _score_bucket_fn(threshold, first_band_dedup=False), _PAIR_SCHEMA
+    )
+    return pairs.distinct()
+
+
+def _emb_source(spark, sf_dir) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
     )
 
 
-def _sql_emb_band_key(vec_expr: str, band: int) -> str:
+def q_dd_embedding_neardup(spark, sf_dir):
+    """Registered default banding (EMB_BANDS x EMB_BAND_BITS); the
+    DuckDB oracle computes the identical banded semantics from the
+    same plane constants. Sandbox buckets sit far under EMB_MAX_BUCKET
+    so the exact first-band plan runs — the salted path is covered by
+    tests/test_emb_guard.py with a deliberately degenerate bucket."""
+    return embedding_neardup(_emb_source(spark, sf_dir))
+
+
+def q_dd_emb_neardup_wide(spark, sf_dir):
+    """The SAME operator at a second banding (2 bands x 6 bits = 64
+    buckets/band): proves (bands, bits) actually plumb through — the
+    round-4 scale-killer was a hardcoded 16-buckets/band constant.
+    Fewer, finer bands = fewer candidate pairs per true near-dup and
+    lower recall on weak pairs; its oracle derives from the same
+    parameterized plane/key generator."""
+    return embedding_neardup(_emb_source(spark, sf_dir), bands=2, bits=6)
+
+
+def q_dd_emb_lsh_stats(spark, sf_dir):
+    """Embedding analog of ``q_dd_lsh_stats`` — the pre-join cost gate
+    for the in-bucket matmul: per band, bucket count, population,
+    largest bucket, the EXACT candidate-pair count the scoring stage
+    would face (sum nb*(nb-1)/2), and how many buckets the
+    ``EMB_MAX_BUCKET`` guard would salt. A 10^12-row run reads this
+    BEFORE ``dd_embedding_neardup``: n_cand_pairs is the join's true
+    cost and n_oversized tells whether to grow (bands, bits) or accept
+    salted recall in the listed hot buckets."""
+    emb = _emb_source(spark, sf_dir)
+    keys_udf = _band_keys_udf()
+    banded = emb.withColumn("keys", keys_udf(F.col("v"))).select(
+        "vec_id", F.posexplode("keys").alias("band", "key")
+    )
+    buckets = banded.groupBy("band", "key").agg(F.count("*").alias("nb"))
+    return buckets.groupBy("band").agg(
+        F.count("*").alias("n_buckets"),
+        F.sum("nb").cast("long").alias("n_vecs"),
+        F.max("nb").cast("long").alias("max_bucket"),
+        F.sum(F.expr("nb * (nb - 1) DIV 2")).cast("long").alias("n_cand_pairs"),
+        F.sum((F.col("nb") > EMB_MAX_BUCKET).cast("long")).alias("n_oversized"),
+    )
+
+
+def _sql_emb_band_key(
+    vec_expr: str, band: int, bands: int = EMB_BANDS, bits: int = EMB_BAND_BITS
+) -> str:
     from .similarity import _sql_dot
 
-    planes = _emb_planes()
+    planes = _emb_planes(bands, bits)
     parts = [
-        f"(CASE WHEN {_sql_dot(vec_expr, planes[band * EMB_BAND_BITS + i])} >= 0 "
+        f"(CASE WHEN {_sql_dot(vec_expr, planes[band * bits + i])} >= 0 "
         f"THEN {1 << i} ELSE 0 END)"
-        for i in range(EMB_BAND_BITS)
+        for i in range(bits)
     ]
     return "(" + " + ".join(parts) + ")"
 
 
-def _sql_dd_emb() -> str:
-    bands = "\n  UNION ALL\n".join(
-        f"  SELECT vec_id, v, {b} AS band, {_sql_emb_band_key('v', b)} AS key FROM e"
-        for b in range(EMB_BANDS)
+def _sql_emb_banded_cte(bands: int = EMB_BANDS, bits: int = EMB_BAND_BITS) -> str:
+    rows = "\n  UNION ALL\n".join(
+        f"  SELECT vec_id, v, CAST({b} AS INT) AS band, "
+        f"CAST({_sql_emb_band_key('v', b, bands, bits)} AS INT) AS key FROM e"
+        for b in range(bands)
     )
-    return f"""
-WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    return f"""e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
 banded AS (
-{bands}
-),
+{rows}
+)"""
+
+
+def _sql_dd_emb(
+    bands: int = EMB_BANDS,
+    bits: int = EMB_BAND_BITS,
+    threshold: float = EMB_COS_THRESHOLD,
+) -> str:
+    return f"""
+WITH {_sql_emb_banded_cte(bands, bits)},
 cand AS (
   SELECT DISTINCT a.vec_id AS v1, b.vec_id AS v2
   FROM banded a JOIN banded b
@@ -644,7 +777,23 @@ cand AS (
 )
 SELECT c.v1, c.v2, round(list_cosine_similarity(ea.v, eb.v), 4) AS cos
 FROM cand c JOIN e ea ON ea.vec_id = c.v1 JOIN e eb ON eb.vec_id = c.v2
-WHERE round(list_cosine_similarity(ea.v, eb.v), 4) >= {EMB_COS_THRESHOLD}
+WHERE round(list_cosine_similarity(ea.v, eb.v), 4) >= {threshold}
+"""
+
+
+def _sql_dd_emb_lsh_stats() -> str:
+    return f"""
+WITH {_sql_emb_banded_cte()},
+buckets AS (
+  SELECT band, key, count(*) AS nb FROM banded GROUP BY band, key
+)
+SELECT band,
+       CAST(count(*) AS BIGINT) AS n_buckets,
+       CAST(sum(nb) AS BIGINT) AS n_vecs,
+       CAST(max(nb) AS BIGINT) AS max_bucket,
+       CAST(sum((nb * (nb - 1)) // 2) AS BIGINT) AS n_cand_pairs,
+       CAST(sum(CASE WHEN nb > {EMB_MAX_BUCKET} THEN 1 ELSE 0 END) AS BIGINT) AS n_oversized
+FROM buckets GROUP BY band
 """
 
 
@@ -950,7 +1099,7 @@ def _cc_width(n_edges: int, parallelism: int) -> int:
     return max(CC_PARTITIONS, min(by_data, max(parallelism * 4, CC_PARTITIONS)))
 
 
-def _cc_persist(df: DataFrame, reliable: bool) -> DataFrame:
+def _cc_persist(df: DataFrame, reliable: bool) -> tuple[DataFrame, DataFrame | None]:
     """Lineage-truncate one CC round. ``reliable=False`` (sandbox
     default) uses localCheckpoint — executor-memory blocks, fastest,
     but lineage is unrecoverable if an executor dies. On a real
@@ -969,9 +1118,19 @@ def _cc_persist(df: DataFrame, reliable: bool) -> DataFrame:
     checkpoint: Spark writes a lazy reliable checkpoint by re-running
     the RDD *after* the materializing job finishes, so without the
     persist every round would compute twice — the cache turns the
-    checkpoint write into a block copy."""
+    checkpoint write into a block copy.
+
+    Returns ``(frame, cache_handle)``. ``checkpoint()`` returns a NEW
+    frame over the checkpointed plan, so unpersisting the returned
+    frame itself would be a no-op against the cache (which belongs to
+    the pre-checkpoint frame) — the handle is returned EXPLICITLY so a
+    caller cannot lose it by deriving from the frame (a previous
+    version stashed it as an ad-hoc attribute, which `.drop()`/
+    `.select()` silently discarded). ``cache_handle`` is None on the
+    localCheckpoint path (nothing to free — executor blocks are
+    dropped with the frame)."""
     if not reliable:
-        return df.localCheckpoint(eager=False)
+        return df.localCheckpoint(eager=False), None
     from pyspark import StorageLevel
 
     sc = df.sparkSession.sparkContext
@@ -980,21 +1139,15 @@ def _cc_persist(df: DataFrame, reliable: bool) -> DataFrame:
 
         sc.setCheckpointDir(tempfile.mkdtemp(prefix="handprint_cc_ckpt_"))
     cached = df.persist(StorageLevel.MEMORY_AND_DISK)
-    out = cached.checkpoint(eager=False)
-    # checkpoint() returns a NEW frame over the checkpointed plan;
-    # calling unpersist() on it would be a no-op against the cache,
-    # which belongs to the pre-checkpoint frame. Stash that handle so
-    # _cc_unpersist frees the right blocks once the next round's
-    # durable copy exists — without this, every round's full label
-    # frame stayed cached for the life of the session.
-    out._cc_cached_src = cached
-    return out
+    return cached.checkpoint(eager=False), cached
 
 
-def _cc_unpersist(frame: DataFrame) -> None:
-    """Free the cache blocks behind a ``_cc_persist`` round frame
-    (the pre-checkpoint handle when one was stashed)."""
-    getattr(frame, "_cc_cached_src", frame).unpersist()
+def _cc_unpersist(cache_handle: DataFrame | None) -> None:
+    """Free the cache blocks behind a ``_cc_persist`` round: pass the
+    ``cache_handle`` the persist returned (no-op when it is None — the
+    localCheckpoint path has no cache to free)."""
+    if cache_handle is not None:
+        cache_handle.unpersist()
 
 
 def _cc_local(spark: SparkSession, staged: DataFrame) -> DataFrame:
@@ -1103,7 +1256,7 @@ def duplicate_clusters(
             spark.conf.get(CC_LOCAL_CONF, str(CC_LOCAL_MAX_EDGES))
         )
     half = pairs.select(F.col("d1").alias("src"), F.col("d2").alias("dst"))
-    staged = _cc_persist(
+    staged, staged_h = _cc_persist(
         half.union(half.select(F.col("dst").alias("src"), F.col("src").alias("dst"))),
         reliable,
     )
@@ -1116,11 +1269,13 @@ def duplicate_clusters(
         # the common case even at 10^12 docs (the pair graph after
         # banded LSH is a sliver of the corpus); graphs above the bound
         # take the distributed loop below.
-        return _cc_local(spark, staged)
+        out = _cc_local(spark, staged)
+        _cc_unpersist(staged_h)
+        return out
     if num_partitions is None:
         num_partitions = _cc_width(n_edges, spark.sparkContext.defaultParallelism)
-    edges = _cc_persist(staged.repartition(num_partitions, "src"), reliable)
-    labels = _cc_persist(
+    edges, edges_h = _cc_persist(staged.repartition(num_partitions, "src"), reliable)
+    labels, labels_h = _cc_persist(
         edges.select(F.col("src").alias("node"))
         .distinct()
         .withColumn("label", F.col("node"))
@@ -1164,21 +1319,28 @@ def duplicate_clusters(
     # (and the leaner plan also compiles ~4x faster cold, 48s -> 5.9s
     # first sample).
     changed = -1
-    prev_round: DataFrame | None = None
-    for _ in range(MAX_CC_ITERS):
+    prev_h: DataFrame | None = None
+    for it in range(MAX_CC_ITERS):
         seeded = labels.select("node", "label", F.col("label").alias("prev"))
-        new_labels = _cc_persist(
+        new_labels, new_h = _cc_persist(
             _jump(_nstep(_nstep(seeded))).repartition(num_partitions, "node"), reliable
         )
         changed = new_labels.filter(F.col("label") != F.col("prev")).count()
-        if reliable and prev_round is not None:
-            # round k-1's cache blocks are dead once round k is
-            # materialized (its checkpoint file is the durable copy)
-            _cc_unpersist(prev_round)
-        prev_round = new_labels
+        if it == 0:
+            # round 1's count materialized the edges + initial-labels
+            # lazy checkpoints; their durable copies exist now, so the
+            # staged/setup caches are dead weight
+            _cc_unpersist(staged_h)
+            _cc_unpersist(labels_h)
+        # round k-1's cache blocks are dead once round k is
+        # materialized (its checkpoint file is the durable copy)
+        _cc_unpersist(prev_h)
+        prev_h = new_h
         labels = new_labels.drop("prev")
         if changed == 0:
             break
+    _cc_unpersist(edges_h)
+    _cc_unpersist(prev_h)  # the final round reads back from its checkpoint file
     if changed != 0:
         raise RuntimeError(
             f"duplicate_clusters did not converge in {MAX_CC_ITERS} rounds "
@@ -1284,6 +1446,7 @@ def incremental_dedup(
     index_bands: DataFrame,
     k: int = MINHASH_K,
     bands: int = MINHASH_BANDS,
+    validate_banding: bool = True,
 ) -> DataFrame:
     """Dedup verdict for a NEW ingest batch against an EXISTING corpus's
     materialized MinHash band index — the continuous-ingest shape a
@@ -1311,9 +1474,32 @@ def incremental_dedup(
     ``(k, bands)`` MUST match the banding the index was built at:
     band keys embed the band index and signature values, so probing a
     production-banded index (k=128/16) with demo keys would collide on
-    nothing and silently accept every duplicate — pass the same
-    parameters to both ``minhash_band_posting`` (index build) and this
-    probe."""
+    nothing and silently accept every duplicate. The probe VALIDATES
+    this structurally before joining (``validate_banding=True``,
+    default): one index key is sampled and its shape — signature
+    fields per band (= k/bands) and hash family (32-hex-char string
+    sigs at the demo width vs decimal multiply-mod-prime sigs above
+    it) — must match what this probe will generate, else ValueError.
+    The sample is ONE bounded ``head(1)`` job against the (normally
+    parquet-materialized) index — never a corpus scan; an empty index
+    (first ingest) skips the check."""
+    if validate_banding:
+        sample = index_bands.select("band_key").head(1)
+        if sample:
+            want_rows = k // bands
+            want_hex = not (k > MINHASH_K)  # numeric family above demo width
+            sig_fields = sample[0].band_key.split("|")[1:]
+            got_rows = len(sig_fields)
+            got_hex = all(len(s) == 32 for s in sig_fields)
+            if (got_rows, got_hex) != (want_rows, want_hex):
+                raise ValueError(
+                    f"incremental_dedup: probe banding (k={k}, bands={bands}: "
+                    f"{want_rows} {'hex' if want_hex else 'numeric'} sigs/band) "
+                    f"does not match the index's keys ({got_rows} "
+                    f"{'hex' if got_hex else 'numeric'} sigs/band) — probing a "
+                    "mismatched index silently reports zero duplicates; pass "
+                    "the (k, bands) the index was built with"
+                )
     new_bands = minhash_band_posting(new_docs, k, bands)
     hits = (
         new_bands.join(index_bands.select("band_key"), "band_key", "left_semi")
@@ -1339,7 +1525,11 @@ def q_dd_incremental(spark, sf_dir):
     docs = _docs(spark, sf_dir, spread=True)
     existing = docs.filter(F.col("doc_id") % 2 == 0)
     new = docs.filter(F.col("doc_id") % 2 == 1)
-    return incremental_dedup(new, minhash_band_posting(existing))
+    # localCheckpoint: the banding-validation sample (head(1)) and the
+    # probe semi-join share ONE materialization of the index posting —
+    # in production the index is a parquet table and this is moot
+    index = minhash_band_posting(existing).localCheckpoint(eager=False)
+    return incremental_dedup(new, index)
 
 
 SQL_DD_INCREMENTAL = """
@@ -1612,6 +1802,8 @@ QUERIES = {
     "dd_simhash": q_dd_simhash,
     "dd_simhash_pairs": q_dd_simhash_pairs,
     "dd_embedding_neardup": q_dd_embedding_neardup,
+    "dd_emb_neardup_wide": q_dd_emb_neardup_wide,
+    "dd_emb_lsh_stats": q_dd_emb_lsh_stats,
     "dd_dup_clusters": q_dd_dup_clusters,
     "dd_contamination": q_dd_contamination,
     "dd_substring_dup": q_dd_substring_dup,
@@ -1632,6 +1824,8 @@ ORACLES = {
     "dd_simhash": SQL_DD_SIMHASH,
     "dd_simhash_pairs": SQL_DD_SIMHASH_PAIRS,
     "dd_embedding_neardup": _sql_dd_emb(),
+    "dd_emb_neardup_wide": _sql_dd_emb(bands=2, bits=6),
+    "dd_emb_lsh_stats": _sql_dd_emb_lsh_stats(),
     "dd_dup_clusters": SQL_DD_DUP_CLUSTERS,
     "dd_contamination": SQL_DD_CONTAMINATION,
     "dd_substring_dup": SQL_DD_SUBSTRING_DUP,

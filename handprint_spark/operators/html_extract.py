@@ -400,11 +400,15 @@ _URL_HEAD_RE = r"^([^/]+//[^/?#]+)"
 # Anchored to the param delimiter and delimiter-preserving: without
 # the ([?&]) anchor, any param whose NAME merely ends in "ref" (pref,
 # xref, href) had its tail eaten, corrupting the page identity URL-
-# dedup keys on. Applied TWICE on both engines — a consuming match
-# eats the "&" the NEXT tracking param needs, so one global pass
-# misses adjacent params (RE2 has no lookbehind, so the oracle cannot
-# mirror a lookbehind form; two identical passes keep the engines
-# byte-equal and cover up to 3 consecutive tracking params).
+# dedup keys on. Applied THREE times on both engines — a consuming
+# match eats the "&" the NEXT tracking param needs, so each global
+# pass strips only alternate members of an adjacent run (RE2 has no
+# lookbehind, so the oracle cannot mirror a lookbehind form; identical
+# passes keep the engines byte-equal). A run of k adjacent tracking
+# params halves per pass (k -> floor(k/2)), so three passes cover
+# runs up to SEVEN adjacent params — past the full five-member
+# utm_source/medium/campaign/term/content set that two passes
+# (runs <= 3) left residue on, breaking canonical_url idempotence.
 _TRACKING_RE = r"([?&])(utm_[a-z]+|ref)=[^&#]*&?"
 
 
@@ -427,7 +431,9 @@ def canonical_url(url: Column) -> Column:
     )
     no_www = F.regexp_replace(no_port, r"^(https?://)www\.", "$1")
     no_tracking = F.regexp_replace(
-        F.regexp_replace(no_www, _TRACKING_RE, "$1"), _TRACKING_RE, "$1"
+        F.regexp_replace(F.regexp_replace(no_www, _TRACKING_RE, "$1"), _TRACKING_RE, "$1"),
+        _TRACKING_RE,
+        "$1",
     )
     return F.regexp_replace(F.regexp_replace(no_tracking, r"[?&]$", ""), r"/$", "")
 
@@ -504,7 +510,8 @@ canon AS (
             regexp_replace(
               regexp_replace(
                 regexp_replace(
-                  regexp_replace(url, '^([^/]+//[^/?#]+)',
+                  regexp_replace(
+                    regexp_replace(url, '^([^/]+//[^/?#]+)',
                                  lower(regexp_extract(url, '^([^/]+//[^/?#]+)', 1))),
                   '#.*$', ''),
                 '^(https://[^/?#]+):443', '\1'),
@@ -512,7 +519,8 @@ canon AS (
             '^(https?://)www\.', '\1'),
           '([?&])(utm_[a-z]+|ref)=[^&#]*&?', '\1', 'g'),
         '([?&])(utm_[a-z]+|ref)=[^&#]*&?', '\1', 'g'),
-      '[?&]$', ''), '/$', '') AS canon_url
+      '([?&])(utm_[a-z]+|ref)=[^&#]*&?', '\1', 'g'),
+    '[?&]$', ''), '/$', '') AS canon_url
   FROM raw
 )
 SELECT doc_id, url, canon_url,

@@ -745,16 +745,21 @@ def test_funnel_ordered_steps(spark, tmp_path):
 
 
 def test_cc_reliable_round_cache_is_freed(spark):
-    """_cc_persist(reliable=True) stashes the pre-checkpoint cache
-    handle on the round frame, and _cc_unpersist frees THOSE blocks —
-    unpersisting the checkpointed frame itself was a no-op, leaking
-    every round's labels for the session lifetime."""
+    """_cc_persist(reliable=True) returns the pre-checkpoint cache
+    handle EXPLICITLY, and _cc_unpersist frees THOSE blocks —
+    unpersisting the checkpointed frame itself was a no-op (the cache
+    belongs to the pre-checkpoint frame), and an attribute stashed on
+    the frame was silently lost by any derived `.drop()`/`.select()`."""
     from handprint_spark.operators.dedup import _cc_persist, _cc_unpersist
 
     df = spark.range(100).withColumnRenamed("id", "node")
-    out = _cc_persist(df, reliable=True)
+    out, handle = _cc_persist(df, reliable=True)
     out.count()  # materialize cache + checkpoint
-    cached = out._cc_cached_src
-    assert cached.storageLevel.useMemory or cached.storageLevel.useDisk
-    _cc_unpersist(out)
-    assert not (cached.storageLevel.useMemory or cached.storageLevel.useDisk)
+    assert handle is not None
+    assert handle.storageLevel.useMemory or handle.storageLevel.useDisk
+    _cc_unpersist(handle)
+    assert not (handle.storageLevel.useMemory or handle.storageLevel.useDisk)
+    # localCheckpoint path: nothing to free, and None is accepted
+    out2, handle2 = _cc_persist(df, reliable=False)
+    assert handle2 is None
+    _cc_unpersist(handle2)

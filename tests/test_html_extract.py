@@ -383,20 +383,39 @@ def test_tables_grid_recovery(spark, tmp_path):
 def test_canonical_url_tracking_strip_is_param_anchored(spark):
     """The tracking strip fires only on whole param NAMES: params
     merely ending in 'ref' (pref, href, xref) survive intact, while
-    adjacent utm_*/ref params are both removed (the two-pass form —
-    a single consuming pass eats the '&' the next match needs)."""
+    adjacent utm_*/ref params are all removed (the three-pass form —
+    a single consuming pass eats the '&' the next match needs, so
+    each pass strips alternate members of an adjacent run; three
+    passes cover runs up to 7, past the full 5-member utm set)."""
     from pyspark.sql import functions as F
 
     from handprint_spark.operators.html_extract import canonical_url
 
+    full_utm = (
+        "utm_source=a&utm_medium=b&utm_campaign=c&utm_term=d&utm_content=e"
+    )
     cases = {
         "https://e.com/p?pref=abc&x=1": "https://e.com/p?pref=abc&x=1",
         "https://e.com/p?href=u&xref=v": "https://e.com/p?href=u&xref=v",
         "https://e.com/p?utm_source=f&ref=x&id=1": "https://e.com/p?id=1",
         "https://e.com/p?utm_a=1&utm_b=2&utm_c=3": "https://e.com/p",
         "https://e.com/p?ref=x": "https://e.com/p",
+        # the common full-5 utm set, adjacent — two passes left residue
+        f"https://e.com/p?{full_utm}": "https://e.com/p",
+        f"https://e.com/p?{full_utm}&id=7": "https://e.com/p?id=7",
+        # 7 adjacent tracking params: the documented three-pass bound
+        f"https://e.com/p?{full_utm}&ref=r&utm_id=z": "https://e.com/p",
     }
     df = spark.createDataFrame([(u,) for u in cases], "url string")
     out = {r.url: r.c for r in df.select("url", canonical_url(F.col("url")).alias("c")).collect()}
     for url, want in cases.items():
         assert out[url] == want, (url, out[url])
+    # idempotence at the boundary: re-canonicalizing the stripped
+    # forms changes nothing
+    again = {
+        r.c: r.c2
+        for r in df.select(canonical_url(F.col("url")).alias("c"))
+        .select("c", canonical_url(F.col("c")).alias("c2"))
+        .collect()
+    }
+    assert all(c == c2 for c, c2 in again.items()), again

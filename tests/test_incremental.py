@@ -103,6 +103,8 @@ def test_incremental_probe_at_production_banding(spark, sf_tiny):
         minhash_band_posting,
     )
 
+    import pytest
+
     docs = _docs(spark, sf_tiny).limit(50).cache()
     idx = minhash_band_posting(docs, MINHASH_K_PROD, MINHASH_BANDS_PROD)
     verdicts = {
@@ -110,7 +112,15 @@ def test_incremental_probe_at_production_banding(spark, sf_tiny):
         for r in incremental_dedup(docs, idx, MINHASH_K_PROD, MINHASH_BANDS_PROD).collect()
     }
     assert all(verdicts.values())  # every doc is its own exact dup
-    mismatched = incremental_dedup(docs, idx).agg(
+    # demo-banded probe of a production index: structural validation
+    # RAISES instead of silently reporting zero duplicates
+    with pytest.raises(ValueError, match="does not match the index"):
+        incremental_dedup(docs, idx).agg(
+            F.sum(F.col("dup_of_index").cast("int")).alias("n")
+        ).collect()
+    # ... and the unvalidated form still demonstrates the silent-miss
+    # mode the check exists for
+    mismatched = incremental_dedup(docs, idx, validate_banding=False).agg(
         F.sum(F.col("dup_of_index").cast("int")).alias("n")
     ).collect()[0].n
     assert mismatched == 0  # demo keys never match production keys
