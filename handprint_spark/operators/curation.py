@@ -266,12 +266,19 @@ def q_cur_shard_pack(spark, sf_dir):
     Scale shape: ONE shuffle (hash partition by shard) and a per-shard
     sort — with O(10^4) shards each partition is executor-sized; no
     driver involvement, no iteration."""
+    return shard_pack(q_cur_keep_list(spark, sf_dir).select("doc_id", "n_tokens"))
+
+
+def shard_pack(counts: DataFrame) -> DataFrame:
+    """Packing core over any (doc_id, n_tokens) accounting frame —
+    whitespace counts (``q_cur_shard_pack``) and trained-BPE counts
+    (``q_cur_shard_pack_bpe``) share this one definition, so switching
+    the token accounting can never drift the layout rule."""
     from pyspark.sql.window import Window
 
     from ..corpus import slice_hash_col
 
-    kept = q_cur_keep_list(spark, sf_dir)
-    df = kept.select(
+    df = counts.select(
         "doc_id",
         "n_tokens",
         (slice_hash_col(F.col("doc_id")) % N_SHARDS).cast("int").alias("shard"),
@@ -292,6 +299,24 @@ def q_cur_shard_pack(spark, sf_dir):
     )
 
 
+def q_cur_shard_pack_bpe(spark, sf_dir):
+    """Shard packing with REAL token accounting: the same keep-list
+    and layout rule as ``cur_shard_pack``, but each document is
+    charged its trained-BPE symbol count (``ta_bpe_encode``) instead
+    of its whitespace word count — whitespace under-charges rare
+    words, which BPE splits into several symbols, so stripes packed on
+    word counts overflow a real loader's context window. One extra
+    doc_id equi-join against the encode counts; the corpus text is
+    still read once per branch and the packing stays ONE shuffle."""
+    from .text_analysis import q_ta_bpe_encode
+
+    kept = q_cur_keep_list(spark, sf_dir).select("doc_id")
+    bpe = q_ta_bpe_encode(spark, sf_dir).select(
+        "doc_id", F.col("n_bpe_tokens").alias("n_tokens")
+    )
+    return shard_pack(kept.join(bpe, "doc_id"))
+
+
 SQL_CUR_SHARD_PACK = f"""
 WITH keep AS ({SQL_CUR_KEEP_LIST}),
 sharded AS (
@@ -299,6 +324,36 @@ sharded AS (
          CAST(('0x' || substr(sha256(doc_id::VARCHAR), 1, 8))::BIGINT
               % {N_SHARDS} AS INT) AS shard
   FROM keep
+), laid AS (
+  SELECT doc_id, shard, n_tokens,
+         CAST(coalesce(sum(n_tokens) OVER (
+                PARTITION BY shard ORDER BY doc_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+              AS BIGINT) AS start_tok
+  FROM sharded
+)
+SELECT doc_id, shard,
+       CAST(floor(start_tok / {PACK_BUDGET}.0) AS INT) AS pack_bin,
+       start_tok, n_tokens
+FROM laid
+"""
+
+
+def _sql_cur_shard_pack_bpe() -> str:
+    from .text_analysis import _sql_ta_bpe_encode
+
+    return f"""
+WITH keep AS ({SQL_CUR_KEEP_LIST}),
+enc AS ({_sql_ta_bpe_encode()}),
+counts AS (
+  SELECT k.doc_id, e.n_bpe_tokens AS n_tokens
+  FROM keep k JOIN enc e USING (doc_id)
+),
+sharded AS (
+  SELECT doc_id, n_tokens,
+         CAST(('0x' || substr(sha256(doc_id::VARCHAR), 1, 8))::BIGINT
+              % {N_SHARDS} AS INT) AS shard
+  FROM counts
 ), laid AS (
   SELECT doc_id, shard, n_tokens,
          CAST(coalesce(sum(n_tokens) OVER (
@@ -803,6 +858,7 @@ QUERIES = {
     "cur_sample_strat": q_cur_sample_strat,
     "cur_report": q_cur_report,
     "cur_shard_pack": q_cur_shard_pack,
+    "cur_shard_pack_bpe": q_cur_shard_pack_bpe,
     "cur_domain_mix": q_cur_domain_mix,
     "cur_full_pipeline": q_cur_full_pipeline,
     "cur_train_split": q_cur_train_split,
@@ -815,6 +871,7 @@ ORACLES = {
     "cur_sample_strat": SQL_CUR_SAMPLE,
     "cur_report": SQL_CUR_REPORT,
     "cur_shard_pack": SQL_CUR_SHARD_PACK,
+    "cur_shard_pack_bpe": _sql_cur_shard_pack_bpe(),
     "cur_domain_mix": SQL_CUR_DOMAIN_MIX,
     "cur_full_pipeline": _sql_cur_full_pipeline(),
     "cur_train_split": SQL_CUR_TRAIN_SPLIT,

@@ -843,6 +843,193 @@ LIMIT {BPE_TOP_PAIRS}
 """
 
 
+# --- BPE tokenizer: iterated merge training + corpus encode -------------------
+#
+# ta_bpe_pairs computes the FIRST merge's pair counts; these two
+# queries complete the tokenizer (Sennrich et al. 2016): N rounds of
+# (count adjacent symbol pairs over the word-frequency table -> take
+# the most frequent pair -> merge it greedily left-to-right in every
+# word), then a corpus encode. Spark-first shape: training runs on the
+# WORD-FREQUENCY table, not the corpus — after one corpus-sized word
+# count, every round touches only vocab-sized rows (10^7-10^8 words at
+# web scale, distributed but tiny next to 10^12 docs). Each round is
+# one pair-count aggregation plus ONE bounded 1-row collect (the
+# argmax — the same bounded-scalar-probe pattern as the CC sizing
+# count), and the merge applies as a pure Catalyst aggregate() fold:
+# for a single pair (L, R), greedy non-overlapping LTR merging is
+# exactly the fold "if last(acc)=L and t=R then replace-last, else
+# append" (the merged symbol L||R can never equal L, so a fresh match
+# can't chain onto a just-merged one). Production trains ~30k merges
+# with a frequency-capped vocab sample; rounds scale linearly and the
+# per-round plan is what the oracle verifies. Encoding the corpus
+# needs NO per-word refolding: every corpus word is in the trained
+# vocab, so encode = one explode + one well-spread equi-join against
+# the final vocab segmentation (AQE broadcasts it when it fits).
+
+BPE_MERGES = 6
+
+
+def _bpe_adj_pairs(toks_col: str):
+    """Adjacent symbol pairs of an array<string> column, as structs
+    (zip_with over two slices — the ``_shingles_col`` idiom)."""
+    return F.expr(
+        f"CASE WHEN size({toks_col}) < 2 THEN array() "
+        f"ELSE zip_with(slice({toks_col}, 1, size({toks_col}) - 1), "
+        f"slice({toks_col}, 2, size({toks_col}) - 1), "
+        f"(a, b) -> struct(a AS l, b AS r)) END"
+    ).cast("array<struct<l:string,r:string>>")
+
+
+def _bpe_merge_expr(toks_col: str, l: str, r: str) -> str:
+    """Greedy LTR non-overlapping merge of the pair (l, r) as a
+    Catalyst fold (symbols are [a-z0-9]+ so literal quoting is safe)."""
+    return (
+        f"CASE WHEN size({toks_col}) < 2 THEN {toks_col} ELSE "
+        f"aggregate(slice({toks_col}, 2, size({toks_col}) - 1), "
+        f"array(element_at({toks_col}, 1)), "
+        f"(acc, t) -> CASE WHEN element_at(acc, -1) = '{l}' AND t = '{r}' "
+        f"THEN concat(slice(acc, 1, size(acc) - 1), array('{l}{r}')) "
+        f"ELSE concat(acc, array(t)) END) END"
+    )
+
+
+def bpe_train(docs: DataFrame, n_merges: int = BPE_MERGES):
+    """Train ``n_merges`` BPE merges; returns (merge table rows as a
+    list of (merge_rank, lhs, rhs, merged, pair_count), final vocab
+    DataFrame (word, cnt, toks) with the trained segmentation).
+
+    The vocab frame is localCheckpointed per round so round k's plan
+    reads round k-1's materialized symbols instead of re-folding the
+    whole merge history (the CC round-frame pattern)."""
+    vocab = (
+        docs.select(F.explode(F.split(F.col("text"), " ")).alias("word"))
+        .filter(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count("*").alias("cnt"))
+        .withColumn("toks", F.split("word", ""))
+        .localCheckpoint(eager=False)
+    )
+    merges: list[tuple[int, str, str, str, int]] = []
+    for rank in range(n_merges):
+        pairs = vocab.select("cnt", F.explode(_bpe_adj_pairs("toks")).alias("p"))
+        best = (
+            pairs.groupBy(F.col("p.l").alias("l"), F.col("p.r").alias("r"))
+            .agg(F.sum("cnt").alias("pair_count"))
+            .orderBy(F.desc("pair_count"), F.asc("l"), F.asc("r"))
+            .limit(1)
+            .collect()
+        )
+        if not best:
+            break
+        l, r, c = best[0].l, best[0].r, int(best[0].pair_count)
+        merges.append((rank, l, r, l + r, c))
+        vocab = vocab.withColumn(
+            "toks", F.expr(_bpe_merge_expr("toks", l, r))
+        ).localCheckpoint(eager=False)
+    return merges, vocab
+
+
+def q_ta_bpe_train(spark, sf_dir):
+    """The trained merge table: (merge_rank, lhs, rhs, merged,
+    pair_count) for BPE_MERGES rounds, tiebreak (count desc, lhs asc,
+    rhs asc) — deterministic on both engines (ASCII binary collation).
+    The DuckDB oracle replays the identical rounds as chained CTEs
+    with the fold expressed via list_reduce over a comma-separated
+    symbol accumulator (symbols are [a-z0-9]+, so ',' is a safe
+    separator and an exact last-symbol anchor)."""
+    merges, _ = bpe_train(_docs(spark, sf_dir))
+    return spark.createDataFrame(
+        merges,
+        "merge_rank int, lhs string, rhs string, merged string, pair_count bigint",
+    )
+
+
+def q_ta_bpe_encode(spark, sf_dir):
+    """Corpus encode under the trained merges: (doc_id, n_words,
+    n_bpe_tokens) per document — the REAL token accounting shard
+    packing and chunking budget against (whitespace counts
+    under-charge rare words, which BPE splits into several symbols).
+    One explode + one equi-join against the final vocab segmentation;
+    document text is read once."""
+    _, vocab = bpe_train(_docs(spark, sf_dir))
+    seg = vocab.select("word", F.size("toks").alias("n_sym"))
+    words = (
+        _docs(spark, sf_dir)
+        .select("doc_id", F.explode(F.split(F.col("text"), " ")).alias("word"))
+        .filter(F.col("word") != "")
+    )
+    return (
+        words.join(seg, "word")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_words"),
+            F.sum("n_sym").cast("long").alias("n_bpe_tokens"),
+        )
+    )
+
+
+def _sql_bpe_rounds(n_merges: int = BPE_MERGES) -> str:
+    """Shared chained-CTE prefix replaying bpe_train's rounds in
+    DuckDB: vocab0..vocabN and best0..best{N-1}."""
+    parts = [
+        """words AS (
+  SELECT unnest(string_split(text, ' ')) AS word FROM documents
+),
+vocab0 AS (
+  SELECT word, count(*) AS cnt, string_split(word, '') AS toks
+  FROM words WHERE word <> '' GROUP BY word
+)"""
+    ]
+    for k in range(n_merges):
+        parts.append(
+            f"""pairs{k} AS (
+  SELECT toks[i] AS l, toks[i + 1] AS r, sum(cnt) AS pair_count
+  FROM vocab{k}, unnest(generate_series(1, len(toks) - 1)) AS t(i)
+  WHERE len(toks) >= 2 GROUP BY 1, 2
+),
+best{k} AS (
+  SELECT l, r, pair_count FROM pairs{k}
+  ORDER BY pair_count DESC, l ASC, r ASC LIMIT 1
+),
+vocab{k + 1} AS (
+  SELECT word, cnt,
+    string_split(list_reduce(toks, (acc, t) -> CASE
+      WHEN (acc = b.l OR ends_with(acc, ',' || b.l)) AND t = b.r
+      THEN left(acc, length(acc) - length(b.l)) || b.l || b.r
+      ELSE acc || ',' || t END), ',') AS toks
+  FROM vocab{k}, best{k} b
+)"""
+        )
+    return ",\n".join(parts)
+
+
+def _sql_ta_bpe_train(n_merges: int = BPE_MERGES) -> str:
+    union = "\n  UNION ALL\n".join(
+        f"  SELECT CAST({k} AS INT) AS merge_rank, l AS lhs, r AS rhs, "
+        f"l || r AS merged, CAST(pair_count AS BIGINT) AS pair_count FROM best{k}"
+        for k in range(n_merges)
+    )
+    return f"""
+WITH {_sql_bpe_rounds(n_merges)}
+{union}
+"""
+
+
+def _sql_ta_bpe_encode(n_merges: int = BPE_MERGES) -> str:
+    return f"""
+WITH {_sql_bpe_rounds(n_merges)},
+doc_words AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents
+)
+SELECT d.doc_id,
+       CAST(count(*) AS BIGINT) AS n_words,
+       CAST(sum(len(v.toks)) AS BIGINT) AS n_bpe_tokens
+FROM doc_words d JOIN vocab{n_merges} v USING (word)
+WHERE d.word <> ''
+GROUP BY d.doc_id
+"""
+
+
 # --- Gopher quality-rule bundle ------------------------------------------------
 
 # Thresholds from Rae et al. 2021 (Gopher), Table A1: the document
@@ -1087,6 +1274,8 @@ QUERIES = {
     "ta_bigram_logprob": q_ta_bigram_logprob,
     "ta_source_kl": q_ta_source_kl,
     "ta_bpe_pairs": q_ta_bpe_pairs,
+    "ta_bpe_train": q_ta_bpe_train,
+    "ta_bpe_encode": q_ta_bpe_encode,
     "ta_gopher_rules": q_ta_gopher_rules,
     "ta_hash_score": q_ta_hash_score,
 }
@@ -1106,6 +1295,8 @@ ORACLES = {
     "ta_bigram_logprob": SQL_TA_BIGRAM_LP,
     "ta_source_kl": SQL_TA_SOURCE_KL,
     "ta_bpe_pairs": SQL_TA_BPE_PAIRS,
+    "ta_bpe_train": _sql_ta_bpe_train(),
+    "ta_bpe_encode": _sql_ta_bpe_encode(),
     "ta_gopher_rules": _gopher_sql(),
     "ta_hash_score": SQL_TA_HASH_SCORE,
 }
