@@ -453,7 +453,12 @@ def q_sim_ann_recall(spark, sf_dir):
     topk = q_sim_topk_bruteforce(spark, sf_dir).select("vec_id")
     lsh = q_sim_lsh_ann(spark, sf_dir).select("vec_id").withColumn("method", F.lit("lsh"))
     ivf = q_sim_ivf_ann(spark, sf_dir).select("vec_id").withColumn("method", F.lit("ivf"))
-    cand = lsh.union(ivf)
+    ivt = (
+        q_sim_ivf_trained(spark, sf_dir)
+        .select("vec_id")
+        .withColumn("method", F.lit("ivf_trained"))
+    )
+    cand = lsh.union(ivf).union(ivt)
     marked = cand.join(topk.withColumn("is_true", F.lit(1)), "vec_id", "left")
     return (
         marked.groupBy("method")
@@ -471,10 +476,13 @@ def _sql_ann_recall() -> str:
 WITH topk AS ({SQL_SIM_TOPK}),
 lsh AS ({_sql_lsh_ann()}),
 ivf AS ({SQL_SIM_IVF}),
+ivt AS ({_sql_sim_ivf_trained()}),
 cand AS (
   SELECT 'lsh' AS method, vec_id FROM lsh
   UNION ALL
   SELECT 'ivf' AS method, vec_id FROM ivf
+  UNION ALL
+  SELECT 'ivf_trained' AS method, vec_id FROM ivt
 )
 SELECT method,
        CAST(count(*) AS BIGINT) AS n_candidates,
@@ -540,6 +548,194 @@ SELECT label::INT AS label, dim::INT AS dim,
        count(*)::BIGINT AS n_vecs,
        round(sum(micro)::DOUBLE / ({CENTROID_SCALE}.0 * count(*)), 4) + 0.0 AS centroid
 FROM e GROUP BY label, dim
+"""
+
+
+# --- distributed k-means (Lloyd's) for index training -------------------------
+#
+# The missing half of the quantization family: IVF centroids (and PQ
+# codebooks) are TRAINED, not picked — an index build at 100 TB runs
+# Lloyd's iterations as Spark jobs. Engine-exact formulation so the
+# DuckDB oracle matches digit-for-digit: vectors are floored to
+# integer micro-units once, distances are exact int64 squared-
+# Euclidean (argmin ties -> lowest cluster id), and centroid updates
+# are floor(sum/n) over per-(cid, dim) integer sums — the
+# sim_label_centroids shape, order-independent by construction.
+# Per iteration: ONE vectorized assignment projection (no K-way
+# crossJoin) + ONE well-spread (cid x dim) aggregation + a bounded
+# K x DIM collect (1024 rows — a scalar probe, like the CC sizing
+# count). Clusters that lose all members drop out on BOTH engines
+# (the SQL recompute simply has no rows for them).
+
+KMEANS_ITERS = 2
+
+
+def _micro_expr() -> F.Column:
+    """array<bigint> micro-unit form of the ``v`` column (floor, like
+    CENTROID_SCALE elsewhere: exact, engine-stable)."""
+    return F.expr(f"transform(v, x -> CAST(floor(x * {CENTROID_SCALE}) AS BIGINT))")
+
+
+def _kmeans_assign_udf(ids: np.ndarray, Cm: np.ndarray):
+    """Vectorized exact-integer nearest-centroid assignment:
+    d2 = ||m||^2 + ||c||^2 - 2 m.c in int64 (all terms bounded well
+    under 2^63 at micro scale x 64 dims), argmin ties to the lowest
+    cluster id (ids ascending, argmin returns the first minimum)."""
+
+    @F.pandas_udf("struct<cid:bigint,d2:bigint>")
+    def assign(m: pd.Series) -> pd.DataFrame:
+        M = np.stack(m.values).astype(np.int64)
+        d2 = (
+            (M * M).sum(axis=1)[:, None]
+            + (Cm * Cm).sum(axis=1)[None, :]
+            - 2 * (M @ Cm.T)
+        )
+        j = np.argmin(d2, axis=1)
+        return pd.DataFrame({"cid": ids[j], "d2": d2[np.arange(len(j)), j]})
+
+    return assign
+
+
+def kmeans_train(spark, sf_dir, iters: int = KMEANS_ITERS):
+    """Lloyd's k-means from the CENTROID_IDS seed vectors (cluster ids
+    are 0..K-1 in seed-vec_id order). Returns (ids, Cm, emb): the
+    surviving cluster ids, their trained micro-unit centroid matrix,
+    and the checkpointed (vec_id, v, m) frame the caller can keep
+    scoring against (text read once)."""
+    emb = (
+        _emb(spark, sf_dir)
+        .withColumn("m", _micro_expr())
+        .localCheckpoint(eager=False)
+    )
+    _, C = _centroid_matrix(spark, sf_dir)
+    Cm = np.floor(C * CENTROID_SCALE).astype(np.int64)
+    ids = np.arange(Cm.shape[0], dtype=np.int64)
+    dim = Cm.shape[1]
+    for _ in range(iters):
+        assign = _kmeans_assign_udf(ids, Cm)
+        assigned = emb.select(assign("m").getField("cid").alias("cid"), "m")
+        rows = (
+            assigned.select("cid", F.posexplode("m").alias("dim", "mv"))
+            .groupBy("cid", "dim")
+            .agg(F.floor(F.sum("mv") / F.count("*")).cast("long").alias("cv"))
+            .collect()
+        )
+        by_cid: dict[int, list] = {}
+        for r in rows:
+            by_cid.setdefault(int(r.cid), [0] * dim)[int(r.dim)] = int(r.cv)
+        ids = np.asarray(sorted(by_cid), dtype=np.int64)
+        Cm = np.asarray([by_cid[int(c)] for c in ids], dtype=np.int64)
+    return ids, Cm, emb
+
+
+def q_sim_kmeans(spark, sf_dir):
+    """Final k-means assignment after KMEANS_ITERS Lloyd's updates:
+    (vec_id, cid, d2) with the EXACT integer squared distance — the
+    oracle replays the identical rounds as chained CTEs, so a single
+    drifted centroid element or tiebreak flips the hash."""
+    ids, Cm, emb = kmeans_train(spark, sf_dir)
+    assign = _kmeans_assign_udf(ids, Cm)
+    return emb.select("vec_id", assign("m").alias("a")).select(
+        "vec_id", F.col("a.cid").alias("cid"), F.col("a.d2").alias("d2")
+    )
+
+
+_SQL_KM_D2 = (
+    "list_sum(list_transform(list_zip({m}, {c}), p -> (p[1] - p[2]) * (p[1] - p[2])))"
+)
+
+
+def _sql_kmeans_ctes(iters: int = KMEANS_ITERS) -> str:
+    """Chained-CTE replay of kmeans_train: e/c0/a0/c1/a1/... ending at
+    assignment a{iters} against centroids c{iters}."""
+    seeds = ", ".join(map(str, CENTROID_IDS))
+    parts = [
+        f"""e AS (SELECT vec_id, embedding::DOUBLE[] AS v,
+         list_transform(embedding::DOUBLE[],
+                        x -> CAST(floor(x * {CENTROID_SCALE}) AS BIGINT)) AS m
+  FROM embeddings),
+c0 AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, m AS cm
+       FROM e WHERE vec_id IN ({seeds}))"""
+    ]
+    for t in range(iters + 1):
+        d2 = _SQL_KM_D2.format(m="e.m", c="c.cm")
+        parts.append(
+            f"""a{t} AS (
+  SELECT vec_id, m, cid, d2 FROM (
+    SELECT e.vec_id, e.m, c.cid, {d2} AS d2,
+           row_number() OVER (PARTITION BY e.vec_id
+                              ORDER BY {d2} ASC, c.cid ASC) AS rn
+    FROM e CROSS JOIN c{t} c) WHERE rn = 1
+)"""
+        )
+        if t < iters:
+            parts.append(
+                f"""c{t + 1} AS (
+  SELECT cid, list(cv ORDER BY dim) AS cm FROM (
+    SELECT a.cid, u.i AS dim,
+           CAST(floor(sum(u.v)::DOUBLE / count(*)) AS BIGINT) AS cv
+    FROM a{t} a, unnest(list_transform(a.m, (x, i) -> {{'v': x, 'i': i}})) AS t(u)
+    GROUP BY a.cid, u.i) GROUP BY cid
+)"""
+            )
+    return ",\n".join(parts)
+
+
+def _sql_sim_kmeans(iters: int = KMEANS_ITERS) -> str:
+    return f"""
+WITH {_sql_kmeans_ctes(iters)}
+SELECT vec_id, CAST(cid AS BIGINT) AS cid, CAST(d2 AS BIGINT) AS d2
+FROM a{iters}
+"""
+
+
+def q_sim_ivf_trained(spark, sf_dir):
+    """IVF probe against the TRAINED coarse quantizer: the
+    q_sim_ivf_ann shape with Lloyd's centroids instead of fixed corpus
+    vectors. Assignment and probe selection run in exact integer
+    micro-units (engine-stable); candidate scoring returns the true
+    float cosine vs the query. At 10^12 rows the trained assignment is
+    the write-time partition column exactly as with the fixed
+    quantizer — training changes WHERE list boundaries fall, not the
+    probe plan."""
+    ids, Cm, emb = kmeans_train(spark, sf_dir)
+    assign = _kmeans_assign_udf(ids, Cm)
+    assigned = emb.withColumn("cid", assign("m").getField("cid"))
+
+    qv = _query_vec(spark, sf_dir, 0)
+    qm = np.floor(np.asarray(qv, dtype=np.float64) * CENTROID_SCALE).astype(np.int64)
+    d2 = ((qm[None, :] - Cm) ** 2).sum(axis=1)
+    order = sorted(zip(d2, ids))  # d2 asc, cid asc
+    probe_ids = [int(cid) for _, cid in order[:IVF_NPROBE]]
+    probes = spark.createDataFrame([(c,) for c in probe_ids], "cid bigint")
+
+    cos = cos_query_udf(qv)
+    return (
+        assigned.join(F.broadcast(probes), "cid")
+        .filter(F.col("vec_id") != 0)
+        .withColumn("cos", cos(F.col("v")))
+        .select("vec_id", "cid", "cos")
+    )
+
+
+def _sql_sim_ivf_trained(iters: int = KMEANS_ITERS) -> str:
+    d2q = _SQL_KM_D2.format(m="q.qm", c="c.cm")
+    return f"""
+WITH {_sql_kmeans_ctes(iters)},
+q AS (SELECT v AS qv, m AS qm FROM e WHERE vec_id = 0),
+probes AS (
+  SELECT cid FROM (
+    SELECT c.cid,
+           row_number() OVER (ORDER BY {d2q} ASC, c.cid ASC) AS rn
+    FROM c{iters} c, q) WHERE rn <= {IVF_NPROBE}
+)
+SELECT a.vec_id, CAST(a.cid AS BIGINT) AS cid,
+       round(list_cosine_similarity(e.v, q.qv), 4) AS cos
+FROM a{iters} a
+JOIN probes USING (cid)
+JOIN e ON e.vec_id = a.vec_id
+CROSS JOIN q
+WHERE a.vec_id <> 0
 """
 
 
@@ -952,6 +1148,220 @@ LIMIT {TOPK}
 """
 
 
+# --- trained PQ: per-subspace k-means codebooks + ADC --------------------------
+#
+# COVERAGE.md's honest fidelity note measured the fixed-row codebook
+# at ~3/10 recall and attributed the gap to codebook quality; this is
+# the missing training half. All PQ_M subspaces train in ONE
+# distributed job per iteration (the subspace index is just a grouping
+# column), with the same engine-exact integer formulation as
+# kmeans_train: micro-unit subvectors, exact int64 distances, argmin
+# ties to the lowest code, floor(sum/n) centroid updates, and a
+# bounded PQ_M x PQ_KS x PQ_SUB collect (1024 rows) per round. The
+# trained ADC LUT is computed in integer micro-units too (q_micro .
+# code_micro, scaled back by 1e-12 at the end), so the trained top-k
+# is digit-exact against its chained-CTE oracle.
+
+PQ_TRAIN_ITERS = 2
+
+
+def _pq_assign_udf(sub_ids: list, sub_C: list):
+    """codes per subspace under per-sub (possibly shrunken) codebooks;
+    exact int64 distances, argmin ties to lowest code."""
+
+    @F.pandas_udf("array<int>")
+    def enc(m: pd.Series) -> pd.Series:
+        M = np.stack(m.values).astype(np.int64)
+        out = np.empty((M.shape[0], PQ_M), dtype=np.int32)
+        for s in range(PQ_M):
+            sub = M[:, s * PQ_SUB : (s + 1) * PQ_SUB]
+            C = sub_C[s]
+            d2 = (
+                (sub * sub).sum(axis=1)[:, None]
+                + (C * C).sum(axis=1)[None, :]
+                - 2 * (sub @ C.T)
+            )
+            out[:, s] = sub_ids[s][np.argmin(d2, axis=1)]
+        return pd.Series(list(out))
+
+    return enc
+
+
+def pq_train(spark, sf_dir, iters: int = PQ_TRAIN_ITERS):
+    """Per-subspace Lloyd's from the PQ_CODEBOOK_IDS seed slices.
+    Returns (sub_ids, sub_C, emb): per-subspace surviving code ids,
+    their trained micro-unit codeword matrices, and the checkpointed
+    (vec_id, v, mv) frame."""
+    emb = (
+        _emb(spark, sf_dir)
+        .withColumn("mv", _micro_expr())
+        .localCheckpoint(eager=False)
+    )
+    B = np.floor(_pq_codebook(spark, sf_dir) * CENTROID_SCALE).astype(np.int64)
+    sub_ids = [np.arange(PQ_KS, dtype=np.int64) for _ in range(PQ_M)]
+    sub_C = [B[:, s * PQ_SUB : (s + 1) * PQ_SUB].copy() for s in range(PQ_M)]
+    for _ in range(iters):
+        enc = _pq_assign_udf(sub_ids, sub_C)
+        assigned = emb.select("mv", F.posexplode(enc("mv")).alias("sub", "code"))
+        per_dim = assigned.select(
+            "sub",
+            "code",
+            F.posexplode(
+                F.slice(F.col("mv"), F.col("sub") * PQ_SUB + 1, PQ_SUB)
+            ).alias("dim", "x"),
+        )
+        rows = (
+            per_dim.groupBy("sub", "code", "dim")
+            .agg(F.floor(F.sum("x") / F.count("*")).cast("long").alias("cv"))
+            .collect()
+        )
+        by: dict[tuple[int, int], list] = {}
+        for r in rows:
+            by.setdefault((int(r.sub), int(r.code)), [0] * PQ_SUB)[int(r.dim)] = int(r.cv)
+        sub_ids = []
+        sub_C = []
+        for s in range(PQ_M):
+            codes = sorted(c for (ss, c) in by if ss == s)
+            sub_ids.append(np.asarray(codes, dtype=np.int64))
+            sub_C.append(np.asarray([by[(s, c)] for c in codes], dtype=np.int64))
+    return sub_ids, sub_C, emb
+
+
+def q_sim_pq_trained_topk(spark, sf_dir):
+    """ADC top-K against the TRAINED codebook: same broadcast-LUT join
+    + sum plan as q_sim_pq_topk (no full-precision vector read at
+    probe time), with the LUT in exact integer micro-units."""
+    sub_ids, sub_C, emb = pq_train(spark, sf_dir)
+    enc = _pq_assign_udf(sub_ids, sub_C)
+    codes = emb.select("vec_id", F.posexplode(enc("mv")).alias("sub", "code")).filter(
+        F.col("vec_id") != 0
+    )
+    q = np.asarray(_query_vec(spark, sf_dir, 0), dtype=np.float64)
+    qm = np.floor(q * CENTROID_SCALE).astype(np.int64)
+    lut_rows = [
+        (s, int(c), int(np.dot(qm[s * PQ_SUB : (s + 1) * PQ_SUB], sub_C[s][k])))
+        for s in range(PQ_M)
+        for k, c in enumerate(sub_ids[s])
+    ]
+    lut = spark.createDataFrame(lut_rows, "sub int, code int, lut long")
+    scale2 = float(CENTROID_SCALE) * float(CENTROID_SCALE)
+    return (
+        codes.join(F.broadcast(lut), ["sub", "code"])
+        .groupBy("vec_id")
+        .agg(F.round(F.sum("lut") / F.lit(scale2), 4).alias("score_adc"))
+        .orderBy(F.col("score_adc").desc(), F.col("vec_id").asc())
+        .limit(TOPK)
+    )
+
+
+def _sql_pq_train_ctes(iters: int = PQ_TRAIN_ITERS) -> str:
+    d2 = _SQL_KM_D2.format(m="x.sm", c="c.cm")
+    parts = [
+        f"""e AS (SELECT vec_id, embedding::DOUBLE[] AS v,
+         list_transform(embedding::DOUBLE[],
+                        x -> CAST(floor(x * {CENTROID_SCALE}) AS BIGINT)) AS mv
+  FROM embeddings),
+subs AS (SELECT unnest(range(0, {PQ_M})) AS sub),
+sv AS (SELECT e.vec_id, s.sub,
+              list_slice(e.mv, s.sub * {PQ_SUB} + 1, s.sub * {PQ_SUB} + {PQ_SUB}) AS sm
+       FROM e, subs s),
+cb0 AS (SELECT sub, row_number() OVER (PARTITION BY sub ORDER BY vec_id) - 1 AS code,
+               sm AS cm
+        FROM sv WHERE vec_id IN ({_PQ_IDS_SQL}))"""
+    ]
+    for t in range(iters + 1):
+        parts.append(
+            f"""a{t} AS (
+  SELECT vec_id, sub, sm, code FROM (
+    SELECT x.vec_id, x.sub, x.sm, c.code,
+           row_number() OVER (PARTITION BY x.vec_id, x.sub
+                              ORDER BY {d2} ASC, c.code ASC) AS rn
+    FROM sv x JOIN cb{t} c USING (sub)) WHERE rn = 1
+)"""
+        )
+        if t < iters:
+            parts.append(
+                f"""cb{t + 1} AS (
+  SELECT sub, code, list(cv ORDER BY dim) AS cm FROM (
+    SELECT a.sub, a.code, u.i AS dim,
+           CAST(floor(sum(u.v)::DOUBLE / count(*)) AS BIGINT) AS cv
+    FROM a{t} a, unnest(list_transform(a.sm, (x, i) -> {{'v': x, 'i': i}})) AS t(u)
+    GROUP BY a.sub, a.code, u.i) GROUP BY sub, code
+)"""
+            )
+    return ",\n".join(parts)
+
+
+def _sql_sim_pq_trained_topk(iters: int = PQ_TRAIN_ITERS) -> str:
+    return f"""
+WITH {_sql_pq_train_ctes(iters)},
+q AS (SELECT mv FROM e WHERE vec_id = 0),
+qsv AS (SELECT s.sub, list_slice(q.mv, s.sub * {PQ_SUB} + 1, s.sub * {PQ_SUB} + {PQ_SUB}) AS qm
+        FROM subs s, q),
+lut AS (
+  SELECT c.sub, c.code,
+         CAST(list_sum(list_transform(list_zip(qsv.qm, c.cm), p -> p[1] * p[2])) AS BIGINT) AS lut
+  FROM cb{iters} c JOIN qsv USING (sub)
+)
+SELECT a.vec_id,
+       round(CAST(sum(l.lut) AS BIGINT)::DOUBLE / ({CENTROID_SCALE}.0 * {CENTROID_SCALE}), 4) AS score_adc
+FROM a{iters} a JOIN lut l USING (sub, code)
+WHERE a.vec_id <> 0
+GROUP BY a.vec_id
+ORDER BY score_adc DESC, a.vec_id ASC
+LIMIT {TOPK}
+"""
+
+
+def q_sim_pq_recall(spark, sf_dir):
+    """Recall@K of the fixed-row vs trained-codebook PQ against the
+    exact top-K — the measurement that makes the codebook-quality
+    claim checkable instead of narrative. Same declarative shape as
+    q_sim_ann_recall."""
+    topk = q_sim_topk_bruteforce(spark, sf_dir).select("vec_id")
+    fixed = (
+        q_sim_pq_topk(spark, sf_dir).select("vec_id").withColumn("method", F.lit("pq_fixed"))
+    )
+    trained = (
+        q_sim_pq_trained_topk(spark, sf_dir)
+        .select("vec_id")
+        .withColumn("method", F.lit("pq_trained"))
+    )
+    marked = fixed.union(trained).join(
+        topk.withColumn("is_true", F.lit(1)), "vec_id", "left"
+    )
+    return (
+        marked.groupBy("method")
+        .agg(
+            F.count("*").alias("n_candidates"),
+            F.coalesce(F.sum("is_true"), F.lit(0)).cast("long").alias("n_hits"),
+        )
+        .withColumn("k", F.lit(TOPK))
+        .withColumn("recall", F.round(F.col("n_hits") / TOPK, 4))
+    )
+
+
+def _sql_sim_pq_recall() -> str:
+    return f"""
+WITH topk AS ({SQL_SIM_TOPK}),
+fixed AS ({SQL_SIM_PQ_TOPK}),
+trained AS ({_sql_sim_pq_trained_topk()}),
+cand AS (
+  SELECT 'pq_fixed' AS method, vec_id FROM fixed
+  UNION ALL
+  SELECT 'pq_trained' AS method, vec_id FROM trained
+)
+SELECT method,
+       CAST(count(*) AS BIGINT) AS n_candidates,
+       CAST(sum(CASE WHEN vec_id IN (SELECT vec_id FROM topk)
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_hits,
+       CAST({TOPK} AS INT) AS k,
+       round(sum(CASE WHEN vec_id IN (SELECT vec_id FROM topk)
+                      THEN 1 ELSE 0 END)::DOUBLE / {TOPK}, 4) AS recall
+FROM cand GROUP BY method
+"""
+
+
 QUERIES = {
     "sim_topk_bruteforce": q_sim_topk_bruteforce,
     "sim_knn_join": q_sim_knn_join,
@@ -959,12 +1369,16 @@ QUERIES = {
     "sim_lsh_ann": q_sim_lsh_ann,
     "sim_ivf_ann": q_sim_ivf_ann,
     "sim_ann_recall": q_sim_ann_recall,
+    "sim_kmeans": q_sim_kmeans,
+    "sim_ivf_trained": q_sim_ivf_trained,
     "sim_label_centroids": q_sim_label_centroids,
     "sim_quantize_int8": q_sim_quantize_int8,
     "sim_quantized_topk": q_sim_quantized_topk,
     "sim_ivf_quantized": q_sim_ivf_quantized,
     "sim_pq_encode": q_sim_pq_encode,
     "sim_pq_topk": q_sim_pq_topk,
+    "sim_pq_trained_topk": q_sim_pq_trained_topk,
+    "sim_pq_recall": q_sim_pq_recall,
 }
 
 ORACLES = {
@@ -974,10 +1388,14 @@ ORACLES = {
     "sim_lsh_ann": _sql_lsh_ann(),
     "sim_ivf_ann": SQL_SIM_IVF,
     "sim_ann_recall": _sql_ann_recall(),
+    "sim_kmeans": _sql_sim_kmeans(),
+    "sim_ivf_trained": _sql_sim_ivf_trained(),
     "sim_label_centroids": SQL_SIM_CENTROIDS,
     "sim_quantize_int8": SQL_SIM_QUANTIZE,
     "sim_quantized_topk": SQL_SIM_QUANTIZED_TOPK,
     "sim_ivf_quantized": SQL_SIM_IVF_QUANTIZED,
     "sim_pq_encode": SQL_SIM_PQ_ENCODE,
     "sim_pq_topk": SQL_SIM_PQ_TOPK,
+    "sim_pq_trained_topk": _sql_sim_pq_trained_topk(),
+    "sim_pq_recall": _sql_sim_pq_recall(),
 }
