@@ -134,8 +134,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["sim_lsh_buckets"] = similarity.QUERIES["sim_lsh_buckets"]
     for k in ("dd_exact", "dd_simhash", "dd_ngram_jaccard", "dd_contamination", "dd_lsh_stats"):
         out[k] = dedup.QUERIES[k]
-    out["j3_anti_join"] = relational.QUERIES["j3_anti_join"]
-    out["ev_asof_join"] = relational.QUERIES["ev_asof_join"]
+    # ct_chunk_tokens' body changed late in round 5 (windowing core
+    # factored into chunk_array) and ct_chunk_bpe is NEW — both rank
+    # above oldest-green backfill, taking the two relational slots
+    # (j3_anti_join / ev_asof_join: r03 green, byte-unchanged,
+    # sweep-verified this round).
+    out["ct_chunk_tokens"] = html_extract.QUERIES["ct_chunk_tokens"]
+    out["ct_chunk_bpe"] = html_extract.QUERIES["ct_chunk_bpe"]
     # --- driver window boundary (50 entries above) ---
     out.update(similarity.QUERIES)
     out.update(dedup.QUERIES)

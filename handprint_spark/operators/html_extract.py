@@ -539,8 +539,24 @@ def chunk_tokens(
     overlap), the standard shape for pretokenized LM training shards.
     Chunk boundaries come from sequence/transform/slice HOFs + one
     narrow explode: no window function, no sort, no shuffle — a
-    10^12-doc pretokenization pays exactly one scan."""
-    words = F.split(F.col("text"), " ")
+    10^12-doc pretokenization pays exactly one scan. Delegates to
+    ``chunk_array`` (whitespace accounting); ``q_ct_chunk_bpe`` runs
+    the SAME core over trained-BPE symbol sequences."""
+    return chunk_array(
+        docs.select("doc_id", F.split(F.col("text"), " ").alias("_toks")),
+        "_toks",
+        chunk,
+        stride,
+    )
+
+
+def chunk_array(
+    docs: DataFrame, toks_col: str, chunk: int = CHUNK_TOKENS, stride: int = CHUNK_STRIDE
+) -> DataFrame:
+    """Windowing core over any (doc_id, <token array>) frame — one
+    definition shared by the whitespace and BPE-symbol chunkers, so
+    switching token accounting can never drift the layout rule."""
+    words = F.col(toks_col)
     n = F.size(words)
     n_chunks = (F.floor((F.greatest(n - chunk, F.lit(0)) + stride - 1) / stride) + 1).cast(
         "int"
@@ -577,6 +593,47 @@ counted AS (
          (greatest(n - {CHUNK_TOKENS}, 0) + {CHUNK_STRIDE} - 1) // {CHUNK_STRIDE} + 1
              AS n_chunks
   FROM w
+),
+chunks AS (
+  SELECT doc_id, ws, n, unnest(generate_series(0, n_chunks - 1)) AS chunk_id
+  FROM counted
+)
+SELECT doc_id,
+  CAST(chunk_id AS INT) AS chunk_id,
+  CAST(chunk_id * {CHUNK_STRIDE} + 1 AS INT) AS begin_tok,
+  CAST(len(list_slice(ws, chunk_id * {CHUNK_STRIDE} + 1,
+                      least(chunk_id * {CHUNK_STRIDE} + {CHUNK_TOKENS}, n))) AS INT)
+      AS n_tokens,
+  array_to_string(list_slice(ws, chunk_id * {CHUNK_STRIDE} + 1,
+                             least(chunk_id * {CHUNK_STRIDE} + {CHUNK_TOKENS}, n)), ' ')
+      AS chunk_text
+FROM chunks
+"""
+
+
+def q_ct_chunk_bpe(spark, sf_dir):
+    """Token-window chunking with REAL (trained-BPE) token accounting:
+    the SAME windowing core as ``ct_chunk_tokens`` over each doc's
+    trained symbol sequence (``bpe_symbol_docs``) — whitespace counts
+    under-charge rare words, so word-windowed chunks overflow a real
+    context window; symbol-windowed ones cannot. One doc_id exchange
+    for the sequence assembly + the zero-shuffle windowing."""
+    from .text_analysis import bpe_symbol_docs
+
+    return chunk_array(bpe_symbol_docs(spark, sf_dir), "toks")
+
+
+def _sql_ct_chunk_bpe() -> str:
+    from .text_analysis import _sql_bpe_rounds, _sql_bpe_symbol_docs
+
+    return f"""
+WITH {_sql_bpe_rounds()},
+{_sql_bpe_symbol_docs()},
+counted AS (
+  SELECT doc_id, ws, len(ws) AS n,
+         (greatest(len(ws) - {CHUNK_TOKENS}, 0) + {CHUNK_STRIDE} - 1) // {CHUNK_STRIDE} + 1
+             AS n_chunks
+  FROM seq
 ),
 chunks AS (
   SELECT doc_id, ws, n, unnest(generate_series(0, n_chunks - 1)) AS chunk_id
@@ -877,6 +934,7 @@ QUERIES = {
     "hx_anchor_text": q_hx_anchor_text,
     "hx_url_canonicalize": q_hx_url_canonicalize,
     "ct_chunk_tokens": q_ct_chunk_tokens,
+    "ct_chunk_bpe": q_ct_chunk_bpe,
     "hx_host_budget": q_hx_host_budget,
     "hx_tables": q_hx_tables,
     "hx_pagerank": q_hx_pagerank,
@@ -889,6 +947,7 @@ ORACLES = {
     "hx_anchor_text": SQL_HX_ANCHOR_TEXT,
     "hx_url_canonicalize": SQL_HX_URL_CANON,
     "ct_chunk_tokens": SQL_CT_CHUNK_TOKENS,
+    "ct_chunk_bpe": _sql_ct_chunk_bpe(),
     "hx_host_budget": SQL_HX_HOST_BUDGET,
     "hx_tables": _sql_hx_tables(),
     "hx_pagerank": SQL_HX_PAGERANK,

@@ -545,20 +545,29 @@ def _messy_text(docs: DataFrame) -> DataFrame:
     return docs.select("doc_id", raw.alias("raw"))
 
 
-def q_ta_normalize(spark, sf_dir):
-    """(doc_id, norm_text, changed, n_chars_norm): the normalization
-    head over the synthesized-messy corpus. A production pipeline runs
-    ``normalize_text_col`` as the FIRST projection of every curation
-    pass (tests prove keep-list verdicts on normalized mojibake equal
-    verdicts on the clean text — the invariance the stage exists to
-    buy); it composes into any downstream query at zero extra shuffle."""
-    messy = _messy_text(_docs(spark, sf_dir))
+def normalize_verdicts(docs: DataFrame) -> DataFrame:
+    """(doc_id, norm_text, changed, n_chars_norm) over any documents
+    frame — the SAME projection serves the batch query and
+    ``streaming.pipeline.stream_normalize`` (stateless, zero shuffle,
+    so it lifts to readStream unchanged; parity by construction,
+    asserted in test_streaming)."""
+    messy = _messy_text(docs)
     return messy.select(
         "doc_id",
         normalize_text_col(F.col("raw")).alias("norm_text"),
         (normalize_text_col(F.col("raw")) != F.col("raw")).alias("changed"),
         F.length(normalize_text_col(F.col("raw"))).cast("int").alias("n_chars_norm"),
     )
+
+
+def q_ta_normalize(spark, sf_dir):
+    """The normalization head over the synthesized-messy corpus. A
+    production pipeline runs ``normalize_text_col`` as the FIRST
+    projection of every curation pass (tests prove keep-list verdicts
+    on normalized mojibake equal verdicts on the clean text — the
+    invariance the stage exists to buy); it composes into any
+    downstream query at zero extra shuffle."""
+    return normalize_verdicts(_docs(spark, sf_dir))
 
 
 SQL_TA_NORMALIZE = r"""
@@ -1101,6 +1110,48 @@ def q_ta_bpe_encode(spark, sf_dir):
             F.sum("n_sym").cast("long").alias("n_bpe_tokens"),
         )
     )
+
+
+def bpe_symbol_docs(spark, sf_dir) -> DataFrame:
+    """(doc_id, toks): each document's full trained-BPE symbol
+    sequence, words segmented by the final vocab and re-assembled in
+    original order. ONE doc_id exchange (posexplode keeps positions;
+    array_sort over (pos, toks) structs restores order — collect_list
+    itself is unordered and may not be relied on), one equi-join
+    against the vocab segmentation."""
+    _, vocab = bpe_train(_docs(spark, sf_dir))
+    words = (
+        _docs(spark, sf_dir)
+        .select("doc_id", F.posexplode(F.split(F.col("text"), " ")).alias("pos", "word"))
+        .filter(F.col("word") != "")
+    )
+    return (
+        words.join(vocab.select("word", "toks"), "word")
+        .groupBy("doc_id")
+        .agg(
+            F.flatten(
+                F.array_sort(F.collect_list(F.struct("pos", "toks"))).getField("toks")
+            ).alias("toks")
+        )
+    )
+
+
+def _sql_bpe_symbol_docs(n_merges: int = BPE_MERGES) -> str:
+    """CTE suffix: doc_words with positions -> segmented -> per-doc
+    symbol sequence `seq(doc_id, ws)`. Compose after
+    ``_sql_bpe_rounds``."""
+    return f"""dw AS (
+  SELECT doc_id, i AS pos, ws[i] AS word
+  FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+       unnest(generate_series(1, len(ws))) AS t(i)
+  WHERE ws[i] <> ''
+),
+segd AS (
+  SELECT d.doc_id, d.pos, v.toks FROM dw d JOIN vocab{n_merges} v USING (word)
+),
+seq AS (
+  SELECT doc_id, flatten(list(toks ORDER BY pos)) AS ws FROM segd GROUP BY doc_id
+)"""
 
 
 def _sql_bpe_rounds(n_merges: int = BPE_MERGES) -> str:

@@ -402,6 +402,31 @@ def stream_quality_gate(
     return quality_verdicts(stream)
 
 
+def stream_normalize(
+    spark: SparkSession,
+    source_dir: str,
+    schema=None,
+    max_files_per_trigger: int = 1,
+):
+    """Streaming unicode/text normalization: the crawl-cleaning HEAD
+    stage run at ingest time — readStream over a documents directory →
+    the SAME ``normalize_verdicts`` projection as the batch
+    ``ta_normalize`` query (stateless: NFC Arrow map + Catalyst
+    regexps, no shuffle, no state), so stream and batch agree row for
+    row by construction (the batch-parity contract every gate in this
+    module keeps). Returns an unstarted streaming DataFrame."""
+    from ..operators.text_analysis import normalize_verdicts
+
+    if schema is None:
+        schema = spark.read.parquet(source_dir).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(source_dir)
+    )
+    return normalize_verdicts(stream)
+
+
 def stream_incremental_dedup(
     spark: SparkSession,
     source_dir: str,

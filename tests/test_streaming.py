@@ -462,3 +462,36 @@ def test_stream_incremental_dedup_matches_sequential_batches(spark, tmpdir):
         .parquet(index_dir)
     )
     assert spark.read.parquet(index_dir).count() == n_idx_before
+
+
+def test_stream_normalize_matches_batch(spark, sf_tiny, tmpdir):
+    """The normalization head is stateless (NFC Arrow map + Catalyst
+    regexps, zero shuffle), so the streaming and batch answers are
+    identical row-for-row across micro-batches — the ingest-time form
+    of the crawl-cleaning head stage."""
+    from handprint_spark.operators.text_analysis import normalize_verdicts
+    from handprint_spark.streaming.pipeline import stream_normalize
+
+    src = f"{tmpdir}/src_norm"
+    docs = spark.read.parquet(f"{sf_tiny}/documents.parquet").limit(40)
+    docs.repartition(4).write.parquet(src)
+
+    q = (
+        stream_normalize(spark, src, max_files_per_trigger=1)
+        .writeStream.format("memory")
+        .queryName("stream_norm")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", f"{tmpdir}/ckpt_norm")
+        .start()
+    )
+    q.awaitTermination(120)
+
+    got = {
+        r.doc_id: (r.norm_text, r.changed, r.n_chars_norm)
+        for r in spark.sql("select * from stream_norm").collect()
+    }
+    expected = {
+        r.doc_id: (r.norm_text, r.changed, r.n_chars_norm)
+        for r in normalize_verdicts(spark.read.parquet(src)).collect()
+    }
+    assert got == expected
