@@ -74,3 +74,55 @@ def test_bpe_encode_counts(spark, tmp_path):
     # 'xy' merges too once its pair tops the remaining queue, so the
     # whole tiny corpus collapses to one symbol per word
     assert out[1].n_bpe_tokens == 3
+
+
+def test_bpe_symbol_docs_order_and_reconstruction(spark, tmp_path):
+    """The per-doc symbol sequence reconstructs the document: flatten
+    over (pos-sorted) word segmentations concatenates back to the text
+    with spaces removed, and word ORDER is preserved (posexplode +
+    array_sort over (pos, toks) structs — collect_list alone is
+    unordered). Words are chosen so any order swap changes the
+    reconstruction."""
+    from handprint_spark.operators.text_analysis import bpe_symbol_docs
+
+    texts = ["abab cd ef abab", "ef cd abab", "zq abab cd"]
+    sf = _write_docs(tmp_path, texts)
+    seqs = {r.doc_id: r.toks for r in bpe_symbol_docs(spark, sf).collect()}
+    assert set(seqs) == {0, 1, 2}
+    for doc_id, text in enumerate(texts):
+        assert "".join(seqs[doc_id]) == text.replace(" ", "")
+
+
+def test_ct_chunk_bpe_window_algebra(spark, tmp_path):
+    """ct_chunk_bpe runs the SAME chunk_array core as ct_chunk_tokens
+    but over BPE symbols: windows tile the symbol sequence with full
+    coverage, interior chunks are full width, and chunk_text
+    round-trips the symbol slice."""
+    from handprint_spark.operators.html_extract import (
+        CHUNK_STRIDE,
+        CHUNK_TOKENS,
+        q_ct_chunk_bpe,
+    )
+    from handprint_spark.operators.text_analysis import bpe_symbol_docs
+
+    # one long doc: 60 words -> >= 60 symbols, guaranteed > CHUNK_TOKENS
+    words = ["abab" if i % 3 == 0 else ("cd" if i % 3 == 1 else "ef") for i in range(60)]
+    sf = _write_docs(tmp_path, [" ".join(words)])
+    toks = bpe_symbol_docs(spark, sf).collect()[0].toks
+    n = len(toks)
+    assert n > CHUNK_TOKENS
+
+    chunks = q_ct_chunk_bpe(spark, sf).orderBy("chunk_id").collect()
+    import math
+
+    assert len(chunks) == 1 + math.ceil((n - CHUNK_TOKENS) / CHUNK_STRIDE)
+    covered = set()
+    for c in chunks:
+        assert c.n_tokens <= CHUNK_TOKENS
+        covered.update(range(c.begin_tok, c.begin_tok + c.n_tokens))
+        # chunk text round-trips the symbol slice (1-indexed begin_tok)
+        assert c.chunk_text == " ".join(toks[c.begin_tok - 1 : c.begin_tok - 1 + c.n_tokens])
+    assert covered == set(range(1, n + 1))
+    for a, b in zip(chunks, chunks[1:]):
+        assert a.begin_tok + CHUNK_STRIDE == b.begin_tok
+        assert a.n_tokens == CHUNK_TOKENS
