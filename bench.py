@@ -205,6 +205,11 @@ def main() -> None:
         ("ta_normalize", text_analysis.QUERIES["ta_normalize"]),
         ("sim_kmeans", similarity.QUERIES["sim_kmeans"]),
         ("sim_pq_trained_topk", similarity.QUERIES["sim_pq_trained_topk"]),
+        # round 5 (late): BPE-accounted chunking (trained symbol
+        # sequences through the shared windowing core) and shard
+        # packing on real token counts
+        ("ct_chunk_bpe", html_extract.QUERIES["ct_chunk_bpe"]),
+        ("cur_shard_pack_bpe", curation.QUERIES["cur_shard_pack_bpe"]),
     ]
     # Full suite passes (default 3); per-query best across passes.
     # Pass 1 also absorbs each query's one-time whole-stage-codegen
