@@ -91,6 +91,10 @@ EMB_COS_THRESHOLD = 0.3
 # salting is the backstop for the hot bucket banding cannot predict,
 # at the documented cost of cross-chunk recall inside that bucket.
 EMB_MAX_BUCKET = 10_000
+# Row-block width for in-bucket scoring: bounds per-task transient
+# memory at O(block * nb) (~100 MB at the max_bucket ceiling) instead
+# of the O(nb^2) multi-GB temporaries a single dense pass allocates.
+EMB_SCORE_BLOCK = 1024
 
 
 def _docs(spark: SparkSession, sf_dir: str, spread: bool = False) -> DataFrame:
@@ -605,17 +609,33 @@ def _score_bucket_fn(threshold: float, first_band_dedup: bool):
         ids = pdf["vec_id"].to_numpy()
         M = np.stack(pdf["v"].values).astype(np.float64)
         norms = np.sqrt((M * M).sum(axis=1))
-        S = np.round((M @ M.T) / np.outer(norms, norms), 4)
-        iu, ju = np.triu_indices(n, k=1)  # vec_id-sorted: v1 < v2
-        keep = S[iu, ju] >= threshold
         if first_band_dedup:
             band = int(pdf["band"].iloc[0])
             K = np.stack(pdf["keys"].values)  # n x bands
-            first = (K[iu] == K[ju]).argmax(axis=1)  # first colliding band
-            keep &= first == band
-        return pd.DataFrame(
-            {"v1": ids[iu[keep]], "v2": ids[ju[keep]], "cos": S[iu, ju][keep]}
-        )
+        # Score in row blocks: a single dense n x n pass at the
+        # max_bucket ceiling would allocate several O(n^2) float64
+        # temporaries (S, the norm outer product, triu index and
+        # gather arrays — multi-GB per task at n = 10^4) and OOM the
+        # executor; per block the transient footprint is
+        # O(EMB_SCORE_BLOCK * n) (~100 MB) and only threshold
+        # survivors — the actual result — are ever materialized.
+        out = []
+        for s in range(0, n - 1, EMB_SCORE_BLOCK):
+            e = min(s + EMB_SCORE_BLOCK, n)
+            Sb = np.round((M[s:e] @ M.T) / np.outer(norms[s:e], norms), 4)
+            bi, bj = np.nonzero(Sb >= threshold)
+            gi = bi + s
+            keep = gi < bj  # vec_id-sorted upper triangle: v1 < v2
+            gi, gj, cos = gi[keep], bj[keep], Sb[bi[keep], bj[keep]]
+            if first_band_dedup and len(gi):
+                first = (K[gi] == K[gj]).argmax(axis=1)  # first colliding band
+                keep2 = first == band
+                gi, gj, cos = gi[keep2], gj[keep2], cos[keep2]
+            if len(gi):
+                out.append(
+                    pd.DataFrame({"v1": ids[gi], "v2": ids[gj], "cos": cos})
+                )
+        return pd.concat(out, ignore_index=True) if out else empty
 
     return score_bucket
 
@@ -689,9 +709,12 @@ def embedding_neardup(
 
 
 def _emb_source(spark, sf_dir) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
-        "vec_id", F.col("embedding").cast("array<double>").alias("v")
-    )
+    # One definition of the (vec_id, v) source projection for the
+    # whole repo: a schema/cast change must not be able to diverge
+    # the dedup and similarity families.
+    from .similarity import _emb
+
+    return _emb(spark, sf_dir)
 
 
 def q_dd_embedding_neardup(spark, sf_dir):
@@ -713,17 +736,17 @@ def q_dd_emb_neardup_wide(spark, sf_dir):
     return embedding_neardup(_emb_source(spark, sf_dir), bands=2, bits=6)
 
 
-def q_dd_emb_lsh_stats(spark, sf_dir):
-    """Embedding analog of ``q_dd_lsh_stats`` — the pre-join cost gate
-    for the in-bucket matmul: per band, bucket count, population,
-    largest bucket, the EXACT candidate-pair count the scoring stage
-    would face (sum nb*(nb-1)/2), and how many buckets the
-    ``EMB_MAX_BUCKET`` guard would salt. A 10^12-row run reads this
-    BEFORE ``dd_embedding_neardup``: n_cand_pairs is the join's true
-    cost and n_oversized tells whether to grow (bands, bits) or accept
-    salted recall in the listed hot buckets."""
-    emb = _emb_source(spark, sf_dir)
-    keys_udf = _band_keys_udf()
+def emb_lsh_stats(
+    emb: DataFrame,
+    bands: int = EMB_BANDS,
+    bits: int = EMB_BAND_BITS,
+    max_bucket: int = EMB_MAX_BUCKET,
+) -> DataFrame:
+    """The pre-join cost gate at ANY (bands, bits, max_bucket) — it
+    MUST accept the same parameters as ``embedding_neardup``, or the
+    counts it reports describe a different join than the one that
+    will execute (the gate exists to size that exact join)."""
+    keys_udf = _band_keys_udf(bands, bits)
     banded = emb.withColumn("keys", keys_udf(F.col("v"))).select(
         "vec_id", F.posexplode("keys").alias("band", "key")
     )
@@ -733,8 +756,24 @@ def q_dd_emb_lsh_stats(spark, sf_dir):
         F.sum("nb").cast("long").alias("n_vecs"),
         F.max("nb").cast("long").alias("max_bucket"),
         F.sum(F.expr("nb * (nb - 1) DIV 2")).cast("long").alias("n_cand_pairs"),
-        F.sum((F.col("nb") > EMB_MAX_BUCKET).cast("long")).alias("n_oversized"),
+        F.sum((F.col("nb") > max_bucket).cast("long")).alias("n_oversized"),
     )
+
+
+def q_dd_emb_lsh_stats(spark, sf_dir):
+    """Embedding analog of ``q_dd_lsh_stats`` — the pre-join cost gate
+    for the in-bucket matmul: per band, bucket count, population,
+    largest bucket, the EXACT candidate-pair count the scoring stage
+    would face (sum nb*(nb-1)/2), and how many buckets the
+    ``EMB_MAX_BUCKET`` guard would salt. A 10^12-row run reads this
+    BEFORE ``dd_embedding_neardup`` AT THE BANDING IT WILL RUN
+    (``emb_lsh_stats`` takes the same (bands, bits, max_bucket) as the
+    join): n_cand_pairs is the join's true cost and n_oversized tells
+    whether to grow (bands, bits) or accept salted recall in the
+    listed hot buckets. Registered at the default banding; the
+    parameterized form is pytest-pinned against the wide banding's
+    actual bucket population."""
+    return emb_lsh_stats(_emb_source(spark, sf_dir))
 
 
 def _sql_emb_band_key(

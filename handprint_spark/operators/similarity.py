@@ -59,17 +59,18 @@ def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def embeddings_fingerprint(sf_dir: str) -> str:
-    """Content fingerprint of the corpus's embeddings table: the
-    parquet file listing with sizes and mtimes. Cheap (one listdir, no
-    data read) and changes whenever the table is rewritten — the cache
-    key ingredient that keeps memoized scalars (query vectors,
-    centroids) and materialized ANN indexes from going stale when a
-    corpus is regenerated at the same path."""
+def table_fingerprint(sf_dir: str, table: str) -> str:
+    """Content fingerprint of one corpus table: the parquet file
+    listing with sizes and mtimes. Cheap (one listdir, no data read)
+    and changes whenever the table is rewritten — the cache key
+    ingredient that keeps memoized scalars (query vectors, centroids)
+    and trained artifacts (k-means centroids, PQ codebooks, BPE
+    vocab) from going stale when a corpus is regenerated at the same
+    path."""
     import hashlib
     import os
 
-    path = os.path.join(sf_dir, "embeddings.parquet")
+    path = os.path.join(sf_dir, table)
     parts = []
     if os.path.isdir(path):
         for name in sorted(os.listdir(path)):
@@ -79,6 +80,10 @@ def embeddings_fingerprint(sf_dir: str) -> str:
         st = os.stat(path)
         parts.append(f"{os.path.basename(path)}:{st.st_size}:{st.st_mtime_ns}")
     return hashlib.sha256("|".join(parts).encode()).hexdigest()[:16]
+
+
+def embeddings_fingerprint(sf_dir: str) -> str:
+    return table_fingerprint(sf_dir, "embeddings.parquet")
 
 
 _VEC_CACHE: dict[tuple[str, str, int], list[float]] = {}
@@ -596,12 +601,31 @@ def _kmeans_assign_udf(ids: np.ndarray, Cm: np.ndarray):
     return assign
 
 
+_KMEANS_CACHE: dict[tuple, tuple] = {}
+
+
 def kmeans_train(spark, sf_dir, iters: int = KMEANS_ITERS):
     """Lloyd's k-means from the CENTROID_IDS seed vectors (cluster ids
     are 0..K-1 in seed-vec_id order). Returns (ids, Cm, emb): the
     surviving cluster ids, their trained micro-unit centroid matrix,
     and the checkpointed (vec_id, v, m) frame the caller can keep
-    scoring against (text read once)."""
+    scoring against (text read once).
+
+    Memoized per (session, corpus content, iters) — the
+    _CENTROID_CACHE precedent: three registered queries (sim_kmeans,
+    sim_ivf_trained, sim_ann_recall) consume the same trained
+    quantizer, and retraining it per probe is iters full-corpus
+    aggregations of pure overhead. A production index trains ONCE at
+    build time; the session id keys the cached checkpointed frame to
+    the JVM that owns it."""
+    key = (
+        spark.sparkContext.applicationId,
+        sf_dir,
+        embeddings_fingerprint(sf_dir),
+        iters,
+    )
+    if key in _KMEANS_CACHE:
+        return _KMEANS_CACHE[key]
     emb = (
         _emb(spark, sf_dir)
         .withColumn("m", _micro_expr())
@@ -625,6 +649,7 @@ def kmeans_train(spark, sf_dir, iters: int = KMEANS_ITERS):
             by_cid.setdefault(int(r.cid), [0] * dim)[int(r.dim)] = int(r.cv)
         ids = np.asarray(sorted(by_cid), dtype=np.int64)
         Cm = np.asarray([by_cid[int(c)] for c in ids], dtype=np.int64)
+    _KMEANS_CACHE[key] = (ids, Cm, emb)
     return ids, Cm, emb
 
 
@@ -1187,11 +1212,24 @@ def _pq_assign_udf(sub_ids: list, sub_C: list):
     return enc
 
 
+_PQ_TRAIN_CACHE: dict[tuple, tuple] = {}
+
+
 def pq_train(spark, sf_dir, iters: int = PQ_TRAIN_ITERS):
     """Per-subspace Lloyd's from the PQ_CODEBOOK_IDS seed slices.
     Returns (sub_ids, sub_C, emb): per-subspace surviving code ids,
     their trained micro-unit codeword matrices, and the checkpointed
-    (vec_id, v, mv) frame."""
+    (vec_id, v, mv) frame. Memoized per (session, corpus content,
+    iters) like ``kmeans_train`` — sim_pq_trained_topk and
+    sim_pq_recall share one training."""
+    key = (
+        spark.sparkContext.applicationId,
+        sf_dir,
+        embeddings_fingerprint(sf_dir),
+        iters,
+    )
+    if key in _PQ_TRAIN_CACHE:
+        return _PQ_TRAIN_CACHE[key]
     emb = (
         _emb(spark, sf_dir)
         .withColumn("mv", _micro_expr())
@@ -1224,6 +1262,7 @@ def pq_train(spark, sf_dir, iters: int = PQ_TRAIN_ITERS):
             codes = sorted(c for (ss, c) in by if ss == s)
             sub_ids.append(np.asarray(codes, dtype=np.int64))
             sub_C.append(np.asarray([by[(s, c)] for c in codes], dtype=np.int64))
+    _PQ_TRAIN_CACHE[key] = (sub_ids, sub_C, emb)
     return sub_ids, sub_C, emb
 
 

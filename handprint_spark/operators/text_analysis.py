@@ -552,11 +552,18 @@ def normalize_verdicts(docs: DataFrame) -> DataFrame:
     so it lifts to readStream unchanged; parity by construction,
     asserted in test_streaming)."""
     messy = _messy_text(docs)
+    # Materialize norm_text ONCE as a named column and derive the
+    # verdict/length from it: three inline normalize_text_col calls
+    # would run three _nfc_udf Arrow round-trips + three 4-regexp
+    # chains per row (distinct UDF instances — Catalyst cannot CSE
+    # them), tripling the cost of the pipeline's head stage.
     return messy.select(
+        "doc_id", "raw", normalize_text_col(F.col("raw")).alias("norm_text")
+    ).select(
         "doc_id",
-        normalize_text_col(F.col("raw")).alias("norm_text"),
-        (normalize_text_col(F.col("raw")) != F.col("raw")).alias("changed"),
-        F.length(normalize_text_col(F.col("raw"))).cast("int").alias("n_chars_norm"),
+        "norm_text",
+        (F.col("norm_text") != F.col("raw")).alias("changed"),
+        F.length("norm_text").cast("int").alias("n_chars_norm"),
     )
 
 
@@ -1024,15 +1031,27 @@ def _bpe_adj_pairs(toks_col: str):
     ).cast("array<struct<l:string,r:string>>")
 
 
+def _sql_lit(s: str) -> str:
+    """A Spark-SQL single-quoted string literal of arbitrary content.
+    Merge symbols are corpus-DERIVED, so interpolating them unescaped
+    into F.expr would be data-driven SQL injection (and a guaranteed
+    ParseException on the first apostrophe in real web text — "don't"
+    tops English pair counts). Spark's default parser honors C-style
+    backslash escapes in literals."""
+    return "'" + s.replace("\\", "\\\\").replace("'", "\\'") + "'"
+
+
 def _bpe_merge_expr(toks_col: str, l: str, r: str) -> str:
     """Greedy LTR non-overlapping merge of the pair (l, r) as a
-    Catalyst fold (symbols are [a-z0-9]+ so literal quoting is safe)."""
+    Catalyst fold. l/r come from the data — always quoted via
+    ``_sql_lit``, never splice raw."""
+    ll, rl, ml = _sql_lit(l), _sql_lit(r), _sql_lit(l + r)
     return (
         f"CASE WHEN size({toks_col}) < 2 THEN {toks_col} ELSE "
         f"aggregate(slice({toks_col}, 2, size({toks_col}) - 1), "
         f"array(element_at({toks_col}, 1)), "
-        f"(acc, t) -> CASE WHEN element_at(acc, -1) = '{l}' AND t = '{r}' "
-        f"THEN concat(slice(acc, 1, size(acc) - 1), array('{l}{r}')) "
+        f"(acc, t) -> CASE WHEN element_at(acc, -1) = {ll} AND t = {rl} "
+        f"THEN concat(slice(acc, 1, size(acc) - 1), array({ml})) "
         f"ELSE concat(acc, array(t)) END) END"
     )
 
@@ -1073,6 +1092,31 @@ def bpe_train(docs: DataFrame, n_merges: int = BPE_MERGES):
     return merges, vocab
 
 
+_BPE_CACHE: dict[tuple, tuple] = {}
+
+
+def bpe_train_corpus(spark, sf_dir, n_merges: int = BPE_MERGES):
+    """``bpe_train`` over the corpus documents table, memoized per
+    (session, corpus content, n_merges) — the `_CENTROID_CACHE`
+    precedent: four registered queries (ta_bpe_train, ta_bpe_encode,
+    ct_chunk_bpe, cur_shard_pack_bpe) consume the SAME trained vocab,
+    and a production pipeline trains once and ships the merge table;
+    retraining per query is n_merges full-vocab jobs of pure
+    overhead. The vocab frame chain is localCheckpointed, so reuse
+    also skips re-materializing every round's segmentation."""
+    from .similarity import table_fingerprint
+
+    key = (
+        spark.sparkContext.applicationId,
+        sf_dir,
+        table_fingerprint(sf_dir, "documents.parquet"),
+        n_merges,
+    )
+    if key not in _BPE_CACHE:
+        _BPE_CACHE[key] = bpe_train(_docs(spark, sf_dir), n_merges)
+    return _BPE_CACHE[key]
+
+
 def q_ta_bpe_train(spark, sf_dir):
     """The trained merge table: (merge_rank, lhs, rhs, merged,
     pair_count) for BPE_MERGES rounds, tiebreak (count desc, lhs asc,
@@ -1081,7 +1125,7 @@ def q_ta_bpe_train(spark, sf_dir):
     with the fold expressed via list_reduce over a comma-separated
     symbol accumulator (symbols are [a-z0-9]+, so ',' is a safe
     separator and an exact last-symbol anchor)."""
-    merges, _ = bpe_train(_docs(spark, sf_dir))
+    merges, _ = bpe_train_corpus(spark, sf_dir)
     return spark.createDataFrame(
         merges,
         "merge_rank int, lhs string, rhs string, merged string, pair_count bigint",
@@ -1095,7 +1139,7 @@ def q_ta_bpe_encode(spark, sf_dir):
     under-charge rare words, which BPE splits into several symbols).
     One explode + one equi-join against the final vocab segmentation;
     document text is read once."""
-    _, vocab = bpe_train(_docs(spark, sf_dir))
+    _, vocab = bpe_train_corpus(spark, sf_dir)
     seg = vocab.select("word", F.size("toks").alias("n_sym"))
     words = (
         _docs(spark, sf_dir)
@@ -1119,7 +1163,7 @@ def bpe_symbol_docs(spark, sf_dir) -> DataFrame:
     array_sort over (pos, toks) structs restores order — collect_list
     itself is unordered and may not be relied on), one equi-join
     against the vocab segmentation."""
-    _, vocab = bpe_train(_docs(spark, sf_dir))
+    _, vocab = bpe_train_corpus(spark, sf_dir)
     words = (
         _docs(spark, sf_dir)
         .select("doc_id", F.posexplode(F.split(F.col("text"), " ")).alias("pos", "word"))

@@ -126,3 +126,41 @@ def test_ct_chunk_bpe_window_algebra(spark, tmp_path):
     for a, b in zip(chunks, chunks[1:]):
         assert a.begin_tok + CHUNK_STRIDE == b.begin_tok
         assert a.n_tokens == CHUNK_TOKENS
+
+
+def test_bpe_symbols_with_quotes_and_backslashes(spark, tmp_path):
+    """Merge symbols are corpus-derived and spliced into F.expr —
+    they MUST be escaped, or the first apostrophe in real text (don't)
+    is a ParseException / SQL injection. Corpus of a'b and a\\b words:
+    training completes and every word still segments to symbols that
+    reconstruct it."""
+    from handprint_spark.operators.text_analysis import bpe_train
+
+    sf = _write_docs(tmp_path, ["a'b a'b a\\b", "a'b a\\b don't"])
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    merges, vocab = bpe_train(docs, n_merges=8)
+    assert merges  # training ran past quoted-symbol rounds
+    assert any("'" in m[3] or "\\" in m[3] for m in merges)
+    segs = {r.word: r.toks for r in vocab.collect()}
+    for word, toks in segs.items():
+        assert "".join(toks) == word
+
+
+def test_bpe_train_corpus_is_memoized(spark, tmp_path):
+    """bpe_train_corpus caches per (session, corpus content, merges):
+    two calls return the identical objects; rewriting the corpus at
+    the same path drops the memo (content fingerprint in the key)."""
+    import time
+
+    from handprint_spark.operators.text_analysis import bpe_train_corpus
+
+    sf = _write_docs(tmp_path, ["abab ab ab"])
+    first = bpe_train_corpus(spark, sf)
+    again = bpe_train_corpus(spark, sf)
+    assert again[0] is first[0] and again[1] is first[1]
+
+    time.sleep(0.01)  # ensure a distinct mtime_ns on the rewrite
+    _write_docs(tmp_path, ["xy xy xy"])
+    retrained = bpe_train_corpus(spark, sf)
+    assert retrained[0] != first[0]
+    assert retrained[0][0][1:4] == ("x", "y", "xy")

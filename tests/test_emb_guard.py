@@ -107,3 +107,45 @@ def test_salted_scores_match_exact_scores(spark):
     guarded = {(r.v1, r.v2): r.cos for r in embedding_neardup(emb, max_bucket=8).collect()}
     for pair, cos in guarded.items():
         assert exact[pair] == cos
+
+
+def test_blockwise_scoring_matches_single_block(spark, monkeypatch):
+    """Scoring runs in row blocks (EMB_SCORE_BLOCK) so a max_bucket-
+    sized group never allocates O(n^2) temporaries; the emitted pair
+    set and cosines must be IDENTICAL at any block width. Shrinking
+    the block to 7 forces the multi-block path over the 120-vector
+    degenerate bucket (18 blocks) on both the exact and salted
+    plans."""
+    from handprint_spark.operators import dedup
+
+    emb = _degenerate_emb(spark)
+    wide = {(r.v1, r.v2, r.cos) for r in dedup.embedding_neardup(emb, max_bucket=10**9).collect()}
+    salted = {(r.v1, r.v2, r.cos) for r in dedup.embedding_neardup(emb, max_bucket=10).collect()}
+    monkeypatch.setattr(dedup, "EMB_SCORE_BLOCK", 7)
+    wide7 = {(r.v1, r.v2, r.cos) for r in dedup.embedding_neardup(emb, max_bucket=10**9).collect()}
+    salted7 = {(r.v1, r.v2, r.cos) for r in dedup.embedding_neardup(emb, max_bucket=10).collect()}
+    assert wide7 == wide and len(wide) == 120 * 119 // 2
+    assert salted7 == salted
+
+
+def test_emb_lsh_stats_parameterized_matches_join_banding(spark, sf_tiny):
+    """The cost gate must report at the banding the join will RUN:
+    at (2 bands x 6 bits) the stats frame has exactly the wide
+    join's band ids, bucket populations summing to the corpus, and a
+    small max_bucket marks oversized buckets the guard would salt."""
+    from handprint_spark.operators.dedup import emb_lsh_stats
+    from handprint_spark.operators.similarity import _emb
+
+    emb = _emb(spark, sf_tiny)
+    n_vecs = emb.count()
+    rows = {r.band: r for r in emb_lsh_stats(emb, bands=2, bits=6).collect()}
+    assert set(rows) == {0, 1}
+    for r in rows.values():
+        assert r.n_vecs == n_vecs
+        assert r.n_buckets <= 64  # 2^6 keys per band
+        assert r.n_oversized == 0  # sandbox buckets sit far under the guard
+    tight = {r.band: r for r in emb_lsh_stats(emb, bands=2, bits=6, max_bucket=1).collect()}
+    for b, r in tight.items():
+        # every bucket with >= 2 vectors is oversized at max_bucket=1
+        assert r.n_oversized > 0
+        assert r.max_bucket == rows[b].max_bucket  # population unchanged

@@ -105,3 +105,18 @@ def test_pq_train_preserves_encode_shape(spark, sf_tiny):
         assert len(r.codes) == PQ_M
         for s, c in enumerate(r.codes):
             assert c in set(int(x) for x in sub_ids[s])
+
+
+def test_training_is_memoized_per_corpus_content(spark, sf_tiny):
+    """kmeans_train/pq_train memoize per (session, corpus content,
+    iters): the three IVF consumers and the two PQ consumers share one
+    training each instead of re-running Lloyd's per registered query."""
+    from handprint_spark.operators.similarity import kmeans_train, pq_train
+
+    k1 = kmeans_train(spark, sf_tiny)
+    k2 = kmeans_train(spark, sf_tiny)
+    assert k1[0] is k2[0] and k1[1] is k2[1] and k1[2] is k2[2]
+
+    p1 = pq_train(spark, sf_tiny)
+    p2 = pq_train(spark, sf_tiny)
+    assert p1[0] is p2[0] and p1[1] is p2[1] and p1[2] is p2[2]

@@ -90,3 +90,16 @@ def test_approx_quantiles_within_tolerance(spark, sf_tiny):
         assert a.mean_tokens == e.mean_tokens
         for col in ("p50", "p90", "p99"):
             assert abs(getattr(a, col) - getattr(e, col)) <= TOL, (lang, col)
+
+
+def test_normalize_chain_runs_once_per_row(spark, sf_tiny):
+    """norm_text is computed ONCE as a named column; deriving changed
+    and n_chars_norm from it keeps exactly one Arrow NFC crossing and
+    one regexp chain in the plan (three inline chains were 3x the
+    head-stage cost — distinct pandas-UDF instances cannot be CSE'd)."""
+    from handprint_spark.operators.text_analysis import normalize_verdicts
+
+    df = normalize_verdicts(spark.read.parquet(f"{sf_tiny}/documents.parquet"))
+    plan = df._sc._jvm.PythonSQLUtils.explainString(df._jdf.queryExecution(), "simple")
+    assert plan.count("ArrowEvalPython") == 1
+    assert plan.count("nfc(") == 1
