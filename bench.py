@@ -211,6 +211,24 @@ def main() -> None:
         ("ct_chunk_bpe", html_extract.QUERIES["ct_chunk_bpe"]),
         ("cur_shard_pack_bpe", curation.QUERIES["cur_shard_pack_bpe"]),
     ]
+    # Trained artifacts (BPE vocab, k-means centroids, PQ codebooks)
+    # memoize per corpus content — production trains ONCE at index/
+    # vocab build time, so per-query suite times below are honest
+    # steady-state PROBE costs. The one-time training cost is real and
+    # reported separately here (cold, before any consumer runs), so a
+    # round-over-round diff can't mistake cache reuse for a plan win.
+    from handprint_spark.operators.similarity import kmeans_train, pq_train
+    from handprint_spark.operators.text_analysis import bpe_train_corpus
+
+    for cold_name, trainer in (
+        ("train_bpe_cold", lambda: bpe_train_corpus(spark, sf_dir)),
+        ("train_kmeans_cold", lambda: kmeans_train(spark, sf_dir)),
+        ("train_pq_cold", lambda: pq_train(spark, sf_dir)),
+    ):
+        t0 = time.perf_counter()
+        trainer()
+        timings[cold_name] = round(time.perf_counter() - t0, 3)
+
     # Full suite passes (default 3); per-query best across passes.
     # Pass 1 also absorbs each query's one-time whole-stage-codegen
     # compile (the iterative CC query compiles ~10 distinct round
