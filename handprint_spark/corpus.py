@@ -180,13 +180,23 @@ def spanify(documents: DataFrame) -> DataFrame:
     # NB: built with Column functions, not F.expr strings — a literal
     # "\f" inside an expr string is parsed as backslash+f and translate
     # would strip every 'f' from the corpus (found the hard way).
-    words = F.split(F.trim(F.translate(F.col("text"), "\f", " ")), " +")
+    # Filter empty strings like the Python twin (split_lines's `if w`):
+    # Spark's split("", " +") yields [""], which un-filtered produced
+    # ONE empty line — a whole span + media object — for an
+    # empty/whitespace-only document, where split_lines and every
+    # oracle CTE produce zero.
+    words = F.filter(
+        F.split(F.trim(F.translate(F.col("text"), "\f", " ")), " +"),
+        lambda w: w != "",
+    )
     n_lines = F.ceil(F.size(words) / F.lit(WORDS_PER_LINE)).cast("int")
-    lines = F.transform(
-        F.sequence(F.lit(0), n_lines - 1),
-        lambda i: F.array_join(
-            F.slice(words, i * WORDS_PER_LINE + 1, WORDS_PER_LINE), " "
-        ),
+    lines = F.when(n_lines <= 0, F.array().cast("array<string>")).otherwise(
+        F.transform(
+            F.sequence(F.lit(0), F.greatest(n_lines - 1, F.lit(0))),
+            lambda i: F.array_join(
+                F.slice(words, i * WORDS_PER_LINE + 1, WORDS_PER_LINE), " "
+            ),
+        )
     )
     df = documents.select(
         F.col("doc_id").cast("string").alias("doc_id"),

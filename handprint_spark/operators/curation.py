@@ -17,6 +17,7 @@ hazards beyond the parts already audited.
 
 from __future__ import annotations
 
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from .dedup import SQL_DD_EXACT
@@ -147,28 +148,22 @@ def q_cur_report(spark, sf_dir):
     mean_tokens): per-stratum corpus composition. n_unique counts
     distinct text hashes WITHIN the stratum (count_distinct is a
     two-stage partial-agg in Spark — no per-group row materialization);
-    quality_rate applies the ta_quality gates inline (same predicate,
-    no join)."""
-    words = F.split(F.col("text"), " ")
-    n_tokens = F.size(words)
-    stop_arr = F.array(*[F.lit(w) for w in EN_STOP])
-    stop_ratio = F.round(
-        F.size(F.filter(words, lambda w: F.array_contains(stop_arr, w))) / n_tokens, 4
+    quality_rate aggregates the SHARED ``quality_verdicts`` gate
+    (carry= passes the stratum keys + the dedup hash through the one
+    gate definition — re-stating the thresholds here is exactly the
+    drift risk the keep-list docstring warns against)."""
+    from .text_analysis import quality_verdicts
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").withColumn(
+        "h", F.md5(F.col("text").cast("binary"))
     )
-    passes = (n_tokens >= 20) & (n_tokens <= 500) & (stop_ratio >= 0.05)
-    return (
-        spark.read.parquet(f"{sf_dir}/documents.parquet")
-        .groupBy("lang", "source")
-        .agg(
-            F.count("*").alias("n_docs"),
-            F.count_distinct(F.md5(F.col("text").cast("binary"))).alias("n_unique"),
-            F.round(
-                1 - F.count_distinct(F.md5(F.col("text").cast("binary"))) / F.count("*"),
-                4,
-            ).alias("dup_rate"),
-            F.round(F.avg(passes.cast("int")), 4).alias("quality_rate"),
-            F.round(F.avg(n_tokens), 4).alias("mean_tokens"),
-        )
+    verdicts = quality_verdicts(docs, carry=("lang", "source", "h"))
+    return verdicts.groupBy("lang", "source").agg(
+        F.count("*").alias("n_docs"),
+        F.count_distinct("h").alias("n_unique"),
+        F.round(1 - F.count_distinct("h") / F.count("*"), 4).alias("dup_rate"),
+        F.round(F.avg(F.col("passes_quality").cast("int")), 4).alias("quality_rate"),
+        F.round(F.avg("n_tokens"), 4).alias("mean_tokens"),
     )
 
 

@@ -53,6 +53,13 @@ def media_features(spans_with_media: DataFrame) -> DataFrame:
         for pdf in batches:
             rows = []
             for doc_id, ref, content in zip(pdf["doc_id"], pdf["media_ref"], pdf["content"]):
+                if content is None:
+                    # null bytes must be an error ROW (the schema's
+                    # error column exists for this), not a job-killing
+                    # bytes(None) TypeError — errors.py row-vs-job policy
+                    rows.append((doc_id, ref, None, None, None, None, 0, None,
+                                 "null media content"))
+                    continue
                 try:
                     info = codec.decode_media(bytes(content))
                     px = codec.render_pixels(
@@ -100,6 +107,8 @@ def frame_sample(spans_with_media: DataFrame, every_n: int = 2) -> DataFrame:
         for pdf in batches:
             rows = []
             for doc_id, ref, content in zip(pdf["doc_id"], pdf["media_ref"], pdf["content"]):
+                if content is None:  # row-level skip, never bytes(None)
+                    continue
                 try:
                     info = codec.decode_media(bytes(content))
                 except codec.MediaError:

@@ -127,7 +127,10 @@ def stream_first_seen(documents_stream: DataFrame) -> DataFrame:
                     d = str(doc_id)
                     k = (len(d), d)
                     if best is None or k < best[0]:
-                        best = (k, d, int(len(text)))
+                        # NULL text must be a row-level verdict, not a
+                        # query-killing TypeError (errors.py policy;
+                        # the decontaminate gate guards identically).
+                        best = (k, d, int(len(text or "")))
             seen += len(pdf)
         state.update((seen,))
         first_rows = (
@@ -184,9 +187,28 @@ def stream_sessionize(events_stream: DataFrame, gap_sec: int | None = None) -> D
             T.StructField("start", T.LongType()),
             T.StructField("last", T.LongType()),
             T.StructField("n", T.LongType()),
-            T.StructField("total", T.DoubleType()),
+            # exact integer cents, NOT a running double: the batch
+            # query sums per-value decimal(18,2) casts, and a binary
+            # float accumulator finished with Python banker's round
+            # diverges on .005 boundaries — the exact bug class this
+            # module already guards twice (stream_event_counts,
+            # stream_decontaminate).
+            T.StructField("total_cents", T.LongType()),
         ]
     )
+
+    def _cents(v: float) -> int:
+        # Spark's double -> decimal(18,2) cast parses the double's
+        # SHORTEST decimal representation and rounds HALF_UP; Python's
+        # repr is the same shortest-round-trip string, so this matches
+        # the batch cast digit-for-digit (floor(v*100+0.5) would NOT:
+        # 1.005*100+0.5 underflows to 100.9999... and floors wrong).
+        from decimal import ROUND_HALF_UP, Decimal
+
+        return int(
+            Decimal(repr(float(v))).quantize(Decimal("0.01"), rounding=ROUND_HALF_UP)
+            * 100
+        )
 
     def sess(key, pdf_iter, state: GroupState):
         import pandas as pd
@@ -201,7 +223,7 @@ def stream_sessionize(events_stream: DataFrame, gap_sec: int | None = None) -> D
                     "start_epoch": s[0],
                     "end_epoch": s[1],
                     "n_events": s[2],
-                    "total_value": round(s[3], 2),
+                    "total_value": s[3] / 100.0,
                 }
             )
 
@@ -219,12 +241,20 @@ def stream_sessionize(events_stream: DataFrame, gap_sec: int | None = None) -> D
         for ts, val in zip(ev["ts"], ev["value"]):
             t = int(ts.timestamp())
             if cur is None:
-                cur = [t, t, 1, float(val)]
+                cur = [t, t, 1, _cents(val)]
             elif t - cur[1] > gap:
                 close(cur)
-                cur = [t, t, 1, float(val)]
+                cur = [t, t, 1, _cents(val)]
             else:
-                cur[1], cur[2], cur[3] = t, cur[2] + 1, cur[3] + float(val)
+                # A late-but-above-watermark event from a PRIOR batch
+                # may precede the open session's bounds: extend with
+                # min/max, never rewind (an unconditional last = t
+                # corrupted the gap base — end_epoch could precede the
+                # true last event and one real session split in two).
+                cur[0] = min(cur[0], t)
+                cur[1] = max(cur[1], t)
+                cur[2] += 1
+                cur[3] += _cents(val)
         state.update(tuple(cur))
         # close via event-time timeout once the watermark passes the gap
         state.setTimeoutTimestamp((cur[1] + gap) * 1000)
@@ -477,12 +507,23 @@ def stream_incremental_dedup(
     )
 
     def process(batch_df, batch_id: int):
+        from pyspark.errors import AnalysisException
+
         sess = batch_df.sparkSession
         try:
             prior = sess.read.parquet(index_dir).filter(
                 F.col("ingest_batch") < batch_id
             )
-        except Exception:  # first batch: no index written yet
+        except AnalysisException as exc:
+            # ONLY the expected first-batch case (no index written
+            # yet) may degrade to an empty index. A bare except here
+            # would turn any transient read failure (storage hiccup,
+            # corrupt footer) at batch N into "no duplicates" for the
+            # whole micro-batch — silently polluting corpus AND index.
+            if "PATH_NOT_FOUND" not in str(exc) and "Path does not exist" not in str(
+                exc
+            ):
+                raise
             prior = sess.createDataFrame(
                 [], "doc_id bigint, band_key string, ingest_batch bigint"
             )

@@ -198,3 +198,21 @@ def test_fused_decode_equals_normalize_then_decode():
         assert fused_err == chain_err
         if fused_err is None:
             assert fused_text == chain_text
+
+
+def test_spanify_empty_text_matches_python_twin(spark):
+    """Empty / whitespace-only / formfeed-only documents produce ZERO
+    spans on both the Spark path (spanify) and the Python twin
+    (build_doc) — split('', ' +') yields [''] in Spark, which
+    un-filtered minted one phantom empty line + media object."""
+    from handprint_spark.corpus import build_doc, spanify
+
+    docs = spark.createDataFrame(
+        [(101, ""), (102, "   "), (103, "\f\f"), (104, "one two")],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: (len(r.spans), len(r.media)) for r in spanify(docs).collect()}
+    for doc_id, text in ((101, ""), (102, "   "), (103, "\f\f"), (104, "one two")):
+        _, spans, media = build_doc(doc_id, text)
+        assert got[str(doc_id)] == (len(spans), len(media)), doc_id
+    assert got["101"] == (0, 0) and got["104"] == (2, 1)

@@ -180,3 +180,17 @@ def test_caption_align_general_interleaving(spark):
         assert rows[ref].cap_after == "closing words"
     assert rows["d/p9"].cap_before == "closing words"
     assert rows["d/p9"].cap_after is None
+
+
+def test_media_features_null_content_is_error_row(spark):
+    """A media struct with NULL content yields an error ROW (the
+    schema's error column), never a job-killing bytes(None) TypeError."""
+    from handprint_spark.operators.multimodal import media_features
+
+    df = spark.createDataFrame(
+        [("d1", [{"media_ref": "d1/line-0", "content": None}])],
+        "doc_id string, media array<struct<media_ref:string,content:binary>>",
+    )
+    rows = media_features(df).collect()
+    assert len(rows) == 1
+    assert rows[0].error == "null media content" and rows[0].byte_size == 0

@@ -495,3 +495,96 @@ def test_stream_normalize_matches_batch(spark, sf_tiny, tmpdir):
         for r in normalize_verdicts(spark.read.parquet(src)).collect()
     }
     assert got == expected
+
+
+def test_stream_sessionize_out_of_order_and_decimal_parity(spark, tmpdir):
+    """Two defects pinned at once. (1) A late-but-above-watermark
+    event from a prior batch must EXTEND the open session with
+    min/max, never rewind its gap base — the unconditional last=t
+    closed sessions with end_epoch < start_epoch and split one real
+    session in two. (2) total_value accumulates exact integer cents
+    via the same shortest-repr HALF_UP rule as the batch query's
+    decimal(18,2) cast: 0.125 -> 0.13 and 1.005 -> 1.01 (a float sum
+    finished with Python banker's round gives 0.12, and the
+    floor(v*100+0.5) idiom underflows 1.005 to 1.00)."""
+    import pandas as pd
+
+    from handprint_spark.streaming.pipeline import stream_sessionize
+
+    def events(rows, start_id=0):
+        return pd.DataFrame(
+            [
+                {
+                    "event_id": start_id + i,
+                    "ts": pd.Timestamp("2024-01-01") + pd.Timedelta(seconds=s),
+                    "user_id": u,
+                    "value": float(v),
+                }
+                for i, (u, s, v) in enumerate(rows)
+            ]
+        )
+
+    src = f"{tmpdir}/sess_ooo_src"
+    os.makedirs(src)
+    events([(7, 1000, 0.125)]).to_parquet(f"{src}/a.parquet", coerce_timestamps="us")
+    time.sleep(1.1)
+    # batch B: t=900 arrives LATE (above the 600s watermark), then
+    # 1060 (inside the gap only if last stayed 1000), then the closer
+    events([(7, 900, 1.005), (7, 1060, 2.0), (7, 3000, 1.0)], 1).to_parquet(
+        f"{src}/b.parquet", coerce_timestamps="us"
+    )
+
+    stream = (
+        spark.readStream.schema(
+            "event_id long, ts timestamp, user_id long, value double"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .option("latestFirst", "false")
+        .parquet(src)
+        .withWatermark("ts", "600 seconds")
+    )
+    q = (
+        stream_sessionize(stream, gap_sec=100)
+        .writeStream.format("memory")
+        .queryName("stream_sessions_ooo")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", f"{tmpdir}/sess_ooo_ckpt")
+        .start()
+    )
+    q.awaitTermination(120)
+
+    base = int(pd.Timestamp("2024-01-01").timestamp())
+    got = [
+        (r.start_epoch - base, r.end_epoch - base, r.n_events, r.total_value)
+        for r in spark.sql("select * from stream_sessions_ooo").collect()
+    ]
+    # ONE session spanning the late event, exact decimal total —
+    # matches batch ev_sessionize over the same rows (gaps 100, 60)
+    assert got == [(900, 1060, 3, 3.14)]
+
+
+def test_stream_first_seen_null_text_is_row_verdict(spark, tmpdir):
+    """A NULL text row must produce a first-seen verdict (n_chars 0),
+    not a query-killing TypeError — errors.py's row-vs-job policy."""
+    import pandas as pd
+
+    from handprint_spark.streaming.pipeline import stream_first_seen
+
+    src = f"{tmpdir}/fs_null_src"
+    os.makedirs(src)
+    pd.DataFrame(
+        {"doc_id": [1, 2, 3], "text": ["alpha", None, "alpha"]}
+    ).to_parquet(f"{src}/a.parquet")
+
+    stream = spark.readStream.schema("doc_id long, text string").parquet(src)
+    q = (
+        stream_first_seen(stream)
+        .writeStream.format("memory")
+        .queryName("fs_null")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", f"{tmpdir}/fs_null_ckpt")
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = {r.doc_id: r.n_chars for r in spark.sql("select * from fs_null").collect()}
+    assert rows == {"1": 5, "2": 0}  # doc 3 deduped against 1; null is a row
