@@ -197,21 +197,21 @@ def run_cli(argv: list[str] | None = None) -> int:
     if (args.text_color or args.text_size) and not args.quiet:
         print("note: grayscale HPM1 codec — annotation color/size are fixed")
 
-    from pyspark import SparkConf
-
     from .corpus import spanify
     from .session import get_spark
 
     # Under spark-submit --master, the submitted master must win —
     # builder.master() would silently turn a cluster run into a
     # single-machine local[N] one. -t only sizes the local default.
+    # Probing SparkConf() here CANNOT detect the submitted master
+    # (before the JVM exists it is an empty local dict, so
+    # contains('spark.master') is always False); spark-submit's
+    # PythonRunner is detected by the gateway env it launches the
+    # driver script with, and get_spark("inherit") then leaves the
+    # JVM's own spark.master untouched.
     threads = args.threads or max(1, (os.cpu_count() or 2) // 2)
-    submitted_conf = SparkConf()
-    master = (
-        submitted_conf.get("spark.master")
-        if submitted_conf.contains("spark.master")
-        else f"local[{threads}]"
-    )
+    under_submit = "PYSPARK_GATEWAY_PORT" in os.environ
+    master = "inherit" if under_submit else f"local[{threads}]"
     spark = get_spark(app_name="handprint-spark-cli", master=master)
     spark.sparkContext.setLogLevel("ERROR")
 
@@ -240,33 +240,45 @@ def run_cli(argv: list[str] | None = None) -> int:
     keep_filter = None
     if args.from_file:
         with open(args.from_file) as fh:
-            # The corpus doc_id is BIGINT: parse keep ids to int here so
-            # the semi-join/isin compares long-to-long. Relying on
-            # Spark's implicit string<->bigint coercion compares as
-            # DOUBLE in legacy mode (silent mis-match above 2^53) and
-            # differs under ANSI mode.
-            keep_ids = [int(line.strip()) for line in fh if line.strip()]
-        if len(keep_ids) > 10_000:
-            keep_df = spark.createDataFrame(
-                [(d,) for d in keep_ids], "doc_id bigint"
-            )
+            # Keep ids stay STRINGS: doc_id is bigint in the raw
+            # documents table but string in every span/result table
+            # (spanify casts), and the engine explicitly supports
+            # non-numeric ids. int(line) made -f unusable for those
+            # and crashed on any stray token; a raw-string list plus a
+            # per-table try_cast to the TARGET column's exact type
+            # avoids Spark's implicit string<->bigint coercion, which
+            # compares as DOUBLE in legacy mode (silent mis-match
+            # above 2^53) and throws under ANSI.
+            keep_ids = [line.strip() for line in fh if line.strip()]
+        keep_raw = spark.createDataFrame([(d,) for d in keep_ids], "doc_id string")
 
-            def keep_filter(df):
-                return df.join(F.broadcast(keep_df), "doc_id", "left_semi")
-
-        else:
-
-            def keep_filter(df):
-                return df.filter(F.col("doc_id").isin(keep_ids))
+        def keep_filter(df):
+            (dt,) = [t for c, t in df.dtypes if c == "doc_id"]
+            typed = keep_raw.select(
+                F.col("doc_id").try_cast(dt).alias("doc_id")
+            ).filter(F.col("doc_id").isNotNull())
+            return df.join(F.broadcast(typed), "doc_id", "left_semi")
 
     # Batch ids continue from the lineage table, so a -j resume gets a
     # FRESH batch id: the per-batch sinks below (extended/compare)
     # filter on it, and reusing id 0 on resume would re-append the
     # first run's rows.
     lineage = table_sink.load(spark, lineage_dir)
-    first_batch = (
-        0 if lineage is None else int(lineage.agg(F.max("batch_id")).first()[0]) + 1
-    )
+    # Batch ids resume past BOTH sinks' high-water marks: run_batch
+    # appends results BEFORE lineage, so a crash between the two
+    # leaves orphaned results rows at max(lineage)+1 — deriving from
+    # lineage alone would hand that id to a DIFFERENT corpus on
+    # resume, and the per-batch sinks (filter batch_id == N) would
+    # attribute the crashed corpus's rows to it (wrong grid rows,
+    # wrong ground-truth comparison). The parquet max() is a
+    # footer-stats scan, not a data read.
+    prior_results = table_sink.load(spark, results_dir)
+    high = [
+        int(t.agg(F.max("batch_id")).first()[0])
+        for t in (lineage, prior_results)
+        if t is not None and not t.isEmpty()
+    ]
+    first_batch = max(high) + 1 if high else 0
 
     total_docs = 0
     for offset, corpus in enumerate(args.corpora):
@@ -301,27 +313,31 @@ def run_cli(argv: list[str] | None = None) -> int:
                 json_dir,
             )
 
-        needs_render = args.confidence > 0 or display != ("text",) or not args.no_grid
-        if needs_render:
-            from .operators.render import annotated_media, doc_grids
+        # Rendering is unconditional: the default run writes the grid
+        # sink, and -G (reference: skip ONLY the grid) switches to the
+        # per-image annotated sink. The old `or not args.no_grid` gate
+        # made plain `-G` (default display/confidence) skip BOTH sinks
+        # — the user asked to skip the grid and silently got no
+        # rendered output at all.
+        from .operators.render import annotated_media, doc_grids
 
-            # render only THIS batch's docs: rendering from the full
-            # corpus would re-append every prior row to the grid/
-            # annotated sinks on a -j resume (and re-pay the render)
-            annotated = annotated_media(
-                spans.join(results.select("doc_id"), "doc_id", "left_semi"),
-                score_threshold=args.confidence,
-                display=display,
-                shift=shift,
+        # render only THIS batch's docs: rendering from the full
+        # corpus would re-append every prior row to the grid/
+        # annotated sinks on a -j resume (and re-pay the render)
+        annotated = annotated_media(
+            spans.join(results.select("doc_id"), "doc_id", "left_semi"),
+            score_threshold=args.confidence,
+            display=display,
+            shift=shift,
+        )
+        if not args.no_grid:
+            table_sink.append(
+                doc_grids(annotated), os.path.join(out, f"{prefix}grid")
             )
-            if not args.no_grid:
-                table_sink.append(
-                    doc_grids(annotated), os.path.join(out, f"{prefix}grid")
-                )
-            else:
-                table_sink.append(
-                    annotated, os.path.join(out, f"{prefix}annotated")
-                )
+        else:
+            table_sink.append(
+                annotated, os.path.join(out, f"{prefix}annotated")
+            )
 
         if args.compare:
             from .operators.compare import comparison_tsv, ground_truth

@@ -105,6 +105,13 @@ def probe_lsh(
     machinery instead (same rows; the physical plan shows the bucket
     predicate under PartitionFilters — asserted by tests)."""
     qbucket = bucket_of(qv)
+    if prune == "path" and not os.path.isdir(index_dir):
+        # os.path.isdir can only see the LOCAL filesystem: for a
+        # URI-addressed index (s3a://, hdfs://) the cell check below
+        # would read False for every bucket and silently return zero
+        # neighbors for every probe — fall through to the datasource
+        # partition-filter path, which resolves any scheme.
+        prune = "filter"
     if prune == "path":
         cell = os.path.join(index_dir, f"bucket={qbucket}")
         if not os.path.isdir(cell):  # empty cell: no vectors hash there

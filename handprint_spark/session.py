@@ -36,10 +36,14 @@ def get_spark(
     shuffle_partitions = shuffle_partitions or int(os.environ.get(
         "SPARK_GRAFT_SHUFFLE_PARTITIONS", cpus if cpus.isdigit() else "32"
     ))
+    builder = SparkSession.builder.appName(app_name)
+    if master != "inherit":
+        # "inherit": do NOT set a master — builder.master() overrides
+        # the spark.master the launcher (spark-submit) already put in
+        # the JVM conf, silently turning a cluster run into local[N].
+        builder = builder.master(master)
     builder = (
-        SparkSession.builder.appName(app_name)
-        .master(master)
-        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        builder.config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")

@@ -21,7 +21,6 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.window import Window
 
 # accepted extensions (reference services/__init__.py:21-22)
 ACCEPTED_FORMATS = ("jpg", "jpeg", "jp2", "pdf", "png", "gif", "bmp", "tif", "tiff")
@@ -62,14 +61,23 @@ def enumerate_targets(files: DataFrame) -> DataFrame:
     extension, drop `.handprint` artifacts, and drop any file whose
     ``.png`` sibling (same directory + stem) is also a target — the
     reference's exact rule (main_body.py:171-180). Files with no png
-    sibling all survive, whatever their format mix."""
-    w = Window.partitionBy("base_name")
-    has_png = F.max(F.when(F.col("ext") == _OUTPUT_FMT, 1).otherwise(0)).over(w)
-    return (
+    sibling all survive, whatever their format mix.
+
+    The sibling test runs on a content-PRUNED projection (the
+    binaryFile source prunes unread columns) broadcast back as a
+    base_name anti-join: the previous window(partitionBy base_name)
+    hash-Exchanged the full rows — i.e. shuffled every file's bytes —
+    to decide a verdict that only needs (base_name, ext)."""
+    base = (
         files.filter(F.col("ext").isin(list(ACCEPTED_FORMATS)))  # S2
         .filter(~F.col("file_name").contains(".handprint"))  # S3
         .filter(F.col("length") > 0)  # S7 zero-length guard
-        .withColumn("has_png", has_png)  # S4
-        .filter((F.col("ext") == _OUTPUT_FMT) | (F.col("has_png") == 0))
-        .drop("has_png")
     )
+    png_bases = (
+        base.filter(F.col("ext") == _OUTPUT_FMT).select("base_name").distinct()
+    )
+    pngs = base.filter(F.col("ext") == _OUTPUT_FMT)
+    others = base.filter(F.col("ext") != _OUTPUT_FMT).join(
+        F.broadcast(png_bases), "base_name", "left_anti"
+    )
+    return pngs.unionByName(others)

@@ -38,7 +38,12 @@ def pending_work(spark: SparkSession, spans_df: DataFrame, results_dir: str) -> 
     done = table_sink.load(spark, results_dir)
     if done is None:
         return spans_df
-    return spans_df.join(done.select("doc_id").distinct(), "doc_id", "left_anti")
+    # No .distinct() on the right side: LEFT ANTI semantics are
+    # unchanged by duplicate keys, and a distinct added a full
+    # shuffle+aggregate over the ever-growing results table to every
+    # resume check — the one table this module promises never to
+    # rescan more than necessary.
+    return spans_df.join(done.select("doc_id"), "doc_id", "left_anti")
 
 
 def run_batch(

@@ -87,3 +87,60 @@ def test_from_file_filter(spark, sf_tiny, tmp_path):
     out = str(tmp_path / "out")
     n = run_cli(["-o", out, "-q", "-G", "-t", "4", "-f", str(keep), sf_tiny])
     assert n == 3
+
+
+def test_no_grid_writes_annotated_sink(spark, sf_tiny, tmp_path):
+    """-G skips ONLY the grid (the reference saves individual
+    annotated images instead); the old render gate made plain -G skip
+    BOTH sinks and silently produce no rendered output at all."""
+    docs = spark.read.parquet(f"{sf_tiny}/documents.parquet").limit(2).collect()
+    keep = tmp_path / "keep.txt"
+    keep.write_text("\n".join(str(r.doc_id) for r in docs))
+    out = str(tmp_path / "out")
+    assert run_cli(["-o", out, "-q", "-G", "-t", "4", "-f", str(keep), sf_tiny]) == 2
+    assert not os.path.isdir(os.path.join(out, "grid"))
+    annotated = os.path.join(out, "annotated")
+    assert os.path.isdir(annotated)
+    assert spark.read.parquet(annotated).count() > 0
+
+
+def test_from_file_tolerates_non_numeric_ids(spark, sf_tiny, tmp_path):
+    """Keep ids are strings with a per-table try_cast: a non-numeric
+    id (the engine's declared input shape allows them) filters
+    instead of crashing int(); ids absent from the corpus drop out."""
+    docs = spark.read.parquet(f"{sf_tiny}/documents.parquet").limit(2).collect()
+    keep = tmp_path / "keep.txt"
+    keep.write_text("\n".join([str(docs[0].doc_id), "doc-xyz", "  "]))
+    out = str(tmp_path / "out")
+    assert run_cli(["-o", out, "-q", "-G", "-t", "4", "-f", str(keep), sf_tiny]) == 1
+
+
+def test_resume_skips_orphaned_results_batch_id(spark, sf_tiny, tmp_path):
+    """A crash between the results append and the lineage append
+    leaves orphaned results rows at max(lineage)+1; a resume must
+    allocate PAST both sinks' high-water marks or the next corpus
+    inherits the crashed batch's id and its per-batch sinks pick up
+    the orphaned rows."""
+    import pyspark.sql.functions as F
+
+    docs = spark.read.parquet(f"{sf_tiny}/documents.parquet").limit(2).collect()
+    keep = tmp_path / "keep.txt"
+    keep.write_text(str(docs[0].doc_id))
+    out = str(tmp_path / "out")
+    assert run_cli(["-o", out, "-q", "-G", "-t", "4", "-f", str(keep), sf_tiny]) == 1
+
+    results_dir = os.path.join(out, "results")
+    # orphan: a results row at batch_id 7 with NO lineage row (the
+    # crash window), belonging to a doc outside the keep list
+    prior = spark.read.parquet(results_dir)
+    orphan = (
+        prior.limit(1)
+        .withColumn("doc_id", F.lit("orphan-doc"))
+        .withColumn("batch_id", F.lit(7).cast(dict(prior.dtypes)["batch_id"]))
+    )
+    orphan.write.mode("append").parquet(results_dir)
+
+    keep.write_text(str(docs[1].doc_id))
+    assert run_cli(["-j", "-o", out, "-q", "-G", "-t", "4", "-f", str(keep), sf_tiny]) == 1
+    lineage = spark.read.parquet(os.path.join(out, "lineage"))
+    assert lineage.agg(F.max("batch_id")).first()[0] == 8  # past the orphan
