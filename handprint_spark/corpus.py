@@ -30,7 +30,8 @@ Span-ification rule (fixed; both implementations must agree):
     span (kind 'line_image', media_ref '<doc_id>/line-<i>') at 2i+1;
   * the media object for line *i* is HPM1-encoded from the line text,
     format chosen by content hash over ACCEPTED_FORMATS' raster subset,
-    dims (64 + 8*len(line) capped at 512) x 48;
+    dims (64 + 8*len(line) capped at 320) x 24 (encode_line_media —
+    the executable contract; this prose mirrors it);
   * corrupt-media slice: docs with doc_slice_hash % CORRUPT_MOD == 0
     get their line-0 media bytes truncated (error-path coverage, the
     analog of the reference's corrupted-image fixture);

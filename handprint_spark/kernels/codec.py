@@ -113,6 +113,10 @@ def encode_media(
     incompressible padding to a target byte size (size-cap testing)."""
     fmt = canonical_format_name(fmt)
     page_texts = pages if pages is not None else [text]
+    if not page_texts:
+        # a clean MediaError, not an IndexError task failure — the
+        # module's errors-are-values policy holds for encode too
+        raise MediaError("cannot encode media with zero pages")
     joined = "\f".join(page_texts).encode("utf-8")
     flags = FLAG_BINARIZED if binarized else 0
     # level 1: on the sparse ink plane the ratio loss vs level 6 is a few

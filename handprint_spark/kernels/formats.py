@@ -62,6 +62,13 @@ def fold_limits(services: list[str]) -> tuple[Optional[int], Optional[tuple[int,
     max_dims: Optional[tuple[int, int]] = None
     by_name = {s.service: s for s in SERVICE_LIMITS}
     for name in services:
+        if name not in by_name:
+            # validate up front like the reference manager — a bare
+            # KeyError from a typo'd -s value names neither the bad
+            # input nor the valid choices
+            raise ValueError(
+                f"unknown service {name!r} (known: {', '.join(sorted(by_name))})"
+            )
         s = by_name[name]
         if s.max_size:
             max_size = s.max_size if max_size is None else min(max_size, s.max_size)

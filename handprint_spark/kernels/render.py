@@ -78,7 +78,9 @@ def _draw_label(px: np.ndarray, x: int, y: int, text: str) -> None:
     glyphs = label_pixels(text)
     gh, gw = glyphs.shape
     gh, gw = min(gh, h - y), min(gw, w - x)
-    px[y : y + gh, x : x + gw] = LABEL_BG
+    # np.maximum against LABEL_BG both paints the background and lays
+    # the glyphs in one assignment (a separate BG fill of the same
+    # region would be a dead store)
     px[y : y + gh, x : x + gw] = np.maximum(glyphs[:gh, :gw], np.uint8(LABEL_BG))
 
 
@@ -103,6 +105,7 @@ def annotate(
     kinds: tuple[str, ...] | None = ("para", "line", "word"),
     display=None,
     shift: tuple[int, int] = (0, 0),
+    trusted: bool = False,
 ) -> bytes:
     """Overlay box outlines and/or word-text labels on an HPM1 page;
     returns a new HPM1 object whose pixel payload is the annotated
@@ -118,8 +121,13 @@ def annotate(
     draw order with per-kind intensity (the grayscale analog of
     _EDGE_COLOR green/blue/red, images.py:92-94); labels draw last
     (zorder 10, images.py:288) anchored at the word box corner plus
-    ``shift``, clamped to the page."""
-    info = codec.decode_media(data)
+    ``shift``, clamped to the page.
+
+    ``trusted=True`` skips the zlib pixel verification — the hot
+    annotate path decodes bytes its caller JUST verified via
+    decode_media_bytes, so re-verifying paid a second decompression
+    per media object for nothing."""
+    info = codec.decode_media(data, verify_pixels=not trusted)
     px = codec.render_pixels(
         info.text, info.width, info.height, bool(info.flags & codec.FLAG_BINARIZED)
     ).copy()

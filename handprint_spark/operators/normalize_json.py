@@ -204,8 +204,14 @@ def amazon_boxes(blocks: Column, width: Column, height: Column, value_key: str, 
 def amazon_full_text(blocks: Column, value_key: str, block_key: str) -> Column:
     """A3: LINE texts in service order, each followed by '\\n' (the
     trailing newline is part of the contract, amazon.py:149-153)."""
+    # block_key non-null too: the reference appends nothing for a LINE
+    # block with no Text (amazon.py:149-153) — keeping such a line made
+    # a single text-less LINE emit '\n' where Python emits ''
     lines = F.filter(
-        blocks, lambda b: b[value_key].isNotNull() & (F.lower(b[value_key]) == "line")
+        blocks,
+        lambda b: b[value_key].isNotNull()
+        & (F.lower(b[value_key]) == "line")
+        & b[block_key].isNotNull(),
     )
     texts = F.transform(lines, lambda b: b[block_key])
     return F.when(F.size(lines) > 0, F.concat(F.array_join(texts, "\n"), F.lit("\n"))).otherwise(
@@ -244,7 +250,24 @@ def parse_google(df: DataFrame, json_col: str) -> DataFrame:
     parsed = df.withColumn("_raw", F.from_json(F.col(json_col), GOOGLE_SCHEMA))
     fta = F.col("_raw")["full_text_annotation"]
     page1 = F.element_at(fta["pages"], 1)  # W4: first page only
-    paras = F.flatten(F.transform(page1["blocks"], lambda b: b["paragraphs"]))
+    # coalesce per element: Spark's flatten returns NULL when any
+    # element array is null, so ONE block without 'paragraphs' (or,
+    # below, one paragraph without 'words') would null the whole boxes
+    # column and drop every other block's boxes — the Python
+    # normalizer keeps them (parity verified live on malformed JSON).
+    paras_t = (
+        GOOGLE_SCHEMA["full_text_annotation"]
+        .dataType["pages"]
+        .dataType.elementType["blocks"]
+        .dataType.elementType["paragraphs"]
+        .dataType
+    )
+    paras = F.flatten(
+        F.transform(
+            page1["blocks"],
+            lambda b: F.coalesce(b["paragraphs"], F.array().cast(paras_t)),
+        )
+    )
 
     def para_boxes(p):
         para = F.array(
@@ -264,10 +287,17 @@ def parse_google(df: DataFrame, json_col: str) -> DataFrame:
                 p["confidence"].alias("score"),  # the paragraph's confidence — reference quirk
             ),
         )
-        return F.concat(para, F.filter(words, lambda x: F.size(x["bb"]) > 0))
+        return F.concat(
+            para,
+            F.coalesce(
+                F.filter(words, lambda x: F.size(x["bb"]) > 0),
+                F.array().cast(BOX_TYPE),
+            ),
+        )
 
     boxes = F.when(
-        page1.isNotNull(), F.flatten(F.transform(paras, para_boxes))
+        page1.isNotNull(),
+        F.coalesce(F.flatten(F.transform(paras, para_boxes)), F.array().cast(BOX_TYPE)),
     ).otherwise(F.array().cast(BOX_TYPE))
     return parsed.withColumn("text", F.coalesce(fta["text"], F.lit(""))).withColumn(
         "boxes", boxes
@@ -318,11 +348,14 @@ def parse_microsoft(df: DataFrame, json_col: str) -> DataFrame:
                 w["confidence"].alias("score"),
             ),
         )
-        return F.concat(line, words)
+        # a line without 'words' must not null the whole boxes column
+        # (flatten null-propagates) — the line box itself still counts
+        return F.concat(line, F.coalesce(words, F.array().cast(BOX_TYPE)))
 
-    boxes = F.when(lines.isNotNull(), F.flatten(F.transform(lines, line_boxes))).otherwise(
-        F.array().cast(BOX_TYPE)
-    )
+    boxes = F.when(
+        lines.isNotNull(),
+        F.coalesce(F.flatten(F.transform(lines, line_boxes)), F.array().cast(BOX_TYPE)),
+    ).otherwise(F.array().cast(BOX_TYPE))
     text = F.when(lines.isNotNull(), microsoft_reading_order(lines)).otherwise(F.lit(""))
     return parsed.withColumn("text", text).withColumn("boxes", boxes).drop("_raw")
 

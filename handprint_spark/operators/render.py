@@ -69,8 +69,11 @@ def annotated_media(
                     continue
                 boxes = [b._asdict() for b in tr.boxes]
                 try:
+                    # trusted: decode_media_bytes just verified these
+                    # bytes — re-verifying in annotate paid a second
+                    # zlib decompression per media object
                     out = annotate(content, boxes, score_threshold, kinds,
-                                   display=display, shift=shift)
+                                   display=display, shift=shift, trusted=True)
                     rows.append((doc_id, ref, out, len(boxes), None))
                 except codec.MediaError as exc:
                     rows.append((doc_id, ref, None, 0, str(exc)))
@@ -89,13 +92,23 @@ GRID_SCHEMA = T.StructType(
 
 
 def doc_grids(annotated: DataFrame, max_horizontal: int = 4) -> DataFrame:
-    """K6: one tiled grid image per document from its annotated crops
-    (deterministic order: media_ref)."""
+    """K6: one tiled grid image per document from its annotated crops,
+    tiled in READING order — natural sort on media_ref: the trailing
+    line index compares numerically, so line-10 tiles after line-2
+    (plain lexicographic order scrambled any doc with 10+ crops)."""
+    import re
+
+    def _natural(ref: str):
+        return [
+            int(part) if part.isdigit() else part
+            for part in re.split(r"(\d+)", ref or "")
+        ]
 
     def build(key, pdf):
         import pandas as pd
 
-        pdf = pdf.sort_values("media_ref")
+        order = sorted(range(len(pdf)), key=lambda i: _natural(pdf["media_ref"].iat[i]))
+        pdf = pdf.iloc[order]
         images = [bytes(b) for b in pdf["annotated"] if b is not None]
         return pd.DataFrame(
             [(key[0], make_grid(images, max_horizontal), len(images))],

@@ -473,6 +473,27 @@ def _lay_boxes(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _lay_col_ids(boxes: DataFrame) -> DataFrame:
+    """Shared x-gutter column detection (the XY-cut horizontal pass):
+    cumulative-max reach over the x-sorted boxes, a gutter flag when a
+    box's left edge clears the reach by more than LAY_GAP_MIN, and the
+    running sum as col_id. ONE definition consumed by both
+    q_lay_columns and q_lay_reading_order — two hand-copies of this
+    window algebra (with cosmetically different null handling) were a
+    drift risk between the pair and their two SQL oracles."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("doc_id").orderBy("x_l", "j")
+    reach = F.max("x_r").over(w.rowsBetween(Window.unboundedPreceding, -1))
+    return boxes.withColumn(
+        "new_col",
+        F.coalesce((F.col("x_l") - reach > LAY_GAP_MIN).cast("int"), F.lit(0)),
+    ).withColumn(
+        "col_id",
+        F.sum("new_col").over(w.rowsBetween(Window.unboundedPreceding, 0)).cast("int"),
+    )
+
+
 def q_lay_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
     """XY-cut horizontal pass: detect text columns as gutters in the
     x-projection of a page's word boxes. Running max of box right
@@ -483,19 +504,7 @@ def q_lay_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
     (plan-asserted) — the same single-shuffle shape as
     ``q_lay_paragraphs``' vertical pass; together they are the XY-cut
     recursion's two primitives."""
-    from pyspark.sql import Window
-
-    w = Window.partitionBy("doc_id").orderBy("x_l", "j")
-    boxes = _lay_boxes(spark, sf_dir)
-    reach = F.max("x_r").over(w.rowsBetween(Window.unboundedPreceding, -1))
-    cols = boxes.withColumn(
-        "new_col", (F.col("x_l") - reach > LAY_GAP_MIN).cast("int")
-    ).withColumn(
-        "col_id",
-        F.sum(F.coalesce("new_col", F.lit(0)))
-        .over(w.rowsBetween(Window.unboundedPreceding, 0))
-        .cast("int"),
-    )
+    cols = _lay_col_ids(_lay_boxes(spark, sf_dir))
     return cols.groupBy("doc_id", "col_id").agg(
         F.count("*").cast("int").alias("n_words"),
         F.min("x_l").alias("x_left"),
@@ -507,23 +516,13 @@ def q_lay_reading_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Column-aware reading order: the reference's _sorted_by_position
     top-to-bottom/left-to-right sort (main_body.py reading-order rule)
     breaks on multi-column pages — a straight (y, x) sort interleaves
-    the columns. Detect columns first (x-gutter pass), then rank
-    column-major: (col_id, y, x). Both windows partition by doc_id, so
-    Catalyst plans ONE exchange and two in-partition sorts
-    (plan-asserted)."""
+    the columns. Detect columns first (the SHARED _lay_col_ids
+    x-gutter pass), then rank column-major: (col_id, y, x). Both
+    windows partition by doc_id, so Catalyst plans ONE exchange and
+    two in-partition sorts (plan-asserted)."""
     from pyspark.sql import Window
 
-    w = Window.partitionBy("doc_id").orderBy("x_l", "j")
-    boxes = _lay_boxes(spark, sf_dir)
-    reach = F.max("x_r").over(w.rowsBetween(Window.unboundedPreceding, -1))
-    cols = boxes.withColumn(
-        "col_id",
-        F.sum(((F.col("x_l") - reach > LAY_GAP_MIN).cast("int")).cast("int"))
-        .over(w.rowsBetween(Window.unboundedPreceding, 0))
-        .cast("int"),
-    ).withColumn(
-        "col_id", F.coalesce("col_id", F.lit(0))
-    )
+    cols = _lay_col_ids(_lay_boxes(spark, sf_dir))
     rank = F.row_number().over(
         Window.partitionBy("doc_id").orderBy("col_id", "y", "x_l", "j")
     )

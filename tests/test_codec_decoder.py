@@ -158,3 +158,12 @@ def test_decode_media_bytes_error_row():
     good = codec.encode_media("hello world", width=64, height=32)
     tr = decode_media_bytes(good)
     assert tr.error is None and tr.text == "hello world"
+
+
+def test_encode_media_empty_pages_is_media_error():
+    import pytest
+
+    from handprint_spark.kernels.codec import MediaError, encode_media
+
+    with pytest.raises(MediaError, match="zero pages"):
+        encode_media("ignored", pages=[])

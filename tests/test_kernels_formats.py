@@ -63,3 +63,12 @@ def test_fold_limits():
     assert dims is None
     size, dims = fold_limits(["amazon-textract", "google"])
     assert size == 10 * 1024 * 1024 and dims is None
+
+
+def test_fold_limits_unknown_service_is_value_error():
+    import pytest
+
+    from handprint_spark.kernels.formats import fold_limits
+
+    with pytest.raises(ValueError, match="unknown service 'Amazon'"):
+        fold_limits(["Amazon"])

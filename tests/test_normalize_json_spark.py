@@ -146,3 +146,66 @@ def test_xsvc_fanout_all_services_agree_on_box_counts(spark, sf_tiny):
     assert rows and all(r.n_services == len(SERVICES) for r in rows)
     assert all(r.distinct_counts == 1 for r in rows)
     assert all(r.distinct_services == len(SERVICES) for r in rows)
+
+
+def test_null_words_does_not_null_boxes_google(spark):
+    """flatten() null-propagates: one paragraph without 'words' (or
+    one block without 'paragraphs') must not null the whole boxes
+    column — the Python normalizer keeps every other box."""
+    raw = json.dumps({
+        "full_text_annotation": {
+            "text": "hi",
+            "pages": [{"blocks": [
+                {"paragraphs": [{
+                    "confidence": 0.9,
+                    "bounding_box": {"vertices": [{"x": 0, "y": 0}, {"x": 5, "y": 0},
+                                                  {"x": 5, "y": 5}, {"x": 0, "y": 5}]},
+                    # no "words" key at all
+                }]},
+                {},  # no "paragraphs" key at all
+                {"paragraphs": [{
+                    "confidence": 0.8,
+                    "bounding_box": {"vertices": [{"x": 1, "y": 1}, {"x": 6, "y": 1},
+                                                  {"x": 6, "y": 6}, {"x": 1, "y": 6}]},
+                    "words": [{"bounding_box": {"vertices": [{"x": 1, "y": 1}, {"x": 2, "y": 1},
+                                                             {"x": 2, "y": 2}, {"x": 1, "y": 2}]},
+                               "symbols": [{"text": "h"}, {"text": "i"}]}],
+                }]},
+            ]}],
+        }
+    })
+    df = spark.createDataFrame([("d", raw)], "doc_id string, raw_json string")
+    out = NJ.parse_google(df, "raw_json").collect()[0]
+    assert out.boxes is not None
+    assert [b.kind for b in out.boxes] == ["para", "para", "word"]
+    assert [b.text for b in out.boxes] == ["", "", "hi"]
+
+
+def test_null_words_does_not_null_boxes_microsoft(spark):
+    raw = json.dumps({"analyzeResult": {"readResults": [{"lines": [
+        {"boundingBox": [10, 5, 40, 5, 40, 15, 10, 15], "text": "top"},  # no words
+        {"boundingBox": [10, 30, 40, 30, 40, 40, 10, 40], "text": "low",
+         "words": [{"boundingBox": [11, 31, 20, 31, 20, 39, 11, 39],
+                    "text": "low", "confidence": 0.7}]},
+    ]}]}})
+    df = spark.createDataFrame([("d", raw)], "doc_id string, raw_json string")
+    out = NJ.parse_microsoft(df, "raw_json").collect()[0]
+    assert out.boxes is not None
+    assert [(b.kind, b.text) for b in out.boxes] == [
+        ("line", ""), ("line", ""), ("word", "low")]
+    assert out.text == "top\nlow"
+
+
+def test_textless_line_block_emits_empty_full_text(spark):
+    """A LINE block with no Text contributes nothing (reference
+    amazon.py:149-153): a document whose only LINE lacks Text gets
+    full_text '' — not a bare newline."""
+    raw = json.dumps({"Blocks": [
+        {"BlockType": "LINE", "Confidence": 50.0,
+         "Geometry": {"Polygon": [{"X": 0.1, "Y": 0.1}, {"X": 0.2, "Y": 0.1},
+                                   {"X": 0.2, "Y": 0.2}, {"X": 0.1, "Y": 0.2}]}},
+    ]})
+    df = spark.createDataFrame([("d", raw, 100, 100)],
+                               "doc_id string, raw_json string, width int, height int")
+    out = NJ.parse_amazon(df, "raw_json", "width", "height", "textract").collect()[0]
+    assert out.text == ""

@@ -139,3 +139,26 @@ def test_spark_annotated_and_grids(spark, sf_tiny):
     px = decode_pixels(bytes(some.grid))
     assert px.size > 0 and some.n_tiles >= 1
     ann.unpersist()
+
+
+def test_doc_grids_tiles_in_natural_reading_order(spark):
+    """line-10 must tile after line-2: lexicographic media_ref order
+    scrambled any document with 10+ crops. Pin with 12 distinct-dim
+    crops: the grid's total size reproduces only under numeric order
+    and the first tile's pixels are line-0's."""
+    from handprint_spark.kernels.codec import encode_media
+    from handprint_spark.kernels.render import decode_pixels, make_grid
+    from handprint_spark.operators.render import doc_grids
+
+    crops = [
+        encode_media(f"w{i}", width=40 + 4 * i, height=12 + i) for i in range(12)
+    ]
+    rows = [("d", f"d/line-{i}", crops[i], 0, None) for i in range(12)]
+    df = spark.createDataFrame(
+        rows, "doc_id string, media_ref string, annotated binary, n_boxes int, error string"
+    )
+    got = doc_grids(df).collect()[0]
+    assert got.n_tiles == 12
+    expected = make_grid(crops)  # natural order 0..11
+    assert bytes(got.grid) == expected
+    assert decode_pixels(bytes(got.grid)) is not None
