@@ -62,6 +62,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         similarity,
         text_analysis,
     )
+    from handprint_spark.streaming import queries as streaming_queries
 
     # REGISTRATION ORDER IS THE VERIFICATION WINDOW: the driver's
     # CORRECTNESS run caps at 50 entries in dict insertion order, so
@@ -104,7 +105,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["ta_source_kl"] = text_analysis.QUERIES["ta_source_kl"]
     out["cmp_lines"] = compare.QUERIES["cmp_lines"]
     out["cmp_tsv"] = compare.QUERIES["cmp_tsv"]
-    # (b) new this round
+    # (b) new this round — including the four Structured Streaming
+    # drain queries (streaming/queries.py): each runs the streaming
+    # form of a stage under Trigger.AvailableNow against the BATCH
+    # oracle, so their driver rows are machine-checked stream/batch
+    # parity certificates. They took four (d) backfill slots
+    # (dd_exact/dd_simhash/dd_ngram_jaccard/dd_contamination: r03
+    # green, byte-unchanged, sweep-verified this round).
+    out.update(streaming_queries.QUERIES)
     for k in ("dd_emb_neardup_wide", "dd_emb_lsh_stats"):
         out[k] = dedup.QUERIES[k]
     for k in ("ta_bpe_train", "ta_bpe_encode", "ta_normalize", "ta_len_quantiles_approx"):
@@ -132,8 +140,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     for k in ("ta_token_count", "ta_lang_id", "ta_fingerprint"):
         out[k] = text_analysis.QUERIES[k]
     out["sim_lsh_buckets"] = similarity.QUERIES["sim_lsh_buckets"]
-    for k in ("dd_exact", "dd_simhash", "dd_ngram_jaccard", "dd_contamination", "dd_lsh_stats"):
-        out[k] = dedup.QUERIES[k]
+    out["dd_lsh_stats"] = dedup.QUERIES["dd_lsh_stats"]
     # ct_chunk_tokens' body changed late in round 5 (windowing core
     # factored into chunk_array) and ct_chunk_bpe is NEW — both rank
     # above oldest-green backfill, taking the two relational slots
@@ -186,4 +193,7 @@ def oracle_sql() -> dict[str, str]:
     out.update(html_extract.ORACLES)
     out.update(curation.ORACLES)
     out.update(relational.ORACLES)
+    from handprint_spark.streaming import queries as streaming_queries
+
+    out.update(streaming_queries.ORACLES)
     return out

@@ -1,0 +1,154 @@
+"""Driver-verifiable Structured Streaming queries — stream/batch
+parity as a machine-checked contract, not a pytest claim.
+
+Each callable here stages the scale-factor ``documents`` table as a
+file-stream source (a symlink into a temp directory — Spark's file
+source requires a directory, and a symlink stages a 100 GB table in
+O(1)), runs the SAME shared projection its batch twin uses under
+``Trigger.AvailableNow`` into a parquet sink, and returns the sink
+read back as a batch DataFrame. Every entry's oracle IS the batch
+oracle: a green driver row therefore certifies that the streaming
+form of the stage computes byte-identically to the batch form on the
+same input — the property that makes continuous ingest and nightly
+batch interchangeable writers of one table (reference behavior:
+Handprint's ``-j`` reuse protocol, manager.py:281-285, generalized to
+a streaming sink; SURVEY.md §2.10).
+
+Scale notes: the staged source and parquet sink are exactly the
+production shape (readStream over an object-store prefix, exactly-once
+file sink via the streaming commit log); ``AvailableNow`` is the
+backfill trigger a real pipeline uses to drain a table through the
+identical code path the 24/7 stream runs. The stateless gates
+(normalize / quality / main-content) are single narrow projections —
+no watermark, no state store, no shuffle — so their streaming plans
+are the batch plans verbatim. The full extraction query additionally
+exercises the checkpoint/lineage protocol per micro-batch
+(sources/checkpoints.run_batch): anti-join → extract → append results
+→ append lineage, the resumable-run contract of SURVEY.md §2.1 S8.
+
+The temp staging/sink directories are intentionally NOT deleted here:
+the returned DataFrame reads the sink lazily, and the driver collects
+it after this callable returns. They live under the system tempdir
+with a recognizable prefix and are bytes-small at verification scale.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+
+from .pipeline import (
+    stream_main_content,
+    stream_normalize,
+    stream_quality_gate,
+    stream_to_results,
+)
+
+
+def _stage_documents(sf_dir: str, name: str) -> str:
+    """Symlink the sf documents table into a fresh temp dir so the
+    file-stream source (which requires a directory) can list it."""
+    d = tempfile.mkdtemp(prefix=f"hp_stq_{name}_")
+    src = os.path.join(d, "src")
+    os.makedirs(src)
+    os.symlink(
+        os.path.abspath(os.path.join(sf_dir, "documents.parquet")),
+        os.path.join(src, "documents.parquet"),
+    )
+    return d
+
+
+def _drain_to_parquet(spark: SparkSession, stream_df: DataFrame, d: str) -> DataFrame:
+    """Run an unstarted streaming DataFrame to completion under
+    Trigger.AvailableNow into a parquet file sink (exactly-once via
+    the streaming commit log) and return the sink as a batch frame."""
+    out = os.path.join(d, "out")
+    q = (
+        stream_df.writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", os.path.join(d, "ckpt"))
+        .trigger(availableNow=True)
+        .outputMode("append")
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.parquet(out)
+
+
+def q_st_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming ingest-time quality gate drained over the sf corpus;
+    oracle = the batch ``ta_quality`` SQL (shared projection:
+    text_analysis.quality_verdicts)."""
+    d = _stage_documents(sf_dir, "quality")
+    return _drain_to_parquet(spark, stream_quality_gate(spark, os.path.join(d, "src")), d)
+
+
+def q_st_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming unicode/text normalization head drained over the sf
+    corpus; oracle = the batch ``ta_normalize`` SQL (shared
+    projection: text_analysis.normalize_verdicts)."""
+    d = _stage_documents(sf_dir, "normalize")
+    return _drain_to_parquet(spark, stream_normalize(spark, os.path.join(d, "src")), d)
+
+
+def q_st_main_content(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming main-content extraction drained over the sf corpus;
+    oracle = the batch ``hx_main_content`` SQL (shared projection:
+    html_extract.main_content ∘ htmlized)."""
+    d = _stage_documents(sf_dir, "maincontent")
+    return _drain_to_parquet(spark, stream_main_content(spark, os.path.join(d, "src")), d)
+
+
+def q_st_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The FULL streaming extraction pipeline drained over the sf
+    corpus through the batch checkpoint/lineage protocol (every
+    micro-batch runs sources/checkpoints.run_batch: anti-join →
+    spanify → extract → append results → append lineage), then the
+    results sink read back and projected to the flagship output shape
+    (doc_id, reading-order OCR text, n_media, n_errors). Oracle = the
+    flagship closed-form SQL — the streaming writer must land rows
+    indistinguishable from the batch engine's."""
+    from ..operators.extract import extracted_text
+    from ..sources import table_sink
+
+    d = _stage_documents(sf_dir, "extract")
+    results_dir = os.path.join(d, "results")
+    lineage_dir = os.path.join(d, "lineage")
+    writer = stream_to_results(
+        spark,
+        os.path.join(d, "src"),
+        results_dir,
+        lineage_dir,
+        os.path.join(d, "ckpt"),
+    )
+    q = writer.trigger(availableNow=True).start()
+    q.awaitTermination()
+    results = table_sink.load(spark, results_dir)
+    return extracted_text(results, kinds=("ocr",)).select(
+        "doc_id", "text", "n_media", "n_errors"
+    )
+
+
+def _oracles() -> dict:
+    from ..operators.html_extract import SQL_HX_MAIN_CONTENT
+    from ..operators.service_fanout import _sql_flagship_skew
+    from ..operators.text_analysis import SQL_TA_NORMALIZE, SQL_TA_QUALITY
+
+    return {
+        "st_quality_gate": SQL_TA_QUALITY,
+        "st_normalize": SQL_TA_NORMALIZE,
+        "st_main_content": SQL_HX_MAIN_CONTENT,
+        "st_extract": _sql_flagship_skew(),
+    }
+
+
+QUERIES = {
+    "st_quality_gate": q_st_quality_gate,
+    "st_normalize": q_st_normalize,
+    "st_main_content": q_st_main_content,
+    "st_extract": q_st_extract,
+}
+
+ORACLES = _oracles()
