@@ -109,9 +109,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # drain queries (streaming/queries.py): each runs the streaming
     # form of a stage under Trigger.AvailableNow against the BATCH
     # oracle, so their driver rows are machine-checked stream/batch
-    # parity certificates. They took four (d) backfill slots
-    # (dd_exact/dd_simhash/dd_ngram_jaccard/dd_contamination: r03
-    # green, byte-unchanged, sweep-verified this round).
+    # parity certificates — including the stateful watermark shape
+    # (st_event_counts: the append-mode eviction rule is the oracle).
+    # They took five (d) backfill slots (dd_exact/dd_simhash/
+    # dd_ngram_jaccard/dd_contamination/dd_lsh_stats: r03 green,
+    # byte-unchanged, sweep-verified this round).
     out.update(streaming_queries.QUERIES)
     for k in ("dd_emb_neardup_wide", "dd_emb_lsh_stats"):
         out[k] = dedup.QUERIES[k]
@@ -140,7 +142,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     for k in ("ta_token_count", "ta_lang_id", "ta_fingerprint"):
         out[k] = text_analysis.QUERIES[k]
     out["sim_lsh_buckets"] = similarity.QUERIES["sim_lsh_buckets"]
-    out["dd_lsh_stats"] = dedup.QUERIES["dd_lsh_stats"]
     # ct_chunk_tokens' body changed late in round 5 (windowing core
     # factored into chunk_array) and ct_chunk_bpe is NEW — both rank
     # above oldest-green backfill, taking the two relational slots

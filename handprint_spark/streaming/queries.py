@@ -40,6 +40,7 @@ import tempfile
 from pyspark.sql import DataFrame, SparkSession
 
 from .pipeline import (
+    stream_event_counts,
     stream_main_content,
     stream_normalize,
     stream_quality_gate,
@@ -131,6 +132,63 @@ def q_st_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_st_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The STATEFUL streaming shape under the oracle gate: watermarked
+    event-time tumbling-window counts (streaming/pipeline.
+    stream_event_counts — withWatermark 15 min, 10-min windows, append
+    mode) drained over the sf events table. Append mode emits a window
+    only once the watermark passes its end, so the drained output is
+    exactly the windows with ``window_end <= max(ts) - 15 min`` — the
+    one window still open when the stream drains stays in state and is
+    withheld. That eviction rule IS the oracle (closed-form SQL over
+    the same table), so a green driver row machine-checks the
+    watermark/late-data semantics themselves, not just the arithmetic.
+
+    Boundary verified empirically (tests/test_streaming_queries.py):
+    eviction is ``window_end <= watermark`` (a window whose end equals
+    the watermark IS emitted), and Spark computes the watermark from
+    the max event time floored to MILLISECONDS — the oracle compares
+    in ms to match. Epochs (not timestamps) cross the compare so no
+    timezone convention is in the loop — same convention as the batch
+    ``time_bucket_agg`` oracle."""
+    from pyspark.sql import functions as F
+
+    d = tempfile.mkdtemp(prefix="hp_stq_events_")
+    src = os.path.join(d, "src")
+    os.makedirs(src)
+    os.symlink(
+        os.path.abspath(os.path.join(sf_dir, "events.parquet")),
+        os.path.join(src, "events.parquet"),
+    )
+    schema = spark.read.parquet(os.path.join(sf_dir, "events.parquet")).schema
+    stream = spark.readStream.schema(schema).parquet(src)
+    drained = _drain_to_parquet(spark, stream_event_counts(spark, stream), d)
+    return drained.select(
+        F.unix_timestamp("window_start").alias("window_start_epoch"),
+        F.unix_timestamp("window_end").alias("window_end_epoch"),
+        "event_type",
+        "n_events",
+        "total_value",
+    )
+
+
+SQL_ST_EVENT_COUNTS = """
+WITH w AS (
+  SELECT CAST(epoch(to_timestamp(floor(epoch(ts) / 600) * 600)) AS BIGINT)
+           AS window_start_epoch,
+         event_type,
+         CAST(count(*) AS BIGINT) AS n_events,
+         CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+  FROM events GROUP BY 1, 2
+), mx AS (SELECT epoch_ms(max(ts)) AS max_ms FROM events)
+SELECT window_start_epoch,
+       window_start_epoch + 600 AS window_end_epoch,
+       event_type, n_events, total_value
+FROM w, mx
+WHERE (window_start_epoch + 600) * 1000 <= max_ms - 900000
+"""
+
+
 def _oracles() -> dict:
     from ..operators.html_extract import SQL_HX_MAIN_CONTENT
     from ..operators.service_fanout import _sql_flagship_skew
@@ -141,6 +199,7 @@ def _oracles() -> dict:
         "st_normalize": SQL_TA_NORMALIZE,
         "st_main_content": SQL_HX_MAIN_CONTENT,
         "st_extract": _sql_flagship_skew(),
+        "st_event_counts": SQL_ST_EVENT_COUNTS,
     }
 
 
@@ -149,6 +208,7 @@ QUERIES = {
     "st_normalize": q_st_normalize,
     "st_main_content": q_st_main_content,
     "st_extract": q_st_extract,
+    "st_event_counts": q_st_event_counts,
 }
 
 ORACLES = _oracles()

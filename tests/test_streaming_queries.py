@@ -6,6 +6,7 @@ sf0.01, pinned here at sf0.001 against the batch callables directly
 """
 
 from handprint_spark.streaming.queries import (
+    q_st_event_counts,
     q_st_extract,
     q_st_main_content,
     q_st_normalize,
@@ -54,6 +55,77 @@ def test_st_extract_equals_batch_flagship(spark, sf_tiny):
     exp = q_flagship_skew_aware(spark, sf_tiny)
     assert got.count() == exp.count() > 0
     assert _sym_diff(got, exp) == 0
+
+
+def test_st_event_counts_watermark_eviction(spark, sf_tiny):
+    """The drained stateful aggregation equals the closed-form rule:
+    exactly the windows with window_end <= max(ts) - 15 min emit; the
+    still-open tail window is withheld in state."""
+    import datetime
+
+    from pyspark.sql import functions as F
+
+    got = q_st_event_counts(spark, sf_tiny)
+    ev = spark.read.parquet(f"{sf_tiny}/events.parquet").withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    batch = (
+        ev.groupBy(F.window("ts", "10 minutes").alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("total_value"),
+        )
+        .select(
+            F.unix_timestamp("w.start").alias("window_start_epoch"),
+            F.unix_timestamp("w.end").alias("window_end_epoch"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+    mx = ev.agg(F.max("ts")).collect()[0][0]
+    cut = int((mx - datetime.datetime(1970, 1, 1)).total_seconds() * 1000) // 1 - 900000
+    exp = batch.filter(F.col("window_end_epoch") * 1000 <= F.lit(cut))
+    assert got.count() == exp.count() > 0
+    assert exp.count() < batch.count()  # at least one open window withheld
+    assert _sym_diff(got, exp) == 0
+
+
+def test_watermark_boundary_window_is_emitted(spark, tmp_path):
+    """Eviction is <=, not <: a window whose end EQUALS the final
+    watermark (max event time minus the 15-min delay) is emitted.
+    Planted data: max ts = 00:35:00, watermark = 00:20:00, so the
+    [00:10, 00:20) window sits exactly on the boundary."""
+    import datetime
+    import os
+
+    from handprint_spark.streaming.pipeline import stream_event_counts
+
+    rows = [
+        (datetime.datetime(1970, 1, 1, 0, 0, 30), "a", 1.0),
+        (datetime.datetime(1970, 1, 1, 0, 10, 30), "a", 1.0),
+        (datetime.datetime(1970, 1, 1, 0, 35, 0), "a", 1.0),
+    ]
+    df = spark.createDataFrame(rows, "ts timestamp, event_type string, value double")
+    src = os.path.join(tmp_path, "src")
+    df.coalesce(1).write.parquet(src)
+    stream = spark.readStream.schema(df.schema).parquet(src)
+    q = (
+        stream_event_counts(spark, stream)
+        .writeStream.format("parquet")
+        .option("path", os.path.join(tmp_path, "out"))
+        .option("checkpointLocation", os.path.join(tmp_path, "ckpt"))
+        .trigger(availableNow=True)
+        .outputMode("append")
+        .start()
+    )
+    q.awaitTermination()
+    got = spark.read.parquet(os.path.join(tmp_path, "out"))
+    starts = sorted(r.window_start for r in got.collect())
+    assert starts == [
+        datetime.datetime(1970, 1, 1, 0, 0),
+        datetime.datetime(1970, 1, 1, 0, 10),  # end == watermark: emitted
+    ]
 
 
 def test_st_extract_writes_lineage(spark, sf_tiny, tmp_path):
