@@ -111,9 +111,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # oracle, so their driver rows are machine-checked stream/batch
     # parity certificates — including the stateful watermark shape
     # (st_event_counts: the append-mode eviction rule is the oracle).
-    # They took five (d) backfill slots (dd_exact/dd_simhash/
-    # dd_ngram_jaccard/dd_contamination/dd_lsh_stats: r03 green,
-    # byte-unchanged, sweep-verified this round).
+    # They took six (d) backfill slots (dd_exact/dd_simhash/
+    # dd_ngram_jaccard/dd_contamination/dd_lsh_stats/sim_lsh_buckets:
+    # r03 green, byte-unchanged, sweep-verified this round).
     out.update(streaming_queries.QUERIES)
     for k in ("dd_emb_neardup_wide", "dd_emb_lsh_stats"):
         out[k] = dedup.QUERIES[k]
@@ -141,7 +141,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["mm_media_features"] = multimodal.QUERIES["mm_media_features"]
     for k in ("ta_token_count", "ta_lang_id", "ta_fingerprint"):
         out[k] = text_analysis.QUERIES[k]
-    out["sim_lsh_buckets"] = similarity.QUERIES["sim_lsh_buckets"]
     # ct_chunk_tokens' body changed late in round 5 (windowing core
     # factored into chunk_array) and ct_chunk_bpe is NEW — both rank
     # above oldest-green backfill, taking the two relational slots

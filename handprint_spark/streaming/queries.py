@@ -41,6 +41,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from .pipeline import (
     stream_event_counts,
+    stream_incremental_dedup,
     stream_main_content,
     stream_normalize,
     stream_quality_gate,
@@ -172,6 +173,57 @@ def q_st_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_st_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The continuous-ingest near-dup gate drained through TWO ordered
+    micro-batches: batch 0 is the even-doc_id half of the corpus
+    (probed against an empty index — all accepted, its bands appended),
+    batch 1 the odd half probed against the even index. That is
+    exactly the batch ``dd_incremental`` scenario, so its oracle
+    (SQL_DD_INCREMENTAL) certifies the STREAMING path end-to-end:
+    foreachBatch, the grows-as-you-go partitioned index, the
+    partition-pruned prior-batch probe, and dynamic-overwrite replay
+    idempotence all sit between the source and the verdict rows being
+    compared.
+
+    Batch order is pinned by file modification times (Spark's file
+    source processes oldest-first under maxFilesPerTrigger=1), set
+    explicitly — not by write timing."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    d = tempfile.mkdtemp(prefix="hp_stq_incdedup_")
+    src = os.path.join(d, "src")
+    os.makedirs(src)
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+
+    def _stage_half(parity: int, name: str, mtime: int) -> None:
+        tmp = os.path.join(d, f"half{parity}")
+        docs.filter(F.col("doc_id") % 2 == parity).coalesce(1).write.parquet(tmp)
+        part = next(p for p in os.listdir(tmp) if p.endswith(".parquet"))
+        dst = os.path.join(src, name)
+        shutil.move(os.path.join(tmp, part), dst)
+        os.utime(dst, (mtime, mtime))
+
+    _stage_half(0, "batch0.parquet", 1_000_000)
+    _stage_half(1, "batch1.parquet", 2_000_000)
+    writer = stream_incremental_dedup(
+        spark,
+        src,
+        os.path.join(d, "index"),
+        os.path.join(d, "verdicts"),
+        os.path.join(d, "ckpt"),
+        schema=docs.schema,
+        max_files_per_trigger=1,
+    )
+    writer.trigger(availableNow=True).start().awaitTermination()
+    return (
+        spark.read.parquet(os.path.join(d, "verdicts"))
+        .filter(F.col("ingest_batch") == 1)
+        .select("doc_id", "dup_of_index")
+    )
+
+
 SQL_ST_EVENT_COUNTS = """
 WITH w AS (
   SELECT CAST(epoch(to_timestamp(floor(epoch(ts) / 600) * 600)) AS BIGINT)
@@ -190,6 +242,7 @@ WHERE (window_start_epoch + 600) * 1000 <= max_ms - 900000
 
 
 def _oracles() -> dict:
+    from ..operators.dedup import SQL_DD_INCREMENTAL
     from ..operators.html_extract import SQL_HX_MAIN_CONTENT
     from ..operators.service_fanout import _sql_flagship_skew
     from ..operators.text_analysis import SQL_TA_NORMALIZE, SQL_TA_QUALITY
@@ -200,6 +253,7 @@ def _oracles() -> dict:
         "st_main_content": SQL_HX_MAIN_CONTENT,
         "st_extract": _sql_flagship_skew(),
         "st_event_counts": SQL_ST_EVENT_COUNTS,
+        "st_incremental_dedup": SQL_DD_INCREMENTAL,
     }
 
 
@@ -209,6 +263,7 @@ QUERIES = {
     "st_main_content": q_st_main_content,
     "st_extract": q_st_extract,
     "st_event_counts": q_st_event_counts,
+    "st_incremental_dedup": q_st_incremental_dedup,
 }
 
 ORACLES = _oracles()

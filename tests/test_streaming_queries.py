@@ -128,6 +128,19 @@ def test_watermark_boundary_window_is_emitted(spark, tmp_path):
     ]
 
 
+def test_st_incremental_dedup_equals_batch(spark, sf_tiny):
+    """The two-micro-batch streaming drain (even seed batch, odd probe
+    batch) gives the verdicts of the batch dd_incremental scenario —
+    the grows-as-you-go index path agrees with the snapshot path."""
+    from handprint_spark.operators.dedup import q_dd_incremental
+    from handprint_spark.streaming.queries import q_st_incremental_dedup
+
+    got = q_st_incremental_dedup(spark, sf_tiny)
+    exp = q_dd_incremental(spark, sf_tiny)
+    assert got.count() == exp.count() > 0
+    assert _sym_diff(got, exp) == 0
+
+
 def test_st_extract_writes_lineage(spark, sf_tiny, tmp_path):
     """stream_to_results' foreachBatch runs the resumable-batch
     protocol, so the lineage sink must carry per-partition rows whose
