@@ -45,6 +45,7 @@ from .pipeline import (
     stream_main_content,
     stream_normalize,
     stream_quality_gate,
+    stream_sessionize,
     stream_to_results,
 )
 
@@ -241,6 +242,78 @@ WHERE (window_start_epoch + 600) * 1000 <= max_ms - 900000
 """
 
 
+def q_st_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The applyInPandasWithState custom stateful operator under the
+    oracle gate: gap sessionization (streaming/pipeline.
+    stream_sessionize — keyed O(1) open-session state, event-time
+    timeout) drained over the sf events table. A single-batch drain
+    emits every session closed by an IN-BATCH gap plus, via the final
+    no-data micro-batch's timeout sweep, each user's still-open LAST
+    session iff the final watermark strictly passed its timeout:
+    (last_event + gap) * 1000 < max_ms - delay_ms. That closed-form
+    rule is the oracle, so the driver row machine-checks the
+    event-time-timeout semantics of the custom operator — in-batch
+    closure, state carry, and watermark eviction together.
+
+    Boundary facts pinned by planted-data tests
+    (tests/test_streaming_queries.py): timeout eviction is STRICT
+    (a session whose timeout equals the final watermark is withheld)
+    — the opposite convention from the built-in window aggregation's
+    <= — and both sides compare in milliseconds."""
+    from pyspark.sql import functions as F
+
+    d = tempfile.mkdtemp(prefix="hp_stq_sessionize_")
+    src = os.path.join(d, "src")
+    os.makedirs(src)
+    os.symlink(
+        os.path.abspath(os.path.join(sf_dir, "events.parquet")),
+        os.path.join(src, "events.parquet"),
+    )
+    schema = spark.read.parquet(os.path.join(sf_dir, "events.parquet")).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .parquet(src)
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+        .withWatermark("ts", "15 minutes")
+    )
+    return _drain_to_parquet(spark, stream_sessionize(stream), d)
+
+
+def _sql_st_sessionize() -> str:
+    from ..operators.relational import SESSION_GAP_SEC
+
+    return f"""
+WITH g AS (
+  SELECT user_id, ts, event_id, value,
+         CASE WHEN lag(ts) OVER w IS NULL
+               OR floor(epoch(ts))::BIGINT - floor(epoch(lag(ts) OVER w))::BIGINT
+                  > {SESSION_GAP_SEC}
+              THEN 1 ELSE 0 END AS new_s
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+s AS (
+  SELECT user_id, ts, value,
+         sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS session_id
+  FROM g
+),
+sess AS (
+  SELECT user_id, session_id,
+         CAST(count(*) AS BIGINT) AS n_events,
+         CAST(floor(epoch(min(ts))) AS BIGINT) AS start_epoch,
+         CAST(floor(epoch(max(ts))) AS BIGINT) AS end_epoch,
+         CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+  FROM s GROUP BY user_id, session_id
+),
+lastsess AS (SELECT user_id, max(session_id) AS last_sid FROM sess GROUP BY user_id),
+mx AS (SELECT epoch_ms(max(ts)) AS max_ms FROM events)
+SELECT user_id, start_epoch, end_epoch, n_events, total_value
+FROM sess JOIN lastsess USING (user_id), mx
+WHERE session_id <> last_sid
+   OR (end_epoch + {SESSION_GAP_SEC}) * 1000 < max_ms - 900000
+"""
+
+
 def _oracles() -> dict:
     from ..operators.dedup import SQL_DD_INCREMENTAL
     from ..operators.html_extract import SQL_HX_MAIN_CONTENT
@@ -254,6 +327,7 @@ def _oracles() -> dict:
         "st_extract": _sql_flagship_skew(),
         "st_event_counts": SQL_ST_EVENT_COUNTS,
         "st_incremental_dedup": SQL_DD_INCREMENTAL,
+        "st_sessionize": _sql_st_sessionize(),
     }
 
 
@@ -264,6 +338,7 @@ QUERIES = {
     "st_extract": q_st_extract,
     "st_event_counts": q_st_event_counts,
     "st_incremental_dedup": q_st_incremental_dedup,
+    "st_sessionize": q_st_sessionize,
 }
 
 ORACLES = _oracles()

@@ -128,6 +128,84 @@ def test_watermark_boundary_window_is_emitted(spark, tmp_path):
     ]
 
 
+def test_st_sessionize_equals_closed_form(spark, sf_tiny):
+    """The stateful sessionize drain = all in-batch-closed sessions
+    plus timed-out last sessions per the strict watermark rule."""
+    import datetime
+
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    from handprint_spark.operators.relational import SESSION_GAP_SEC, q_ev_sessionize
+    from handprint_spark.streaming.queries import q_st_sessionize
+
+    got = q_st_sessionize(spark, sf_tiny)
+    batch = q_ev_sessionize(spark, sf_tiny)
+    ev = spark.read.parquet(f"{sf_tiny}/events.parquet")
+    mx = ev.agg(F.max(F.col("ts").cast("timestamp"))).collect()[0][0]
+    max_ms = int((mx - datetime.datetime(1970, 1, 1)).total_seconds() * 1000)
+    w = Window.partitionBy("user_id")
+    exp = (
+        batch.withColumn("last_sid", F.max("session_id").over(w))
+        .filter(
+            (F.col("session_id") != F.col("last_sid"))
+            | ((F.col("end_epoch") + SESSION_GAP_SEC) * 1000 < max_ms - 900000)
+        )
+        .select("user_id", "start_epoch", "end_epoch", "n_events", "total_value")
+    )
+    assert got.count() == exp.count() > 0
+    assert exp.count() < batch.count()  # at least one open session withheld
+    assert _sym_diff(got, exp) == 0
+
+
+def test_sessionize_timeout_boundary_is_strict(spark, tmp_path):
+    """Event-time timeout eviction fires only when the watermark
+    STRICTLY passes the session's timeout — the opposite convention
+    from the built-in window aggregation's <= (pinned there by
+    test_watermark_boundary_window_is_emitted). Planted: user 1's
+    timeout = start + gap; user 2's lone event puts the final
+    watermark exactly ON it (withheld), then 1 ms past it (emitted).
+
+    NB the base is a MODERN timestamp: with near-epoch-zero event
+    times (1970 + a few hours) the timeout sweep does not fire at all
+    in this Spark build — an implementation quirk planted tests must
+    steer around, and real event data never hits."""
+    import datetime
+    import os
+
+    from handprint_spark.streaming.pipeline import stream_sessionize
+
+    base = datetime.datetime(2024, 1, 1, 0, 0, 0)
+    for us, expect_rows in [(0, 0), (1000, 1)]:
+        d = os.path.join(tmp_path, f"case{us}")
+        rows = [
+            (base, 10, 1, 1.0),
+            (base + datetime.timedelta(seconds=4500, microseconds=us), 20, 2, 1.0),
+        ]
+        df = spark.createDataFrame(
+            rows, "ts timestamp, event_id long, user_id long, value double"
+        )
+        src = os.path.join(d, "src")
+        df.coalesce(1).write.parquet(src)
+        stream = spark.readStream.schema(df.schema).parquet(src).withWatermark(
+            "ts", "15 minutes"
+        )
+        q = (
+            stream_sessionize(stream)
+            .writeStream.format("parquet")
+            .option("path", os.path.join(d, "out"))
+            .option("checkpointLocation", os.path.join(d, "ckpt"))
+            .trigger(availableNow=True)
+            .outputMode("append")
+            .start()
+        )
+        q.awaitTermination()
+        got = spark.read.parquet(os.path.join(d, "out"))
+        assert got.count() == expect_rows, f"offset {us}us: {got.count()} rows"
+        if expect_rows:
+            assert got.collect()[0].user_id == 1
+
+
 def test_st_incremental_dedup_equals_batch(spark, sf_tiny):
     """The two-micro-batch streaming drain (even seed batch, odd probe
     batch) gives the verdicts of the batch dd_incremental scenario —
