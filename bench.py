@@ -38,6 +38,7 @@ def main() -> None:
     )
     from handprint_spark.operators.extract import extract_documents
     from handprint_spark.session import get_spark
+    from handprint_spark.streaming import queries as streaming_queries
 
     spark = get_spark(app_name="handprint-spark-bench", master=f"local[{cpus}]")
     spark.sparkContext.setLogLevel("ERROR")
@@ -210,6 +211,16 @@ def main() -> None:
         # packing on real token counts
         ("ct_chunk_bpe", html_extract.QUERIES["ct_chunk_bpe"]),
         ("cur_shard_pack_bpe", curation.QUERIES["cur_shard_pack_bpe"]),
+        # round 5 continuation: streaming drains under the oracle gate
+        # — the full extraction pipeline through the per-micro-batch
+        # checkpoint/lineage protocol, and the stateful watermarked
+        # window drain. Timings include source staging, the streaming
+        # commit machinery, and the sink read-back: the honest
+        # end-to-end premium of the streaming form over its batch twin
+        # (compare st_extract vs flagship_extract, st_event_counts vs
+        # time_bucket_agg).
+        ("st_extract", streaming_queries.QUERIES["st_extract"]),
+        ("st_event_counts", streaming_queries.QUERIES["st_event_counts"]),
     ]
     # Trained artifacts (BPE vocab, k-means centroids, PQ codebooks)
     # memoize per corpus content — production trains ONCE at index/

@@ -41,6 +41,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from .pipeline import (
     stream_event_counts,
+    stream_first_seen,
     stream_incremental_dedup,
     stream_main_content,
     stream_normalize,
@@ -279,6 +280,30 @@ def q_st_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _drain_to_parquet(spark, stream_sessionize(stream), d)
 
 
+def q_st_first_seen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The exact-dedup custom stateful operator drained over the sf
+    corpus: one (h, doc_id, n_chars) row per distinct md5(text), the
+    emitted doc being the batch's deterministic first (smallest doc_id
+    under the (len, str) order — numeric order for digit ids). In a
+    single-batch drain that is exactly the batch ``dd_exact`` keeper
+    rule, so the oracle is closed-form SQL over documents; what the
+    green row certifies is the applyInPandasWithState NoTimeout path:
+    keyed state creation, cross-chunk group iteration, and
+    emit-once-per-key."""
+    d = _stage_documents(sf_dir, "firstseen")
+    schema = spark.read.parquet(os.path.join(sf_dir, "documents.parquet")).schema
+    stream = spark.readStream.schema(schema).parquet(os.path.join(d, "src"))
+    return _drain_to_parquet(spark, stream_first_seen(stream), d)
+
+
+SQL_ST_FIRST_SEEN = """
+SELECT md5(text) AS h,
+       CAST(min(doc_id) AS VARCHAR) AS doc_id,
+       CAST(min(length(text)) AS INT) AS n_chars
+FROM documents GROUP BY md5(text)
+"""
+
+
 def _sql_st_sessionize() -> str:
     from ..operators.relational import SESSION_GAP_SEC
 
@@ -328,6 +353,7 @@ def _oracles() -> dict:
         "st_event_counts": SQL_ST_EVENT_COUNTS,
         "st_incremental_dedup": SQL_DD_INCREMENTAL,
         "st_sessionize": _sql_st_sessionize(),
+        "st_first_seen": SQL_ST_FIRST_SEEN,
     }
 
 
@@ -339,6 +365,7 @@ QUERIES = {
     "st_event_counts": q_st_event_counts,
     "st_incremental_dedup": q_st_incremental_dedup,
     "st_sessionize": q_st_sessionize,
+    "st_first_seen": q_st_first_seen,
 }
 
 ORACLES = _oracles()

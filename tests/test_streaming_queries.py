@@ -219,6 +219,31 @@ def test_st_incremental_dedup_equals_batch(spark, sf_tiny):
     assert _sym_diff(got, exp) == 0
 
 
+def test_st_first_seen_equals_batch_keeper(spark, sf_tiny):
+    """The single-batch first-seen drain emits the dd_exact keeper
+    per hash (min doc_id), with the group's shared text length."""
+    from pyspark.sql import functions as F
+
+    from handprint_spark.streaming.queries import q_st_first_seen
+
+    got = q_st_first_seen(spark, sf_tiny)
+    docs = spark.read.parquet(f"{sf_tiny}/documents.parquet")
+    exp = (
+        docs.select(
+            F.md5(F.col("text").cast("binary")).alias("h"),
+            "doc_id",
+            F.length("text").cast("int").alias("n_chars"),
+        )
+        .groupBy("h")
+        .agg(
+            F.min("doc_id").cast("string").alias("doc_id"),
+            F.min("n_chars").alias("n_chars"),
+        )
+    )
+    assert got.count() == exp.count() > 0
+    assert _sym_diff(got, exp) == 0
+
+
 def test_st_extract_writes_lineage(spark, sf_tiny, tmp_path):
     """stream_to_results' foreachBatch runs the resumable-batch
     protocol, so the lineage sink must carry per-partition rows whose
