@@ -111,10 +111,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # oracle, so their driver rows are machine-checked stream/batch
     # parity certificates — including the stateful watermark shape
     # (st_event_counts: the append-mode eviction rule is the oracle).
-    # They took eight (d) backfill slots (dd_exact/dd_simhash/
+    # They took nine (d) backfill slots (dd_exact/dd_simhash/
     # dd_ngram_jaccard/dd_contamination/dd_lsh_stats/sim_lsh_buckets/
-    # ta_fingerprint/ta_lang_id: r02-r03 green, byte-unchanged,
-    # sweep-verified this round).
+    # ta_fingerprint/ta_lang_id/ta_token_count: r02-r03 green,
+    # byte-unchanged, sweep-verified this round).
     out.update(streaming_queries.QUERIES)
     for k in ("dd_emb_neardup_wide", "dd_emb_lsh_stats"):
         out[k] = dedup.QUERIES[k]
@@ -140,7 +140,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     for k in ("x1_amazon_parse", "x4_google_parse", "x5_microsoft_parse"):
         out[k] = service_queries.QUERIES[k]
     out["mm_media_features"] = multimodal.QUERIES["mm_media_features"]
-    out["ta_token_count"] = text_analysis.QUERIES["ta_token_count"]
     # ct_chunk_tokens' body changed late in round 5 (windowing core
     # factored into chunk_array) and ct_chunk_bpe is NEW — both rank
     # above oldest-green backfill, taking the two relational slots

@@ -40,6 +40,7 @@ import tempfile
 from pyspark.sql import DataFrame, SparkSession
 
 from .pipeline import (
+    stream_decontaminate,
     stream_event_counts,
     stream_first_seen,
     stream_incremental_dedup,
@@ -202,7 +203,13 @@ def q_st_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     def _stage_half(parity: int, name: str, mtime: int) -> None:
         tmp = os.path.join(d, f"half{parity}")
         docs.filter(F.col("doc_id") % 2 == parity).coalesce(1).write.parquet(tmp)
-        part = next(p for p in os.listdir(tmp) if p.endswith(".parquet"))
+        part = next(
+            (p for p in os.listdir(tmp) if p.endswith(".parquet")), None
+        )
+        if part is None:  # empty half = no part file: name the real problem
+            raise ValueError(
+                f"st_incremental_dedup: no doc_id with parity {parity} in {sf_dir}"
+            )
         dst = os.path.join(src, name)
         shutil.move(os.path.join(tmp, part), dst)
         os.utime(dst, (mtime, mtime))
@@ -296,6 +303,29 @@ def q_st_first_seen(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _drain_to_parquet(spark, stream_first_seen(stream), d)
 
 
+def q_st_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ingest-time benchmark-decontamination gate drained over the
+    sf corpus: the eval slice's distinct gram set is broadcast once,
+    every streamed train doc gets a stateless Arrow-scored verdict.
+    Oracle = the batch ``dd_contamination`` SQL; the drain's ``keep``
+    flag is the negation of the batch ``contaminated`` flag
+    (keep = contam_frac < threshold, pytest-pinned in test_streaming),
+    so the projection maps it back for the compare."""
+    from pyspark.sql import functions as F
+
+    d = _stage_documents(sf_dir, "decontaminate")
+    schema = spark.read.parquet(os.path.join(sf_dir, "documents.parquet")).schema
+    stream = spark.readStream.schema(schema).parquet(os.path.join(d, "src"))
+    drained = _drain_to_parquet(spark, stream_decontaminate(spark, stream, sf_dir), d)
+    return drained.select(
+        "doc_id",
+        "n_grams",
+        "n_hit",
+        "contam_frac",
+        (~F.col("keep")).alias("contaminated"),
+    )
+
+
 SQL_ST_FIRST_SEEN = """
 SELECT md5(text) AS h,
        CAST(min(doc_id) AS VARCHAR) AS doc_id,
@@ -340,7 +370,7 @@ WHERE session_id <> last_sid
 
 
 def _oracles() -> dict:
-    from ..operators.dedup import SQL_DD_INCREMENTAL
+    from ..operators.dedup import SQL_DD_CONTAMINATION, SQL_DD_INCREMENTAL
     from ..operators.html_extract import SQL_HX_MAIN_CONTENT
     from ..operators.service_fanout import _sql_flagship_skew
     from ..operators.text_analysis import SQL_TA_NORMALIZE, SQL_TA_QUALITY
@@ -354,6 +384,7 @@ def _oracles() -> dict:
         "st_incremental_dedup": SQL_DD_INCREMENTAL,
         "st_sessionize": _sql_st_sessionize(),
         "st_first_seen": SQL_ST_FIRST_SEEN,
+        "st_decontaminate": SQL_DD_CONTAMINATION,
     }
 
 
@@ -366,6 +397,7 @@ QUERIES = {
     "st_incremental_dedup": q_st_incremental_dedup,
     "st_sessionize": q_st_sessionize,
     "st_first_seen": q_st_first_seen,
+    "st_decontaminate": q_st_decontaminate,
 }
 
 ORACLES = _oracles()

@@ -244,6 +244,18 @@ def test_st_first_seen_equals_batch_keeper(spark, sf_tiny):
     assert _sym_diff(got, exp) == 0
 
 
+def test_st_decontaminate_equals_batch(spark, sf_tiny):
+    """The drained ingest decontamination gate emits the batch
+    dd_contamination verdicts (keep mapped back to contaminated)."""
+    from handprint_spark.operators.dedup import q_dd_contamination
+    from handprint_spark.streaming.queries import q_st_decontaminate
+
+    got = q_st_decontaminate(spark, sf_tiny)
+    exp = q_dd_contamination(spark, sf_tiny)
+    assert got.count() == exp.count() > 0
+    assert _sym_diff(got, exp) == 0
+
+
 def test_st_extract_writes_lineage(spark, sf_tiny, tmp_path):
     """stream_to_results' foreachBatch runs the resumable-batch
     protocol, so the lineage sink must carry per-partition rows whose
