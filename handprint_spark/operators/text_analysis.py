@@ -1421,6 +1421,96 @@ FROM base
 """
 
 
+GOPHER_DUP_POSTING_N = 5
+
+
+def q_ta_gopher_dup_posting(spark, sf_dir):
+    """The SCALE form of the Gopher duplicate-n-gram rule (n=5 here,
+    the family's largest limit): explode → (doc_id, gram) groupBy —
+    the posting-list shape `q_ta_gopher_rules`'s docstring routes
+    pathological multi-MB documents through, registered as executable
+    code rather than a comment (same policy as the approx-quantiles
+    pair). The in-row array form is O(L²·n) PER DOCUMENT inside one
+    task; this form is per-row O(L) with the quadratic replaced by a
+    well-spread (doc_id, gram) shuffle, so a 1 GB single document
+    costs a wide group, not a straggler task.
+
+    Identity with the array form (pytest-pinned on the sf corpus):
+    a position is duplicated iff its gram's doc-count c ≥ 2, so
+    dup positions = Σ_{c≥2} c and total positions = Σ c = L − n + 1.
+    Single corpus scan: short docs (n_words < n) keep their row via
+    explode_outer's null gram instead of a join back to documents.
+
+    Output: (doc_id, n_positions, n_dup_positions, dup5_frac), with
+    dup5_frac rounded at 4 like the array form's dup5 column.
+    """
+    n = GOPHER_DUP_POSTING_N
+    ws_docs = _docs(spark, sf_dir).select("doc_id", _words().alias("ws"))
+    grams = F.expr(
+        f"CASE WHEN size(ws) < {n} THEN array()"
+        f" ELSE transform(sequence(1, size(ws) - {n} + 1),"
+        f" i -> concat_ws(' ', slice(ws, i, {n}))) END"
+    )
+    per_gram = (
+        ws_docs.select("doc_id", F.explode_outer(grams).alias("gram"))
+        .groupBy("doc_id", "gram")
+        .agg(F.count("*").alias("c"))
+    )
+    counted = per_gram.groupBy("doc_id").agg(
+        F.sum(F.when(F.col("gram").isNotNull(), F.col("c")).otherwise(F.lit(0)))
+        .cast("long")
+        .alias("n_positions"),
+        F.sum(
+            F.when(F.col("gram").isNotNull() & (F.col("c") >= 2), F.col("c")).otherwise(
+                F.lit(0)
+            )
+        )
+        .cast("long")
+        .alias("n_dup_positions"),
+    )
+    return counted.select(
+        "doc_id",
+        "n_positions",
+        "n_dup_positions",
+        F.when(
+            F.col("n_positions") > 0,
+            F.round(F.col("n_dup_positions") / F.col("n_positions"), 4),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("dup5_frac"),
+    )
+
+
+SQL_TA_GOPHER_DUP_POSTING = f"""
+WITH w AS (
+  SELECT doc_id, string_split(text, ' ') AS ws,
+         len(string_split(text, ' ')) AS n
+  FROM documents
+),
+g AS (
+  SELECT doc_id,
+         array_to_string(ws[i : i + {GOPHER_DUP_POSTING_N} - 1], ' ') AS gram
+  FROM w, unnest(generate_series(1, n - {GOPHER_DUP_POSTING_N} + 1)) AS t(i)
+  WHERE n >= {GOPHER_DUP_POSTING_N}
+),
+c AS (SELECT doc_id, gram, count(*) AS c FROM g GROUP BY doc_id, gram),
+agg AS (
+  SELECT doc_id,
+         CAST(sum(c) AS BIGINT) AS n_positions,
+         CAST(sum(CASE WHEN c >= 2 THEN c ELSE 0 END) AS BIGINT)
+           AS n_dup_positions
+  FROM c GROUP BY doc_id
+)
+SELECT w.doc_id,
+       COALESCE(a.n_positions, 0) AS n_positions,
+       COALESCE(a.n_dup_positions, 0) AS n_dup_positions,
+       CASE WHEN COALESCE(a.n_positions, 0) > 0
+            THEN round(a.n_dup_positions::DOUBLE / a.n_positions, 4)
+            ELSE 0.0 END AS dup5_frac
+FROM w LEFT JOIN agg a USING (doc_id)
+"""
+
+
 # --- hashed-feature linear model inference -----------------------------------
 #
 # The fastText-style quality-classifier skeleton: hashing-trick
@@ -1509,6 +1599,7 @@ QUERIES = {
     "ta_bpe_train": q_ta_bpe_train,
     "ta_bpe_encode": q_ta_bpe_encode,
     "ta_gopher_rules": q_ta_gopher_rules,
+    "ta_gopher_dup_posting": q_ta_gopher_dup_posting,
     "ta_hash_score": q_ta_hash_score,
 }
 
@@ -1534,5 +1625,6 @@ ORACLES = {
     "ta_bpe_train": _sql_ta_bpe_train(),
     "ta_bpe_encode": _sql_ta_bpe_encode(),
     "ta_gopher_rules": _gopher_sql(),
+    "ta_gopher_dup_posting": SQL_TA_GOPHER_DUP_POSTING,
     "ta_hash_score": SQL_TA_HASH_SCORE,
 }
