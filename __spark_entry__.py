@@ -118,7 +118,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out.update(streaming_queries.QUERIES)
     for k in ("dd_emb_neardup_wide", "dd_emb_lsh_stats"):
         out[k] = dedup.QUERIES[k]
-    for k in ("ta_bpe_train", "ta_bpe_encode", "ta_normalize", "ta_len_quantiles_approx"):
+    for k in (
+        "ta_bpe_train",
+        "ta_bpe_encode",
+        "ta_normalize",
+        "ta_len_quantiles_approx",
+        # posting-list form of the Gopher dup-ngram rule, added in the
+        # round-5 continuation — never driver-verified, so it takes the
+        # mm_media_features backfill slot (r02 green, byte-unchanged,
+        # sweep-verified).
+        "ta_gopher_dup_posting",
+    ):
         out[k] = text_analysis.QUERIES[k]
     out["cur_shard_pack_bpe"] = curation.QUERIES["cur_shard_pack_bpe"]
     for k in ("sim_kmeans", "sim_ivf_trained", "sim_pq_trained_topk", "sim_pq_recall"):
@@ -139,7 +149,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # (d) oldest green rows rotated back in
     for k in ("x1_amazon_parse", "x4_google_parse", "x5_microsoft_parse"):
         out[k] = service_queries.QUERIES[k]
-    out["mm_media_features"] = multimodal.QUERIES["mm_media_features"]
     # ct_chunk_tokens' body changed late in round 5 (windowing core
     # factored into chunk_array) and ct_chunk_bpe is NEW — both rank
     # above oldest-green backfill, taking the two relational slots

@@ -165,6 +165,7 @@ def main() -> None:
         # and the Gopher gate bundle (zero-shuffle O(L^2) HOF scan)
         ("lay_paragraphs", service_queries.QUERIES["lay_paragraphs"]),
         ("ta_gopher_rules", text_analysis.QUERIES["ta_gopher_rules"]),
+        ("ta_gopher_dup_posting", text_analysis.QUERIES["ta_gopher_dup_posting"]),
         # round 4 session 3: incremental index-probe dedup (semi-join
         # against the band index), iterative link-graph PageRank
         # (3 join+agg rounds), and hashed-feature linear inference
