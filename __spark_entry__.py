@@ -146,8 +146,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["hx_url_canonicalize"] = html_extract.QUERIES["hx_url_canonicalize"]
     out["sim_ann_recall"] = similarity.QUERIES["sim_ann_recall"]
     out["cur_shard_pack"] = curation.QUERIES["cur_shard_pack"]
+    # hx_url_revisit (latest-fetch-wins URL dedup) is NEW in the
+    # round-5 continuation — never driver-verified, so it ranks above
+    # oldest-green backfill and takes the x1_amazon_parse slot
+    # (r02 green, byte-unchanged, sweep-verified this round).
+    out["hx_url_revisit"] = html_extract.QUERIES["hx_url_revisit"]
     # (d) oldest green rows rotated back in
-    for k in ("x1_amazon_parse", "x4_google_parse", "x5_microsoft_parse"):
+    for k in ("x4_google_parse", "x5_microsoft_parse"):
         out[k] = service_queries.QUERIES[k]
     # ct_chunk_tokens' body changed late in round 5 (windowing core
     # factored into chunk_array) and ct_chunk_bpe is NEW — both rank

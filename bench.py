@@ -159,6 +159,9 @@ def main() -> None:
         ("hx_main_content", html_extract.QUERIES["hx_main_content"]),
         ("hx_outlinks", html_extract.QUERIES["hx_outlinks"]),
         ("hx_url_canonicalize", html_extract.QUERIES["hx_url_canonicalize"]),
+        # round 5 continuation: latest-fetch-wins revisit dedup (one
+        # window exchange on the canonical key)
+        ("hx_url_revisit", html_extract.QUERIES["hx_url_revisit"]),
         ("ct_chunk_tokens", html_extract.QUERIES["ct_chunk_tokens"]),
         ("ta_bpe_pairs", text_analysis.QUERIES["ta_bpe_pairs"]),
         # round 4: layout parse (single-exchange paragraph clustering)

@@ -490,8 +490,10 @@ def q_hx_url_canonicalize(spark, sf_dir):
     )
 
 
-SQL_HX_URL_CANON = r"""
-WITH raw AS (
+# The raw/canon CTE pair is shared by SQL_HX_URL_CANON and
+# SQL_HX_URL_REVISIT so the oracle-side canonicalizer can never drift
+# between the two queries that key on it.
+_SQL_MESSY_CANON_CTES = r"""raw AS (
   SELECT doc_id,
     CASE doc_id % 4
       WHEN 0 THEN 'HTTPS://WWW.Example.COM:443/doc/' || (doc_id // 4) || '?utm_source=feed&ref=x#frag'
@@ -522,11 +524,82 @@ canon AS (
       '([?&])(utm_[a-z]+|ref)=[^&#]*&?', '\1', 'g'),
     '[?&]$', ''), '/$', '') AS canon_url
   FROM raw
-)
+)"""
+
+SQL_HX_URL_CANON = f"""
+WITH {_SQL_MESSY_CANON_CTES}
 SELECT doc_id, url, canon_url,
   doc_id = min(doc_id) OVER (PARTITION BY canon_url) AS is_keeper,
   CAST(count(*) OVER (PARTITION BY canon_url) AS INT) AS n_variants
 FROM canon
+"""
+
+
+REVISIT_BASE_EPOCH = 1_700_000_000
+
+
+def q_hx_url_revisit(spark, sf_dir):
+    """Cross-snapshot URL revisit dedup — latest-fetch-wins. A crawl
+    refetches the same logical page across snapshots; before any
+    content-level dedup a pipeline collapses the revisit history to
+    ONE row per canonical URL, keeping the NEWEST fetch (the rule
+    CommonCrawl-style corpus builds apply; distinct from
+    ``q_hx_url_canonicalize``'s lowest-id keeper, which is the
+    identity-grouping diagnostic — this is the temporal production
+    rule). Reference analog: S8's skip-if-cached decision
+    (handprint/main_body.py:132-145) inverted to prefer the freshest
+    artifact for one target rather than any cached one.
+
+    Fetch times are synthesized deterministically (REVISIT_BASE_EPOCH
+    + variant-day offset + doc_id — unique per row, so the group max
+    is unique and latest-wins needs no tie-break; the oracle mirrors
+    the formula). Per row: the canonical key, the fetch epoch, the
+    latest-wins verdict, how many OTHER snapshots the crawl holds for
+    the page, and the row's staleness behind the freshest fetch.
+
+    Scale shape: the canonical projection is zero-shuffle; the
+    verdict is ONE window exchange keyed on canonical URL — keys are
+    near-unique in a real crawl and group size is bounded by the
+    snapshot count per URL (tens, not millions), so the exchange is
+    well-spread with no skew hazard at 10^12 fetch records.
+    """
+    from pyspark.sql import Window
+
+    fetch_epoch = (
+        F.lit(REVISIT_BASE_EPOCH)
+        + (F.col("doc_id") % 4) * 86_400
+        + F.col("doc_id")
+    ).cast("long")
+    urls = _messy_urls(_docs(spark, sf_dir)).select(
+        "doc_id",
+        canonical_url(F.col("url")).alias("canon_url"),
+        fetch_epoch.alias("fetch_epoch"),
+    )
+    w = Window.partitionBy("canon_url")
+    return urls.select(
+        "doc_id",
+        "canon_url",
+        "fetch_epoch",
+        (F.col("fetch_epoch") == F.max("fetch_epoch").over(w)).alias("is_latest"),
+        (F.count("*").over(w) - 1).cast("int").alias("n_revisits"),
+        (F.max("fetch_epoch").over(w) - F.col("fetch_epoch")).alias("staleness_s"),
+    )
+
+
+SQL_HX_URL_REVISIT = f"""
+WITH {_SQL_MESSY_CANON_CTES},
+fetched AS (
+  SELECT doc_id, canon_url,
+         CAST({REVISIT_BASE_EPOCH} + (doc_id % 4) * 86400 + doc_id AS BIGINT)
+           AS fetch_epoch
+  FROM canon
+)
+SELECT doc_id, canon_url, fetch_epoch,
+  fetch_epoch = max(fetch_epoch) OVER (PARTITION BY canon_url) AS is_latest,
+  CAST(count(*) OVER (PARTITION BY canon_url) - 1 AS INT) AS n_revisits,
+  CAST(max(fetch_epoch) OVER (PARTITION BY canon_url) - fetch_epoch AS BIGINT)
+    AS staleness_s
+FROM fetched
 """
 
 
@@ -933,6 +1006,7 @@ QUERIES = {
     "hx_outlinks": q_hx_outlinks,
     "hx_anchor_text": q_hx_anchor_text,
     "hx_url_canonicalize": q_hx_url_canonicalize,
+    "hx_url_revisit": q_hx_url_revisit,
     "ct_chunk_tokens": q_ct_chunk_tokens,
     "ct_chunk_bpe": q_ct_chunk_bpe,
     "hx_host_budget": q_hx_host_budget,
@@ -946,6 +1020,7 @@ ORACLES = {
     "hx_outlinks": SQL_HX_OUTLINKS,
     "hx_anchor_text": SQL_HX_ANCHOR_TEXT,
     "hx_url_canonicalize": SQL_HX_URL_CANON,
+    "hx_url_revisit": SQL_HX_URL_REVISIT,
     "ct_chunk_tokens": SQL_CT_CHUNK_TOKENS,
     "ct_chunk_bpe": _sql_ct_chunk_bpe(),
     "hx_host_budget": SQL_HX_HOST_BUDGET,

@@ -211,6 +211,35 @@ def test_url_dedup_groups(spark, sf_tiny):
     assert full_pages, "expected 3-way canonical groups from variants 0/1/3"
 
 
+def test_url_revisit_latest_wins(spark, sf_tiny):
+    """Latest-fetch-wins semantics: exactly one is_latest row per
+    canonical group, it carries the group-max fetch_epoch, every
+    row's staleness is the gap to that max (0 on the keeper), and
+    n_revisits counts the OTHER snapshots. Variants 0/1/3 of a quad
+    share a canonical URL — the synthesized epoch makes variant 3 the
+    freshest of the trio — while variant 2 (meaningful ?id= param) is
+    a singleton with n_revisits = 0."""
+    from handprint_spark.operators.html_extract import q_hx_url_revisit
+
+    rows = q_hx_url_revisit(spark, sf_tiny).collect()
+    by_canon = {}
+    for r in rows:
+        by_canon.setdefault(r.canon_url, []).append(r)
+    assert any(len(g) == 3 for g in by_canon.values())
+    assert any(len(g) == 1 for g in by_canon.values())
+    for group in by_canon.values():
+        latest = [r for r in group if r.is_latest]
+        assert len(latest) == 1
+        mx = max(r.fetch_epoch for r in group)
+        assert latest[0].fetch_epoch == mx
+        assert latest[0].staleness_s == 0
+        for r in group:
+            assert r.n_revisits == len(group) - 1
+            assert r.staleness_s == mx - r.fetch_epoch
+        if len(group) == 3:  # freshest of the 0/1/3 trio is variant 3
+            assert latest[0].doc_id % 4 == 3
+
+
 def test_bpe_pairs_handcrafted(spark, monkeypatch, tmp_path):
     """Top pair on a handcrafted corpus is the known most frequent
     adjacent pair, and the ranking tie-break is the pair string."""
