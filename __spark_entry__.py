@@ -146,14 +146,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["hx_url_canonicalize"] = html_extract.QUERIES["hx_url_canonicalize"]
     out["sim_ann_recall"] = similarity.QUERIES["sim_ann_recall"]
     out["cur_shard_pack"] = curation.QUERIES["cur_shard_pack"]
-    # hx_url_revisit (latest-fetch-wins URL dedup) is NEW in the
-    # round-5 continuation — never driver-verified, so it ranks above
-    # oldest-green backfill and takes the x1_amazon_parse slot
-    # (r02 green, byte-unchanged, sweep-verified this round).
+    # Round-5 continuation additions — never driver-verified, so they
+    # rank above oldest-green backfill and take the three remaining
+    # (d) slots (x1_amazon_parse / x4_google_parse /
+    # x5_microsoft_parse: r02 green, byte-unchanged, sweep-verified
+    # this round): the latest-fetch-wins URL revisit dedup and the
+    # distributed classifier train + trained-inference pair.
     out["hx_url_revisit"] = html_extract.QUERIES["hx_url_revisit"]
-    # (d) oldest green rows rotated back in
-    for k in ("x4_google_parse", "x5_microsoft_parse"):
-        out[k] = service_queries.QUERIES[k]
+    out["ta_train_linear_clf"] = text_analysis.QUERIES["ta_train_linear_clf"]
+    out["ta_hash_score_trained"] = text_analysis.QUERIES["ta_hash_score_trained"]
     # ct_chunk_tokens' body changed late in round 5 (windowing core
     # factored into chunk_array) and ct_chunk_bpe is NEW — both rank
     # above oldest-green backfill, taking the two relational slots

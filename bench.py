@@ -176,6 +176,10 @@ def main() -> None:
         ("dd_incremental", dedup.QUERIES["dd_incremental"]),
         ("hx_pagerank", html_extract.QUERIES["hx_pagerank"]),
         ("ta_hash_score", text_analysis.QUERIES["ta_hash_score"]),
+        # round 5 continuation: inference under the TRAINED model
+        # (integer dot product via broadcast weight-array literal;
+        # training cost reported separately as train_clf_cold)
+        ("ta_hash_score_trained", text_analysis.QUERIES["ta_hash_score_trained"]),
         # round 4 session 4: order-2 LM scoring (single corpus pass
         # feeding bigram counts + context fold) and inbound anchor-text
         # aggregation (two-stage distinct agg over the link snippets)
@@ -233,12 +237,16 @@ def main() -> None:
     # reported separately here (cold, before any consumer runs), so a
     # round-over-round diff can't mistake cache reuse for a plan win.
     from handprint_spark.operators.similarity import kmeans_train, pq_train
-    from handprint_spark.operators.text_analysis import bpe_train_corpus
+    from handprint_spark.operators.text_analysis import (
+        bpe_train_corpus,
+        train_linear_clf,
+    )
 
     for cold_name, trainer in (
         ("train_bpe_cold", lambda: bpe_train_corpus(spark, sf_dir)),
         ("train_kmeans_cold", lambda: kmeans_train(spark, sf_dir)),
         ("train_pq_cold", lambda: pq_train(spark, sf_dir)),
+        ("train_clf_cold", lambda: train_linear_clf(spark, sf_dir)),
     ):
         t0 = time.perf_counter()
         trainer()

@@ -1579,6 +1579,239 @@ FROM scored
 """
 
 
+# --- hashed-feature linear classifier TRAINING --------------------------------
+#
+# The training half of the `ta_hash_score` family: `q_ta_hash_score`
+# ships INFERENCE over a fixed pseudo-model and its docstring promises
+# "a trained model swaps the weight expression for a broadcast
+# lookup". This section trains that model distributed — full-batch
+# gradient descent where each round is ONE aggregate over a
+# checkpointed (doc_id, feature, count, label) posting table plus a
+# 65-row collect — the same bounded-driver-loop shape as `sim_kmeans`
+# (Lloyd's) and `hx_pagerank` (power iteration).
+#
+# Determinism contract (the reason this trains a CLAMPED-LINEAR
+# logistic surrogate, p = clamp(0.5 + z/4, 0, 1), not exp-sigmoid):
+# every arithmetic step is IEEE-754 +,-,*,/ on doubles derived from
+# integers — no transcendental calls — so Spark (JVM) and DuckDB
+# (libm) compute bit-identical probabilities; gradients quantize to
+# integer micro-units BEFORE the cross-row sum (order-independent,
+# the hx_pagerank protocol), and weights stay integers end-to-end.
+# An exp-based sigmoid would leave the oracle at the mercy of 1-ulp
+# libm divergence amplified across rounds.
+#
+# Labels are derived from the corpus itself (y = doc contains
+# TRAIN_LABEL_TOKEN — a 76/24 split on the test corpus), so the
+# planted signal is real and the pytest asserts the trainer finds it:
+# the label token's bucket ends as the LARGEST positive weight and
+# the trained scorer RANKS the classes apart (AUC 0.82/0.83 at
+# sf0.001/0.01; positive-class mean score ~2x the negative mean).
+# What the demo corpus cannot give is 0-threshold accuracy above the
+# majority rate: the synthetic vocabulary is 31 tokens shared by
+# every lang, docs are long, so presence features are near-constant
+# across documents and the decision boundary sits inside the
+# majority mass (measured across an lr x rounds x D x normalization
+# sweep — it is a property of the corpus, not the trainer; the PQ
+# recall note is the precedent for documenting exactly this).
+#
+# Scale shape: the posting table is built once (explode + one
+# groupBy), repartitioned by doc_id and checkpointed; each round is
+# a doc-local dot product (no exchange: posting is doc_id
+# partitioned), one co-partitioned join, and a 65-key gradient
+# groupBy with map-side partials. 10^12 docs cost rounds × (one scan
+# + one tiny shuffle); weights (65 ints) broadcast back as literals.
+# At that scale gradients use 1e6 units instead of 1e9 to keep the
+# BIGINT sum under 2^63 (documented, not plumbed: the sandbox corpus
+# is 9 orders of magnitude away).
+
+TRAIN_DIM = 64  # feature buckets; feature TRAIN_DIM is the bias
+TRAIN_ROUNDS = 3
+TRAIN_LR = 0.05
+TRAIN_MICRO = 1_000_000_000
+TRAIN_LABEL_TOKEN = "the"
+
+
+def _train_posting(spark, sf_dir):
+    """(doc_id, j, c, y): hashed bag-of-words counts (bucket = md5 %
+    TRAIN_DIM, the ta_hash_score hashing trick), a per-doc bias row
+    (j = TRAIN_DIM, c = 1), and the corpus-derived label."""
+    base = _docs(spark, sf_dir).select("doc_id", _words().alias("ws"))
+    lab = base.select(
+        "doc_id",
+        F.array_contains("ws", TRAIN_LABEL_TOKEN).cast("int").alias("y"),
+    )
+    j = (
+        F.conv(F.substring(F.md5(F.col("w").cast("binary")), 1, 8), 16, 10).cast("long")
+        % TRAIN_DIM
+    ).cast("int")
+    counts = (
+        base.select("doc_id", F.explode("ws").alias("w"))
+        .select("doc_id", j.alias("j"))
+        .groupBy("doc_id", "j")
+        .agg(F.count("*").alias("c"))
+    )
+    bias = base.select(
+        "doc_id", F.lit(TRAIN_DIM).alias("j"), F.lit(1).cast("long").alias("c")
+    )
+    return counts.unionByName(bias).join(lab, "doc_id")
+
+
+def _round_half_away(x: float) -> int:
+    """Half-away-from-zero — the rounding BOTH engines apply (Spark
+    F.round is HALF_UP = away from zero on either sign; DuckDB round()
+    likewise). Python's built-in round is banker's, hence this."""
+    import math
+
+    return int(math.floor(x + 0.5)) if x >= 0 else int(math.ceil(x - 0.5))
+
+
+_CLF_CACHE: dict[tuple, list] = {}
+
+
+def train_linear_clf(spark, sf_dir, rounds: int = TRAIN_ROUNDS) -> list[int]:
+    """TRAIN_DIM+1 integer micro-unit weights after ``rounds``
+    full-batch GD rounds, memoized per (session, corpus content,
+    rounds) — the `_BPE_CACHE` precedent: both registered consumers
+    ship the SAME model."""
+    from .similarity import table_fingerprint
+
+    key = (
+        spark.sparkContext.applicationId,
+        sf_dir,
+        table_fingerprint(sf_dir, "documents.parquet"),
+        rounds,
+    )
+    if key in _CLF_CACHE:
+        return _CLF_CACHE[key]
+    posting = _train_posting(spark, sf_dir).repartition("doc_id").localCheckpoint()
+    n_docs = posting.filter(F.col("j") == TRAIN_DIM).count()
+    w = [0] * (TRAIN_DIM + 1)
+    for _ in range(rounds):
+        warr = F.array([F.lit(int(v)).cast("long") for v in w])
+        zdoc = posting.groupBy("doc_id", "y").agg(
+            F.sum(F.element_at(warr, F.col("j") + 1) * F.col("c")).alias("zi")
+        )
+        pr = F.least(
+            F.greatest(
+                F.lit(0.5) + (F.col("zi") / F.lit(float(TRAIN_MICRO))) / F.lit(4.0),
+                F.lit(0.0),
+            ),
+            F.lit(1.0),
+        )
+        grads = (
+            zdoc.select("doc_id", pr.alias("pr"), "y")
+            .join(posting.select("doc_id", "j", "c"), "doc_id")
+            .select(
+                "j",
+                F.round((F.col("pr") - F.col("y")) * F.col("c") * F.lit(float(TRAIN_MICRO)))
+                .cast("long")
+                .alias("g"),
+            )
+            .groupBy("j")
+            .agg(F.sum("g").alias("g"))
+            .collect()
+        )
+        gmap = {r["j"]: r["g"] for r in grads}
+        w = [
+            wi - _round_half_away(gmap.get(jj, 0) * TRAIN_LR / n_docs)
+            for jj, wi in enumerate(w)
+        ]
+    _CLF_CACHE[key] = w
+    return w
+
+
+def q_ta_train_linear_clf(spark, sf_dir):
+    """The trained model itself: (feature_id, w_micro) for the
+    TRAIN_DIM hashing-trick buckets + bias, after TRAIN_ROUNDS exact
+    integer-unit GD rounds. The DuckDB oracle replays the identical
+    rounds as chained CTEs (w0 → z/p/g/w per round), digit-for-digit."""
+    w = train_linear_clf(spark, sf_dir)
+    return spark.createDataFrame(
+        [(j, int(v)) for j, v in enumerate(w)], "feature_id int, w_micro long"
+    )
+
+
+def q_ta_hash_score_trained(spark, sf_dir):
+    """Inference under the TRAINED model — the broadcast-lookup plan
+    `q_ta_hash_score`'s docstring promises: the 65 trained weights
+    enter as an array literal indexed by the hashed bucket, the score
+    is the exact integer micro-unit dot product (no floats cross the
+    output), keep = score > 0. One explode + two aggregates; the
+    model never touches Python at inference time."""
+    w = train_linear_clf(spark, sf_dir)
+    warr = F.array([F.lit(int(v)).cast("long") for v in w])
+    # lazy checkpoint: the posting subtree is referenced by three
+    # branches (counts / bias / label join) — materializing it once
+    # keeps the final plan at one effective corpus scan (the
+    # minhash_band_posting pattern)
+    posting = _train_posting(spark, sf_dir).localCheckpoint(eager=False)
+    return (
+        posting.groupBy("doc_id", "y")
+        .agg(
+            F.sum(F.element_at(warr, F.col("j") + 1) * F.col("c"))
+            .cast("long")
+            .alias("score_micro")
+        )
+        .select(
+            "doc_id", "y", "score_micro", (F.col("score_micro") > 0).alias("keep")
+        )
+    )
+
+
+def _clf_sql_prefix() -> str:
+    """Shared CTE chain: posting/label construction + TRAIN_ROUNDS
+    unrolled GD rounds ending at weights CTE w{TRAIN_ROUNDS}."""
+    parts = [
+        f"""WITH base AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+lab AS (SELECT doc_id,
+               CASE WHEN list_contains(ws, '{TRAIN_LABEL_TOKEN}') THEN 1 ELSE 0 END AS y
+        FROM base),
+tok AS (SELECT doc_id, unnest(ws) AS w FROM base),
+posting AS (
+  SELECT doc_id,
+         CAST(('0x' || substr(md5(w), 1, 8))::BIGINT % {TRAIN_DIM} AS INT) AS j,
+         CAST(count(*) AS BIGINT) AS c
+  FROM tok GROUP BY 1, 2
+  UNION ALL
+  SELECT doc_id, {TRAIN_DIM} AS j, CAST(1 AS BIGINT) AS c FROM base
+),
+pl AS (SELECT p.doc_id, p.j, p.c, l.y FROM posting p JOIN lab l USING (doc_id)),
+nd AS (SELECT count(*) AS n FROM base),
+w0 AS (SELECT CAST(t.j AS INT) AS j, CAST(0 AS BIGINT) AS wi FROM range({TRAIN_DIM + 1}) t(j))"""
+    ]
+    for r in range(1, TRAIN_ROUNDS + 1):
+        parts.append(
+            f"""z{r} AS (SELECT pl.doc_id, pl.y, sum(pl.c * w.wi) AS zi
+       FROM pl JOIN w{r - 1} w USING (j) GROUP BY pl.doc_id, pl.y),
+p{r} AS (SELECT doc_id, y,
+                least(greatest(0.5 + (zi / {float(TRAIN_MICRO)}) / 4.0, 0.0), 1.0) AS pr
+         FROM z{r}),
+g{r} AS (SELECT pl.j,
+                sum(CAST(round((pp.pr - pl.y) * pl.c * {float(TRAIN_MICRO)}) AS BIGINT)) AS g
+         FROM p{r} pp JOIN pl ON pp.doc_id = pl.doc_id GROUP BY pl.j),
+w{r} AS (SELECT w.j,
+                w.wi - CAST(round(COALESCE(g.g, 0) * {TRAIN_LR} / (SELECT n FROM nd))
+                            AS BIGINT) AS wi
+         FROM w{r - 1} w LEFT JOIN g{r} g USING (j))"""
+        )
+    return ",\n".join(parts)
+
+
+SQL_TA_TRAIN_CLF = f"""
+{_clf_sql_prefix()}
+SELECT j AS feature_id, wi AS w_micro FROM w{TRAIN_ROUNDS}
+"""
+
+SQL_TA_HASH_SCORE_TRAINED = f"""
+{_clf_sql_prefix()}
+SELECT pl.doc_id, pl.y,
+       CAST(sum(pl.c * w.wi) AS BIGINT) AS score_micro,
+       sum(pl.c * w.wi) > 0 AS keep
+FROM pl JOIN w{TRAIN_ROUNDS} w USING (j)
+GROUP BY pl.doc_id, pl.y
+"""
+
+
 QUERIES = {
     "ta_token_count": q_ta_token_count,
     "ta_quality": q_ta_quality,
@@ -1601,6 +1834,8 @@ QUERIES = {
     "ta_gopher_rules": q_ta_gopher_rules,
     "ta_gopher_dup_posting": q_ta_gopher_dup_posting,
     "ta_hash_score": q_ta_hash_score,
+    "ta_train_linear_clf": q_ta_train_linear_clf,
+    "ta_hash_score_trained": q_ta_hash_score_trained,
 }
 
 ORACLES = {
@@ -1627,4 +1862,6 @@ ORACLES = {
     "ta_gopher_rules": _gopher_sql(),
     "ta_gopher_dup_posting": SQL_TA_GOPHER_DUP_POSTING,
     "ta_hash_score": SQL_TA_HASH_SCORE,
+    "ta_train_linear_clf": SQL_TA_TRAIN_CLF,
+    "ta_hash_score_trained": SQL_TA_HASH_SCORE_TRAINED,
 }

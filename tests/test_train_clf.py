@@ -1,0 +1,102 @@
+"""Distributed hashed-feature classifier training (ta_train_linear_clf /
+ta_hash_score_trained): planted-signal recovery, class ranking, and an
+exact integer-unit replay of the GD rounds in pure Python."""
+
+import hashlib
+
+import pytest
+
+from handprint_spark.operators.text_analysis import (
+    TRAIN_DIM,
+    TRAIN_LABEL_TOKEN,
+    TRAIN_LR,
+    TRAIN_MICRO,
+    TRAIN_ROUNDS,
+    _round_half_away,
+    _train_posting,
+    q_ta_hash_score_trained,
+    train_linear_clf,
+)
+
+
+def _label_bucket() -> int:
+    return int(hashlib.md5(TRAIN_LABEL_TOKEN.encode()).hexdigest()[:8], 16) % TRAIN_DIM
+
+
+def test_train_recovers_planted_signal(spark, sf_tiny):
+    """The label token's bucket ends as the LARGEST positive weight —
+    the trainer finds the one feature that defines the label."""
+    w = train_linear_clf(spark, sf_tiny)
+    assert len(w) == TRAIN_DIM + 1
+    b = _label_bucket()
+    assert w[b] > 0
+    assert w[b] == max(w)
+
+
+def test_trained_scorer_ranks_classes_apart(spark, sf_tiny):
+    """AUC of the trained scores > 0.75 and the positive-class mean
+    score is at least 1.5x the negative mean (measured 0.82 / ~1.9x
+    at sf0.001) — the model orders the classes even though the
+    0-threshold sits inside the majority mass on this 31-token
+    synthetic vocabulary (documented in the module header)."""
+    rows = q_ta_hash_score_trained(spark, sf_tiny).collect()
+    pos = [r.score_micro for r in rows if r.y == 1]
+    neg = [r.score_micro for r in rows if r.y == 0]
+    assert pos and neg
+    assert sum(pos) / len(pos) > 1.5 * (sum(neg) / len(neg))
+    wins = sum(1 for p in pos for n in neg if p > n)
+    ties = sum(1 for p in pos for n in neg if p == n)
+    auc = (wins + 0.5 * ties) / (len(pos) * len(neg))
+    assert auc > 0.75
+
+
+def test_train_matches_pure_python_replay(spark, sf_tiny):
+    """Digit-exact determinism: replaying the TRAIN_ROUNDS full-batch
+    GD rounds in pure Python on the collected posting table reproduces
+    the distributed weights integer-for-integer — the contract that
+    makes the DuckDB oracle able to match the trainer at all (every
+    step is IEEE +,-,*,/ plus half-away-from-zero rounding; gradients
+    quantize to integer units BEFORE the cross-row sum)."""
+    posting = _train_posting(spark, sf_tiny).collect()
+    n_docs = sum(1 for r in posting if r.j == TRAIN_DIM)
+    by_doc = {}
+    for r in posting:
+        by_doc.setdefault(r.doc_id, []).append((r.j, r.c, r.y))
+    w = [0] * (TRAIN_DIM + 1)
+    for _ in range(TRAIN_ROUNDS):
+        grad = [0] * (TRAIN_DIM + 1)
+        for rows in by_doc.values():
+            zi = sum(w[j] * c for j, c, _y in rows)
+            p = min(max(0.5 + (zi / float(TRAIN_MICRO)) / 4.0, 0.0), 1.0)
+            y = rows[0][2]
+            for j, c, _y in rows:
+                grad[j] += _round_half_away((p - y) * c * float(TRAIN_MICRO))
+        w = [
+            wi - _round_half_away(grad[j] * TRAIN_LR / n_docs)
+            for j, wi in enumerate(w)
+        ]
+    assert w == train_linear_clf(spark, sf_tiny)
+
+
+def test_round_half_away():
+    assert _round_half_away(2.5) == 3
+    assert _round_half_away(-2.5) == -3
+    assert _round_half_away(2.4) == 2
+    assert _round_half_away(-2.4) == -2
+    assert _round_half_away(0.0) == 0
+
+
+def test_trained_inference_is_exact_integers(spark, sf_tiny):
+    """Inference output is the exact integer dot product — no float
+    crosses the contract. score_micro of every doc equals the replayed
+    integer sum for that doc, and keep == (score_micro > 0)."""
+    w = train_linear_clf(spark, sf_tiny)
+    posting = _train_posting(spark, sf_tiny).collect()
+    expect = {}
+    for r in posting:
+        expect[r.doc_id] = expect.get(r.doc_id, 0) + w[r.j] * r.c
+    got = q_ta_hash_score_trained(spark, sf_tiny).collect()
+    assert len(got) == len(expect)
+    for r in got:
+        assert r.score_micro == expect[r.doc_id]
+        assert r.keep == (r.score_micro > 0)
