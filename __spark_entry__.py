@@ -133,10 +133,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["cur_shard_pack_bpe"] = curation.QUERIES["cur_shard_pack_bpe"]
     for k in ("sim_kmeans", "sim_ivf_trained", "sim_pq_trained_topk", "sim_pq_recall"):
         out[k] = similarity.QUERIES[k]
-    # (c) bodies (or shared cores) changed this round
+    # (c) bodies (or shared cores) changed this round.
+    # dd_semantic_clusters yields its slot to the NEW dd_semdedup
+    # (below): both of its cores keep in-window exercisers
+    # (embedding_neardup via dd_embedding_neardup at the same banding;
+    # the CC machinery via dd_dup_clusters), and it stays covered by
+    # the in-session full check_oracles sweep.
     for k in (
         "dd_embedding_neardup",
-        "dd_semantic_clusters",
         "dd_dup_clusters",
         "dd_neardup_keep",
         "dd_incremental",
@@ -155,6 +159,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["hx_url_revisit"] = html_extract.QUERIES["hx_url_revisit"]
     out["ta_train_linear_clf"] = text_analysis.QUERIES["ta_train_linear_clf"]
     out["ta_hash_score_trained"] = text_analysis.QUERIES["ta_hash_score_trained"]
+    # dd_semdedup (SemDeDup: within-trained-kmeans-cluster exact
+    # integer epsilon-ball pruning) is NEW — it takes the
+    # dd_semantic_clusters slot (rationale at the (c) group above).
+    out["dd_semdedup"] = dedup.QUERIES["dd_semdedup"]
     # ct_chunk_tokens' body changed late in round 5 (windowing core
     # factored into chunk_array) and ct_chunk_bpe is NEW — both rank
     # above oldest-green backfill, taking the two relational slots

@@ -174,6 +174,10 @@ def main() -> None:
         # (3 join+agg rounds), and hashed-feature linear inference
         # (zero-shuffle HOF fold)
         ("dd_incremental", dedup.QUERIES["dd_incremental"]),
+        # round 5 continuation: SemDeDup — within-trained-cluster
+        # integer epsilon-ball (quantizer train cost is
+        # train_kmeans_cold; this measures assign + in-cluster join)
+        ("dd_semdedup", dedup.QUERIES["dd_semdedup"]),
         ("hx_pagerank", html_extract.QUERIES["hx_pagerank"]),
         ("ta_hash_score", text_analysis.QUERIES["ta_hash_score"]),
         # round 5 continuation: inference under the TRAINED model

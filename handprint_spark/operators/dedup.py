@@ -1408,6 +1408,98 @@ def q_dd_semantic_clusters(spark, sf_dir):
     )
 
 
+# --- SemDeDup: within-trained-cluster epsilon-ball pruning ---------------------
+#
+# The k-means route to semantic dedup (Abbas et al., "SemDeDup",
+# 2023): instead of LSH bands (dd_semantic_clusters), assign every
+# vector to its TRAINED coarse cluster and compare pairs only within
+# a cluster — the pairwise cost drops from O(n^2) to O(sum c_i^2),
+# and because the trained cid is the IVF write-partition column at
+# scale (see q_sim_ivf_trained), the comparisons are partition-LOCAL:
+# the self-join shuffles nothing that is not already co-located.
+# The epsilon-ball runs in exact int64 squared Euclidean on the same
+# micro-unit vectors the quantizer trains on — bit-identical across
+# engines, no cosine/libm in the verdict — and the keeper rule is
+# lowest vec_id in the ball (deterministic under any execution order).
+#
+# TAU calibration (documented, sandbox-measured): the synthetic
+# embeddings plant no exact twins (min pairwise d2 ~9.7e11 micro^2 at
+# sf0.01), so TAU = 1.3e12 targets the semantically-close tail —
+# ~14% of docs marked dup within clusters at both sandbox SFs, the
+# realistic SemDeDup regime (the paper prunes 10-50%). A production
+# run sweeps TAU against a held-out quality metric; the plan shape is
+# TAU-independent.
+#
+# Hot clusters: a degenerate corpus (template pages, null vectors)
+# concentrates one cid; the in-cluster self-join then needs the
+# salted-chunk guard embedding_neardup already implements
+# (max_bucket + ceil(nb/max_bucket) sub-chunks). Sandbox clusters sit
+# at 22-42 members, far below any guard threshold, so this query
+# keeps the exact unsalted plan; the guard precedent is one import
+# away when sizing demands it.
+
+SEMDEDUP_TAU = 1_300_000_000_000  # micro^2; ~0.1% tail of pairwise d2
+
+
+def q_dd_semdedup(spark, sf_dir):
+    """SemDeDup verdict per vector: (vec_id, cid, dup_of, keep) —
+    cid from the trained k-means quantizer (kmeans_train, shared with
+    sim_kmeans/sim_ivf_trained: the model trains ONCE per session),
+    dup_of = the lowest-id same-cluster neighbor within the exact
+    integer epsilon-ball (NULL when none), keep = no such neighbor.
+    The DuckDB oracle replays the Lloyd's rounds via the shared
+    chained-CTE builder and the identical int64 ball test."""
+    from .similarity import _kmeans_assign_udf, kmeans_train
+
+    ids, Cm, emb = kmeans_train(spark, sf_dir)
+    assign = _kmeans_assign_udf(ids, Cm)
+    assigned = emb.select(
+        "vec_id", "m", assign("m").getField("cid").alias("cid")
+    ).localCheckpoint(eager=False)
+    a, b = assigned.alias("a"), assigned.alias("b")
+    d2 = F.expr(
+        "aggregate(zip_with(a.m, b.m, (x, y) -> (x - y) * (x - y)),"
+        " CAST(0 AS BIGINT), (acc, v) -> acc + v)"
+    )
+    dups = (
+        a.join(
+            b,
+            (F.col("a.cid") == F.col("b.cid"))
+            & (F.col("a.vec_id") > F.col("b.vec_id")),
+        )
+        .filter(d2 <= SEMDEDUP_TAU)
+        .groupBy(F.col("a.vec_id").alias("vec_id"))
+        .agg(F.min(F.col("b.vec_id")).alias("dup_of"))
+    )
+    return (
+        assigned.select("vec_id", F.col("cid").cast("long").alias("cid"))
+        .join(dups, "vec_id", "left")
+        .select("vec_id", "cid", "dup_of", F.col("dup_of").isNull().alias("keep"))
+    )
+
+
+def _sql_dd_semdedup() -> str:
+    from .similarity import KMEANS_ITERS, _sql_kmeans_ctes
+
+    a = f"a{KMEANS_ITERS}"
+    ball = (
+        "list_sum(list_transform(list_zip(a.m, b.m),"
+        " p -> (p[1] - p[2]) * (p[1] - p[2])))"
+    )
+    return f"""
+WITH {_sql_kmeans_ctes()},
+dups AS (
+  SELECT a.vec_id, min(b.vec_id) AS dup_of
+  FROM {a} a JOIN {a} b ON a.cid = b.cid AND a.vec_id > b.vec_id
+  WHERE {ball} <= {SEMDEDUP_TAU}
+  GROUP BY a.vec_id
+)
+SELECT x.vec_id, CAST(x.cid AS BIGINT) AS cid, d.dup_of,
+       d.dup_of IS NULL AS keep
+FROM {a} x LEFT JOIN dups d USING (vec_id)
+"""
+
+
 def q_dd_dup_clusters(spark, sf_dir):
     """Cluster resolution over the MinHash-LSH candidate pairs.
     Execution adapts to the measured edge count (driver union-find
@@ -1847,6 +1939,7 @@ QUERIES = {
     "dd_contamination": q_dd_contamination,
     "dd_substring_dup": q_dd_substring_dup,
     "dd_semantic_clusters": q_dd_semantic_clusters,
+    "dd_semdedup": q_dd_semdedup,
     "dd_lsh_stats": q_dd_lsh_stats,
     "dd_neardup_keep": q_dd_neardup_keep,
     "dd_incremental": q_dd_incremental,
@@ -1890,4 +1983,5 @@ reach(node, label) AS (
 SELECT node AS vec_id, min(label) AS cluster, (node = min(label)) AS is_keeper
 FROM reach GROUP BY node
 """,
+    "dd_semdedup": _sql_dd_semdedup(),
 }
