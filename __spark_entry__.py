@@ -139,10 +139,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # (embedding_neardup via dd_embedding_neardup at the same banding;
     # the CC machinery via dd_dup_clusters), and it stays covered by
     # the in-session full check_oracles sweep.
+    # dd_neardup_keep likewise yields to the NEW cur_dsir_select
+    # (below): its cores stay exercised in-window by dd_dup_clusters
+    # (same CC over the same pairs) and dd_minhash_lsh_pairs (the
+    # pairs themselves); its unique anti-join tail is sweep-covered.
     for k in (
         "dd_embedding_neardup",
         "dd_dup_clusters",
-        "dd_neardup_keep",
         "dd_incremental",
         "dd_minhash_lsh_pairs",
     ):
@@ -163,6 +166,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # integer epsilon-ball pruning) is NEW — it takes the
     # dd_semantic_clusters slot (rationale at the (c) group above).
     out["dd_semdedup"] = dedup.QUERIES["dd_semdedup"]
+    # cur_dsir_select (DSIR importance selection: smoothed unigram
+    # log-likelihood-ratio scoring + exact top-K) is NEW — it takes
+    # the dd_neardup_keep slot (rationale at the (c) group above).
+    out["cur_dsir_select"] = curation.QUERIES["cur_dsir_select"]
     # ct_chunk_tokens' body changed late in round 5 (windowing core
     # factored into chunk_array) and ct_chunk_bpe is NEW — both rank
     # above oldest-green backfill, taking the two relational slots

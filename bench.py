@@ -178,6 +178,10 @@ def main() -> None:
         # integer epsilon-ball (quantizer train cost is
         # train_kmeans_cold; this measures assign + in-cluster join)
         ("dd_semdedup", dedup.QUERIES["dd_semdedup"]),
+        # round 5 continuation: DSIR importance selection (one
+        # tokenize pass -> class distributions fold out -> broadcast
+        # weight table -> exact integer per-doc dot + top-K)
+        ("cur_dsir_select", curation.QUERIES["cur_dsir_select"]),
         ("hx_pagerank", html_extract.QUERIES["hx_pagerank"]),
         ("ta_hash_score", text_analysis.QUERIES["ta_hash_score"]),
         # round 5 continuation: inference under the TRAINED model

@@ -848,6 +848,121 @@ WHERE k.doc_id % {CONTAM_EVAL_MOD} <> 0
 """
 
 
+# --- DSIR-style importance selection -------------------------------------------
+#
+# Data Selection via Importance Resampling (Xie et al., 2023) reduced
+# to its deterministic core: score every document by the
+# log-likelihood ratio of a TARGET unigram distribution vs the
+# rest-of-corpus distribution, then keep the top-K. The target here is
+# the corpus's own lang='fr' slice — the "I have a small in-domain
+# set, find me more like it" shape a data recipe actually runs; the
+# pytest asserts the selector finds it (the selected set is heavily
+# enriched in target-lang docs vs their 13-15% base rate).
+#
+# Determinism contract (the classifier-training protocol): both
+# distributions are add-1 smoothed integer counts; the per-WORD weight
+# is ONE ln() of ONE exactly-representable double ratio
+# ((c_t+1)*(t_s+V)) / ((c_s+1)*(t_t+V)) — products stay far under
+# 2^53, the division is correctly rounded, so both engines hand ln the
+# bit-identical argument — rounded to integer micro-units BEFORE the
+# per-doc sum; the document score is then an exact int64 dot product.
+# A 1-ulp libm divergence flips a weight only when 1e6*ln(r) sits
+# within ~5e-7 of a half-integer (~1e-10 per word over a bounded
+# vocabulary) — the residual risk every log-using oracle here carries,
+# minimized by the single-ln formulation.
+#
+# Scale shape: ONE tokenize pass builds the (doc_id, lang, w, c)
+# posting (doc-spread); both class distributions fold out of it as
+# word-keyed groupBy-sums; the weight table is vocabulary-sized and
+# broadcasts back onto the posting for the per-doc dot product. The
+# sandbox's exact top-K is a single-ordering row_number — fine at
+# bench scale, NOT at 10^12 docs; production replaces the rank with a
+# selection threshold tau on imp_micro from approxQuantile (one
+# scalar), which preserves this plan minus the global sort. The
+# output keeps every doc's score so the driver hash pins the whole
+# ranking, not just the K survivors.
+
+DSIR_TARGET_LANG = "fr"
+DSIR_K = 100
+DSIR_MICRO = 1_000_000
+
+
+def q_cur_dsir_select(spark, sf_dir):
+    """(doc_id, lang, imp_micro, selected): integer micro-unit DSIR
+    importance score per document and the exact top-DSIR_K verdict
+    (ties broken by doc_id asc — deterministic under any execution
+    order)."""
+    from pyspark.sql.window import Window
+
+    from .text_analysis import _docs, _words
+
+    posting = (
+        _docs(spark, sf_dir)
+        .select("doc_id", "lang", F.explode(_words()).alias("w"))
+        .groupBy("doc_id", "lang", "w")
+        .agg(F.count("*").alias("c"))
+        .localCheckpoint(eager=False)
+    )
+    is_t = F.col("lang") == DSIR_TARGET_LANG
+    wc = posting.groupBy("w").agg(
+        F.sum(F.when(is_t, F.col("c")).otherwise(F.lit(0))).alias("c_t"),
+        F.sum(F.when(is_t, F.lit(0)).otherwise(F.col("c"))).alias("c_s"),
+    )
+    tot = wc.agg(
+        F.sum("c_t").alias("t_t"), F.sum("c_s").alias("t_s"), F.count("*").alias("v")
+    )
+    ratio = ((F.col("c_t") + 1) * (F.col("t_s") + F.col("v"))).cast("double") / (
+        (F.col("c_s") + 1) * (F.col("t_t") + F.col("v"))
+    ).cast("double")
+    weights = wc.crossJoin(F.broadcast(tot)).select(
+        "w",
+        F.round(F.log(ratio) * DSIR_MICRO).cast("long").alias("w_micro"),
+    )
+    scored = (
+        posting.join(F.broadcast(weights), "w")
+        .groupBy("doc_id", "lang")
+        .agg(F.sum(F.col("c") * F.col("w_micro")).alias("imp_micro"))
+    )
+    rank = F.row_number().over(
+        Window.orderBy(F.col("imp_micro").desc(), F.col("doc_id").asc())
+    )
+    return scored.select(
+        "doc_id", "lang", "imp_micro", (rank <= DSIR_K).alias("selected")
+    )
+
+
+SQL_CUR_DSIR_SELECT = f"""
+WITH posting AS (
+  SELECT doc_id, lang, w, CAST(count(*) AS BIGINT) AS c
+  FROM (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS w FROM documents)
+  GROUP BY 1, 2, 3
+),
+wc AS (
+  SELECT w,
+         sum(CASE WHEN lang = '{DSIR_TARGET_LANG}' THEN c ELSE 0 END) AS c_t,
+         sum(CASE WHEN lang = '{DSIR_TARGET_LANG}' THEN 0 ELSE c END) AS c_s
+  FROM posting GROUP BY w
+),
+tot AS (SELECT sum(c_t) AS t_t, sum(c_s) AS t_s, count(*) AS v FROM wc),
+weights AS (
+  SELECT w,
+         CAST(round(ln((((c_t + 1) * (t_s + v))::DOUBLE)
+                       / (((c_s + 1) * (t_t + v))::DOUBLE)) * {DSIR_MICRO})
+              AS BIGINT) AS w_micro
+  FROM wc, tot
+),
+scored AS (
+  SELECT p.doc_id, p.lang, sum(p.c * wt.w_micro) AS imp_micro
+  FROM posting p JOIN weights wt USING (w)
+  GROUP BY 1, 2
+)
+SELECT doc_id, lang, imp_micro,
+       row_number() OVER (ORDER BY imp_micro DESC, doc_id ASC) <= {DSIR_K}
+         AS selected
+FROM scored
+"""
+
+
 QUERIES = {
     "cur_keep_list": q_cur_keep_list,
     "cur_sample_strat": q_cur_sample_strat,
@@ -860,6 +975,7 @@ QUERIES = {
     "cur_temperature_mix": q_cur_temperature_mix,
     "cur_split_oov": q_cur_split_oov,
     "cur_contam_purge": q_cur_contam_purge,
+    "cur_dsir_select": q_cur_dsir_select,
 }
 ORACLES = {
     "cur_keep_list": SQL_CUR_KEEP_LIST,
@@ -873,4 +989,5 @@ ORACLES = {
     "cur_temperature_mix": SQL_CUR_TEMPERATURE_MIX,
     "cur_split_oov": SQL_CUR_SPLIT_OOV,
     "cur_contam_purge": _sql_cur_contam_purge(),
+    "cur_dsir_select": SQL_CUR_DSIR_SELECT,
 }
