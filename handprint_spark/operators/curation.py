@@ -861,11 +861,15 @@ WHERE k.doc_id % {CONTAM_EVAL_MOD} <> 0
 #
 # Determinism contract (the classifier-training protocol): both
 # distributions are add-1 smoothed integer counts; the per-WORD weight
-# is ONE ln() of ONE exactly-representable double ratio
-# ((c_t+1)*(t_s+V)) / ((c_s+1)*(t_t+V)) — products stay far under
-# 2^53, the division is correctly rounded, so both engines hand ln the
-# bit-identical argument — rounded to integer micro-units BEFORE the
-# per-doc sum; the document score is then an exact int64 dot product.
+# is ONE ln() of the double ratio
+# ((c_t+1)*(t_s+V)) / ((c_s+1)*(t_t+V)), where each FACTOR is cast to
+# double BEFORE the multiply on BOTH engines — every count converts
+# exactly below 2^53 and IEEE *,/ are correctly rounded, so Spark and
+# DuckDB hand ln the bit-identical argument at ANY corpus scale
+# (int64 products, by contrast, would silently wrap on Spark's
+# non-ANSI path while DuckDB widened to int128) — rounded to integer
+# micro-units BEFORE the per-doc sum; the document score is then an
+# exact int64 dot product.
 # A 1-ulp libm divergence flips a weight only when 1e6*ln(r) sits
 # within ~5e-7 of a half-integer (~1e-10 per word over a bounded
 # vocabulary) — the residual risk every log-using oracle here carries,
@@ -911,9 +915,11 @@ def q_cur_dsir_select(spark, sf_dir):
     tot = wc.agg(
         F.sum("c_t").alias("t_t"), F.sum("c_s").alias("t_s"), F.count("*").alias("v")
     )
-    ratio = ((F.col("c_t") + 1) * (F.col("t_s") + F.col("v"))).cast("double") / (
-        (F.col("c_s") + 1) * (F.col("t_t") + F.col("v"))
-    ).cast("double")
+    ratio = (
+        (F.col("c_t") + 1).cast("double") * (F.col("t_s") + F.col("v")).cast("double")
+    ) / (
+        (F.col("c_s") + 1).cast("double") * (F.col("t_t") + F.col("v")).cast("double")
+    )
     weights = wc.crossJoin(F.broadcast(tot)).select(
         "w",
         F.round(F.log(ratio) * DSIR_MICRO).cast("long").alias("w_micro"),
@@ -946,13 +952,14 @@ wc AS (
 tot AS (SELECT sum(c_t) AS t_t, sum(c_s) AS t_s, count(*) AS v FROM wc),
 weights AS (
   SELECT w,
-         CAST(round(ln((((c_t + 1) * (t_s + v))::DOUBLE)
-                       / (((c_s + 1) * (t_t + v))::DOUBLE)) * {DSIR_MICRO})
+         CAST(round(ln(((c_t + 1)::DOUBLE * (t_s + v)::DOUBLE)
+                       / ((c_s + 1)::DOUBLE * (t_t + v)::DOUBLE)) * {DSIR_MICRO})
               AS BIGINT) AS w_micro
   FROM wc, tot
 ),
 scored AS (
-  SELECT p.doc_id, p.lang, sum(p.c * wt.w_micro) AS imp_micro
+  SELECT p.doc_id, p.lang,
+         CAST(sum(p.c * wt.w_micro) AS BIGINT) AS imp_micro
   FROM posting p JOIN weights wt USING (w)
   GROUP BY 1, 2
 )

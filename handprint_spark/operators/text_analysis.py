@@ -1530,6 +1530,21 @@ HS_BUCKETS = 512
 HS_MIX = 2654435761  # Knuth multiplicative constant; bucket*HS_MIX < 2^41
 
 
+def _hash_bucket(w, n: int):
+    """The md5 hashing-trick bucket (first 8 hex chars -> int64 % n),
+    shared by the fixed-model scorer (HS_BUCKETS) and the classifier
+    trainer (TRAIN_DIM) so the expression cannot drift between the
+    two. SQL twin: _sql_hash_bucket."""
+    return (
+        F.conv(F.substring(F.md5(w.cast("binary")), 1, 8), 16, 10).cast("long") % n
+    )
+
+
+def _sql_hash_bucket(expr: str, n: int) -> str:
+    """DuckDB form of _hash_bucket, digit-for-digit."""
+    return f"(('0x' || substr(md5({expr}), 1, 8))::BIGINT % {n})"
+
+
 def _hs_weight(bucket):
     """Deterministic weight in [-1, 1] for a feature bucket: the
     multiplicative-mix residue mapped linearly. Mirrored digit-for-
@@ -1544,12 +1559,10 @@ def q_ta_hash_score(spark, sf_dir):
     (the fold is sequential over the token array in both engines, but
     rounding keeps the contract engine-order-independent)."""
     words = _words()
-    bucket = lambda w: (  # noqa: E731
-        F.conv(F.substring(F.md5(w.cast("binary")), 1, 8), 16, 10).cast("long")
-        % HS_BUCKETS
-    )
     total = F.aggregate(
-        words, F.lit(0.0), lambda acc, w: acc + _hs_weight(bucket(w))
+        words,
+        F.lit(0.0),
+        lambda acc, w: acc + _hs_weight(_hash_bucket(w, HS_BUCKETS)),
     )
     score = F.round(total / F.size(words), 6)
     return (
@@ -1568,7 +1581,7 @@ WITH scored AS (
   SELECT doc_id,
          len(string_split(text, ' ')) AS n_tokens,
          round(list_sum(list_transform(string_split(text, ' '),
-             w -> ((('0x' || substr(md5(w), 1, 8))::BIGINT % {HS_BUCKETS})
+             w -> ({_sql_hash_bucket("w", HS_BUCKETS)}
                    * {HS_MIX} % 2001 - 1000) / 1000.0))
            / len(string_split(text, ' ')), 6) AS hash_score
   FROM documents
@@ -1632,21 +1645,28 @@ TRAIN_LABEL_TOKEN = "the"
 
 
 def _train_posting(spark, sf_dir):
-    """(doc_id, j, c, y): hashed bag-of-words counts (bucket = md5 %
-    TRAIN_DIM, the ta_hash_score hashing trick), a per-doc bias row
-    (j = TRAIN_DIM, c = 1), and the corpus-derived label."""
-    base = _docs(spark, sf_dir).select("doc_id", _words().alias("ws"))
+    """(doc_id, j, c, y): hashed bag-of-words counts (the shared
+    _hash_bucket trick at TRAIN_DIM), a per-doc bias row
+    (j = TRAIN_DIM, c = 1), and the corpus-derived label. The
+    (doc_id, ws) projection is lazily checkpointed HERE — the
+    counts/bias/label branches all fan out of it, so materializing
+    it once is what makes the posting build a single corpus scan.
+    The label coalesces NULL->0 (a NULL-text doc still enters via the
+    bias branch) to match the oracle's CASE ... ELSE 0 exactly."""
+    base = (
+        _docs(spark, sf_dir)
+        .select("doc_id", _words().alias("ws"))
+        .localCheckpoint(eager=False)
+    )
     lab = base.select(
         "doc_id",
-        F.array_contains("ws", TRAIN_LABEL_TOKEN).cast("int").alias("y"),
+        F.coalesce(
+            F.array_contains("ws", TRAIN_LABEL_TOKEN).cast("int"), F.lit(0)
+        ).alias("y"),
     )
-    j = (
-        F.conv(F.substring(F.md5(F.col("w").cast("binary")), 1, 8), 16, 10).cast("long")
-        % TRAIN_DIM
-    ).cast("int")
     counts = (
         base.select("doc_id", F.explode("ws").alias("w"))
-        .select("doc_id", j.alias("j"))
+        .select("doc_id", _hash_bucket(F.col("w"), TRAIN_DIM).cast("int").alias("j"))
         .groupBy("doc_id", "j")
         .agg(F.count("*").alias("c"))
     )
@@ -1657,12 +1677,21 @@ def _train_posting(spark, sf_dir):
 
 
 def _round_half_away(x: float) -> int:
-    """Half-away-from-zero — the rounding BOTH engines apply (Spark
-    F.round is HALF_UP = away from zero on either sign; DuckDB round()
-    likewise). Python's built-in round is banker's, hence this."""
+    """TRUE half-away-from-zero on doubles — matches DuckDB round()
+    (std::round) for EVERY input, including values one ulp below a
+    half-integer where the naive floor(x+0.5) trick is wrong (the add
+    pushes 0.49999999999999994 up to 1.0 and floor returns 1 where
+    round returns 0). Python's built-in round is banker's, hence
+    neither works here. For |x| < 2^52 the fractional part under
+    subtraction is exact, so the >= 0.5 comparison never sees
+    rounding error; trainer inputs are bounded far below that."""
     import math
 
-    return int(math.floor(x + 0.5)) if x >= 0 else int(math.ceil(x - 0.5))
+    if x >= 0:
+        f = math.floor(x)
+        return int(f) + (1 if x - f >= 0.5 else 0)
+    c = math.ceil(x)
+    return int(c) - (1 if c - x >= 0.5 else 0)
 
 
 _CLF_CACHE: dict[tuple, list] = {}
@@ -1740,11 +1769,11 @@ def q_ta_hash_score_trained(spark, sf_dir):
     model never touches Python at inference time."""
     w = train_linear_clf(spark, sf_dir)
     warr = F.array([F.lit(int(v)).cast("long") for v in w])
-    # lazy checkpoint: the posting subtree is referenced by three
-    # branches (counts / bias / label join) — materializing it once
-    # keeps the final plan at one effective corpus scan (the
-    # minhash_band_posting pattern)
-    posting = _train_posting(spark, sf_dir).localCheckpoint(eager=False)
+    # the single-scan materialization happens INSIDE _train_posting
+    # (the (doc_id, ws) projection is where the branches fan out);
+    # posting itself has exactly one consumer here, so checkpointing
+    # it again would be pure persist overhead
+    posting = _train_posting(spark, sf_dir)
     return (
         posting.groupBy("doc_id", "y")
         .agg(
@@ -1769,7 +1798,7 @@ lab AS (SELECT doc_id,
 tok AS (SELECT doc_id, unnest(ws) AS w FROM base),
 posting AS (
   SELECT doc_id,
-         CAST(('0x' || substr(md5(w), 1, 8))::BIGINT % {TRAIN_DIM} AS INT) AS j,
+         CAST({_sql_hash_bucket("w", TRAIN_DIM)} AS INT) AS j,
          CAST(count(*) AS BIGINT) AS c
   FROM tok GROUP BY 1, 2
   UNION ALL

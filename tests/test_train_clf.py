@@ -84,6 +84,12 @@ def test_round_half_away():
     assert _round_half_away(2.4) == 2
     assert _round_half_away(-2.4) == -2
     assert _round_half_away(0.0) == 0
+    # one ulp below the half-integer: the naive floor(x+0.5) trick
+    # returns 1 here (the add rounds up to 1.0) while true
+    # half-away-from-zero — what DuckDB round() computes — returns 0
+    assert _round_half_away(0.49999999999999994) == 0
+    assert _round_half_away(-0.49999999999999994) == 0
+    assert _round_half_away(2.4999999999999996) == 2
 
 
 def test_trained_inference_is_exact_integers(spark, sf_tiny):
