@@ -29,7 +29,15 @@ import __spark_entry__ as entry_mod
 #   single-pass total fold).
 # - j2_cross_fanout: the reference's documents x services fan-out —
 #   services is a 5-row constant dim (SURVEY J2).
-BNLJ_ALLOWED = {"ta_tfidf_topk", "ta_unigram_logprob", "ta_source_kl", "j2_cross_fanout"}
+# - cur_dsir_select: 1-row (t_t, t_s, V) totals scalar attached via
+#   broadcast cross join onto the vocabulary-sized weight table.
+BNLJ_ALLOWED = {
+    "ta_tfidf_topk",
+    "ta_unigram_logprob",
+    "ta_source_kl",
+    "j2_cross_fanout",
+    "cur_dsir_select",
+}
 
 _QUERIES = entry_mod.queries()
 
