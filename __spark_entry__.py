@@ -103,7 +103,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["mm_caption_align"] = multimodal.QUERIES["mm_caption_align"]
     out["ta_bigram_logprob"] = text_analysis.QUERIES["ta_bigram_logprob"]
     out["ta_source_kl"] = text_analysis.QUERIES["ta_source_kl"]
-    out["cmp_lines"] = compare.QUERIES["cmp_lines"]
+    # cmp_lines yields its slot to the NEW oracle-backed
+    # ta_bpe_fertility (below) — the r04 precedent: a rows-only driver
+    # row carries the least evidence (no SQL oracle), its byte-exact
+    # reference golden-string pytest coverage is unchanged, and its
+    # clean-slice shape stays oracle-checked via cmp_lines_clean.
+    # cmp_tsv stays as the rows-only family's driver representative.
     out["cmp_tsv"] = compare.QUERIES["cmp_tsv"]
     # (b) new this round — including the four Structured Streaming
     # drain queries (streaming/queries.py): each runs the streaming
@@ -170,6 +175,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # log-likelihood-ratio scoring + exact top-K) is NEW — it takes
     # the dd_neardup_keep slot (rationale at the (c) group above).
     out["cur_dsir_select"] = curation.QUERIES["cur_dsir_select"]
+    # ta_bpe_fertility (per-lang trained-BPE fertility — the
+    # tokenizer-bias dashboard) is NEW — it takes the cmp_lines slot
+    # (rationale at the (a) group above).
+    out["ta_bpe_fertility"] = text_analysis.QUERIES["ta_bpe_fertility"]
     # ct_chunk_tokens' body changed late in round 5 (windowing core
     # factored into chunk_array) and ct_chunk_bpe is NEW — both rank
     # above oldest-green backfill, taking the two relational slots

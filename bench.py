@@ -219,6 +219,9 @@ def main() -> None:
         ("dd_emb_lsh_stats", dedup.QUERIES["dd_emb_lsh_stats"]),
         ("ta_bpe_train", text_analysis.QUERIES["ta_bpe_train"]),
         ("ta_bpe_encode", text_analysis.QUERIES["ta_bpe_encode"]),
+        # round 5 continuation: per-lang BPE fertility (same encode
+        # join folded to a 5-row lang aggregate)
+        ("ta_bpe_fertility", text_analysis.QUERIES["ta_bpe_fertility"]),
         ("ta_normalize", text_analysis.QUERIES["ta_normalize"]),
         ("sim_kmeans", similarity.QUERIES["sim_kmeans"]),
         ("sim_pq_trained_topk", similarity.QUERIES["sim_pq_trained_topk"]),

@@ -1156,6 +1156,53 @@ def q_ta_bpe_encode(spark, sf_dir):
     )
 
 
+def q_ta_bpe_fertility(spark, sf_dir):
+    """(lang, n_words, n_bpe_tokens, fertility): per-LANGUAGE BPE
+    fertility — trained-BPE symbols per whitespace word — the
+    tokenizer-bias dashboard metric a multilingual recipe watches (a
+    language whose fertility is 2x another pays 2x the context budget
+    per word, so mix weights and per-lang token budgets must be set
+    on BPE tokens, not word counts; cur_domain_mix's budget is the
+    consumer). Same single encode join as q_ta_bpe_encode (the vocab
+    segmentation is trained once per session via bpe_train_corpus's
+    memo), folded to one 5-row lang aggregate with map-side partials;
+    fertility = exact-integer ratio rounded at 6, so both engines
+    divide the same two ints."""
+    _, vocab = bpe_train_corpus(spark, sf_dir)
+    seg = vocab.select("word", F.size("toks").alias("n_sym"))
+    words = (
+        _docs(spark, sf_dir)
+        .select("lang", F.explode(F.split(F.col("text"), " ")).alias("word"))
+        .filter(F.col("word") != "")
+    )
+    agg = words.join(seg, "word").groupBy("lang").agg(
+        F.count("*").alias("n_words"),
+        F.sum("n_sym").cast("long").alias("n_bpe_tokens"),
+    )
+    return agg.select(
+        "lang",
+        "n_words",
+        "n_bpe_tokens",
+        F.round(F.col("n_bpe_tokens") / F.col("n_words"), 6).alias("fertility"),
+    )
+
+
+def _sql_ta_bpe_fertility(n_merges: int = BPE_MERGES) -> str:
+    return f"""
+WITH {_sql_bpe_rounds(n_merges)},
+doc_words AS (
+  SELECT lang, unnest(string_split(text, ' ')) AS word FROM documents
+)
+SELECT d.lang,
+       CAST(count(*) AS BIGINT) AS n_words,
+       CAST(sum(len(v.toks)) AS BIGINT) AS n_bpe_tokens,
+       round(sum(len(v.toks))::DOUBLE / count(*), 6) AS fertility
+FROM doc_words d JOIN vocab{n_merges} v USING (word)
+WHERE d.word <> ''
+GROUP BY d.lang
+"""
+
+
 def bpe_symbol_docs(spark, sf_dir) -> DataFrame:
     """(doc_id, toks): each document's full trained-BPE symbol
     sequence, words segmented by the final vocab and re-assembled in
@@ -1865,6 +1912,7 @@ QUERIES = {
     "ta_hash_score": q_ta_hash_score,
     "ta_train_linear_clf": q_ta_train_linear_clf,
     "ta_hash_score_trained": q_ta_hash_score_trained,
+    "ta_bpe_fertility": q_ta_bpe_fertility,
 }
 
 ORACLES = {
@@ -1893,4 +1941,5 @@ ORACLES = {
     "ta_hash_score": SQL_TA_HASH_SCORE,
     "ta_train_linear_clf": SQL_TA_TRAIN_CLF,
     "ta_hash_score_trained": SQL_TA_HASH_SCORE_TRAINED,
+    "ta_bpe_fertility": _sql_ta_bpe_fertility(),
 }

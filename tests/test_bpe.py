@@ -164,3 +164,49 @@ def test_bpe_train_corpus_is_memoized(spark, tmp_path):
     retrained = bpe_train_corpus(spark, sf)
     assert retrained[0] != first[0]
     assert retrained[0][0][1:4] == ("x", "y", "xy")
+
+
+def test_bpe_fertility_closed_form(spark, tmp_path):
+    """Planted bilingual corpus where fertility is known analytically:
+    en has SIX distinct 2-char words with counts 10..5 — they consume
+    all BPE_MERGES=6 merge rounds (every count beats (x,y)=3), so
+    every en word segments to 1 symbol (fertility 1.0) while zz's
+    'xy' never merges and stays [x, y] (fertility 2.0). The per-lang
+    aggregate must report exactly those ratios and the integer totals
+    behind them."""
+    from handprint_spark.operators.text_analysis import q_ta_bpe_fertility
+
+    en0 = " ".join(["ab"] * 10 + ["cd"] * 9 + ["ef"] * 8)
+    en1 = " ".join(["gh"] * 7 + ["ij"] * 6 + ["kl"] * 5)
+    zz = "xy xy xy"
+    pd.DataFrame(
+        {
+            "doc_id": [0, 1, 2],
+            "text": [en0, en1, zz],
+            "lang": ["en", "en", "zz"],
+            "source": ["s"] * 3,
+            "n_chars": [len(en0), len(en1), len(zz)],
+        }
+    ).to_parquet(tmp_path / "documents.parquet")
+    rows = {r.lang: r for r in q_ta_bpe_fertility(spark, str(tmp_path)).collect()}
+    assert set(rows) == {"en", "zz"}
+    en, z = rows["en"], rows["zz"]
+    assert (en.n_words, en.n_bpe_tokens, en.fertility) == (45, 45, 1.0)
+    assert (z.n_words, z.n_bpe_tokens, z.fertility) == (3, 6, 2.0)
+
+
+def test_bpe_fertility_consistent_with_encode(spark, sf_tiny):
+    """Cross-operator pin on the real corpus: lang totals fold to the
+    same grand totals as the per-doc encode — one segmentation, two
+    aggregations, no drift."""
+    from handprint_spark.operators.text_analysis import (
+        q_ta_bpe_encode,
+        q_ta_bpe_fertility,
+    )
+
+    fert = q_ta_bpe_fertility(spark, sf_tiny).collect()
+    enc = q_ta_bpe_encode(spark, sf_tiny).collect()
+    assert sum(r.n_words for r in fert) == sum(r.n_words for r in enc)
+    assert sum(r.n_bpe_tokens for r in fert) == sum(r.n_bpe_tokens for r in enc)
+    for r in fert:
+        assert r.fertility >= 1.0  # a word is never fewer than 1 symbol
