@@ -148,8 +148,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # (below): its cores stay exercised in-window by dd_dup_clusters
     # (same CC over the same pairs) and dd_minhash_lsh_pairs (the
     # pairs themselves); its unique anti-join tail is sweep-covered.
+    # dd_embedding_neardup yields to the NEW tenth streaming drain
+    # (st_clf_gate, registered with the streaming family above): the
+    # parameterized embedding_neardup core keeps TWO in-window
+    # exercisers (dd_emb_neardup_wide at a second banding and
+    # dd_emb_lsh_stats), and the default banding stays sweep-covered.
     for k in (
-        "dd_embedding_neardup",
         "dd_dup_clusters",
         "dd_incremental",
         "dd_minhash_lsh_pairs",

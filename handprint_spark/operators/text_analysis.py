@@ -1807,31 +1807,50 @@ def q_ta_train_linear_clf(spark, sf_dir):
     )
 
 
+def clf_score_verdicts(docs: DataFrame, weights: list) -> DataFrame:
+    """(doc_id, y, score_micro, keep) under a trained weight vector —
+    the SHARED inference projection consumed by the batch query AND
+    the streaming ingest gate (streaming/pipeline.stream_clf_gate),
+    so a document admitted at ingest and one admitted by the batch
+    screen agree by construction.
+
+    Plan shape: the 65 trained weights enter as an array literal and
+    the score is ONE whole-stage-codegen fold over the token array
+    (acc + warr[bucket(w)], seeded with the bias weight) — integer
+    adds are associative, so the fold equals the posting-table
+    grouped dot product digit-for-digit while needing ZERO shuffle
+    and ZERO Python: trained-model inference costs exactly what the
+    fixed-model `q_ta_hash_score` scan costs. NULL text coalesces to
+    the empty array (score = bias alone), matching the posting path
+    where such a doc carries only its bias row."""
+    warr = F.array([F.lit(int(v)).cast("long") for v in weights])
+    ws = F.coalesce(_words(), F.array())
+    score = F.aggregate(
+        ws,
+        F.lit(int(weights[TRAIN_DIM])).cast("long"),
+        lambda acc, w: acc
+        + F.element_at(warr, _hash_bucket(w, TRAIN_DIM).cast("int") + 1),
+    )
+    y = F.coalesce(
+        F.array_contains(ws, TRAIN_LABEL_TOKEN).cast("int"), F.lit(0)
+    )
+    return docs.select(
+        "doc_id",
+        y.alias("y"),
+        score.alias("score_micro"),
+        (score > 0).alias("keep"),
+    )
+
+
 def q_ta_hash_score_trained(spark, sf_dir):
     """Inference under the TRAINED model — the broadcast-lookup plan
-    `q_ta_hash_score`'s docstring promises: the 65 trained weights
-    enter as an array literal indexed by the hashed bucket, the score
-    is the exact integer micro-unit dot product (no floats cross the
-    output), keep = score > 0. One explode + two aggregates; the
-    model never touches Python at inference time."""
+    `q_ta_hash_score`'s docstring promises, via the shared zero-
+    shuffle fold projection (clf_score_verdicts). The oracle computes
+    the same integers through the posting-table dot product — the
+    fold/posting identity is exact because integer addition is
+    associative."""
     w = train_linear_clf(spark, sf_dir)
-    warr = F.array([F.lit(int(v)).cast("long") for v in w])
-    # the single-scan materialization happens INSIDE _train_posting
-    # (the (doc_id, ws) projection is where the branches fan out);
-    # posting itself has exactly one consumer here, so checkpointing
-    # it again would be pure persist overhead
-    posting = _train_posting(spark, sf_dir)
-    return (
-        posting.groupBy("doc_id", "y")
-        .agg(
-            F.sum(F.element_at(warr, F.col("j") + 1) * F.col("c"))
-            .cast("long")
-            .alias("score_micro")
-        )
-        .select(
-            "doc_id", "y", "score_micro", (F.col("score_micro") > 0).alias("keep")
-        )
-    )
+    return clf_score_verdicts(_docs(spark, sf_dir), w)
 
 
 def _clf_sql_prefix() -> str:

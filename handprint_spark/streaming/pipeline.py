@@ -432,6 +432,36 @@ def stream_quality_gate(
     return quality_verdicts(stream)
 
 
+def stream_clf_gate(
+    spark: SparkSession,
+    source_dir: str,
+    weights: list,
+    schema=None,
+    max_files_per_trigger: int = 1,
+):
+    """TRAINED-model quality gating at INGEST: readStream over a
+    documents directory → the hashed-feature classifier scored under
+    a weight vector trained OFFLINE (the production deployment shape:
+    train_linear_clf runs as a batch job, the 65 integer micro-unit
+    weights ship into the 24/7 stream as an array literal). The
+    scoring projection is SHARED with the batch query
+    (operators/text_analysis.clf_score_verdicts) — a zero-shuffle,
+    zero-Python, zero-state whole-stage-codegen fold — so stream and
+    batch verdicts agree by construction, integer-for-integer.
+    Returns an unstarted streaming DataFrame of
+    (doc_id, y, score_micro, keep)."""
+    from ..operators.text_analysis import clf_score_verdicts
+
+    if schema is None:
+        schema = spark.read.parquet(source_dir).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(source_dir)
+    )
+    return clf_score_verdicts(stream, weights)
+
+
 def stream_normalize(
     spark: SparkSession,
     source_dir: str,

@@ -40,6 +40,7 @@ import tempfile
 from pyspark.sql import DataFrame, SparkSession
 
 from .pipeline import (
+    stream_clf_gate,
     stream_decontaminate,
     stream_event_counts,
     stream_first_seen,
@@ -369,13 +370,36 @@ WHERE session_id <> last_sid
 """
 
 
+def q_st_clf_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming TRAINED-classifier gate drained over the sf corpus:
+    the model trains offline on the batch corpus (train_linear_clf's
+    session memo — the same weights every batch consumer ships), then
+    the stream scores under those weights via the shared zero-shuffle
+    fold. Oracle = the batch ``ta_hash_score_trained`` SQL, which
+    replays the GD rounds AND the posting-table dot product — a green
+    row certifies train→deploy→ingest end-to-end against an engine
+    that saw none of the Spark code."""
+    from ..operators.text_analysis import train_linear_clf
+
+    w = train_linear_clf(spark, sf_dir)
+    d = _stage_documents(sf_dir, "clfgate")
+    return _drain_to_parquet(
+        spark, stream_clf_gate(spark, os.path.join(d, "src"), w), d
+    )
+
+
 def _oracles() -> dict:
     from ..operators.dedup import SQL_DD_CONTAMINATION, SQL_DD_INCREMENTAL
     from ..operators.html_extract import SQL_HX_MAIN_CONTENT
     from ..operators.service_fanout import _sql_flagship_skew
-    from ..operators.text_analysis import SQL_TA_NORMALIZE, SQL_TA_QUALITY
+    from ..operators.text_analysis import (
+        SQL_TA_HASH_SCORE_TRAINED,
+        SQL_TA_NORMALIZE,
+        SQL_TA_QUALITY,
+    )
 
     return {
+        "st_clf_gate": SQL_TA_HASH_SCORE_TRAINED,
         "st_quality_gate": SQL_TA_QUALITY,
         "st_normalize": SQL_TA_NORMALIZE,
         "st_main_content": SQL_HX_MAIN_CONTENT,
@@ -389,6 +413,7 @@ def _oracles() -> dict:
 
 
 QUERIES = {
+    "st_clf_gate": q_st_clf_gate,
     "st_quality_gate": q_st_quality_gate,
     "st_normalize": q_st_normalize,
     "st_main_content": q_st_main_content,

