@@ -110,13 +110,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # clean-slice shape stays oracle-checked via cmp_lines_clean.
     # cmp_tsv stays as the rows-only family's driver representative.
     out["cmp_tsv"] = compare.QUERIES["cmp_tsv"]
-    # (b) new this round — including the four Structured Streaming
+    # (b) new this round — including the TEN Structured Streaming
     # drain queries (streaming/queries.py): each runs the streaming
     # form of a stage under Trigger.AvailableNow against the BATCH
     # oracle, so their driver rows are machine-checked stream/batch
     # parity certificates — including the stateful watermark shape
-    # (st_event_counts: the append-mode eviction rule is the oracle).
-    # They took nine (d) backfill slots (dd_exact/dd_simhash/
+    # (st_event_counts: the append-mode eviction rule is the oracle)
+    # and the trained-classifier gate (st_clf_gate, which took the
+    # dd_embedding_neardup slot — rationale at the (c) group below).
+    # The first nine took nine (d) backfill slots (dd_exact/dd_simhash/
     # dd_ngram_jaccard/dd_contamination/dd_lsh_stats/sim_lsh_buckets/
     # ta_fingerprint/ta_lang_id/ta_token_count: r02-r03 green,
     # byte-unchanged, sweep-verified this round).

@@ -1831,9 +1831,10 @@ def clf_score_verdicts(docs: DataFrame, weights: list) -> DataFrame:
         lambda acc, w: acc
         + F.element_at(warr, _hash_bucket(w, TRAIN_DIM).cast("int") + 1),
     )
-    y = F.coalesce(
-        F.array_contains(ws, TRAIN_LABEL_TOKEN).cast("int"), F.lit(0)
-    )
+    # no coalesce needed on y: ws is already a non-NULL array, so
+    # array_contains cannot return NULL here (unlike _train_posting,
+    # whose label coalesce IS load-bearing over the raw split)
+    y = F.array_contains(ws, TRAIN_LABEL_TOKEN).cast("int")
     return docs.select(
         "doc_id",
         y.alias("y"),

@@ -30,6 +30,26 @@ from ..corpus import spanify
 from ..operators.extract import extract_documents
 
 
+def _read_doc_stream(
+    spark: SparkSession,
+    source_dir: str,
+    schema=None,
+    max_files_per_trigger: int = 1,
+) -> DataFrame:
+    """The one definition of the documents file-stream source shared
+    by every streaming stage: infer the schema from the staged parquet
+    when not supplied, then readStream with bounded files/trigger. A
+    source-staging change (new option, empty-dir handling) lands once
+    here instead of drifting across the gates."""
+    if schema is None:
+        schema = spark.read.parquet(source_dir).schema
+    return (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(source_dir)
+    )
+
+
 def stream_documents(
     spark: SparkSession,
     source_dir: str,
@@ -38,13 +58,7 @@ def stream_documents(
 ):
     """readStream over a documents parquet directory → extracted
     results stream. Returns an unstarted streaming DataFrame."""
-    if schema is None:
-        schema = spark.read.parquet(source_dir).schema
-    stream = (
-        spark.readStream.schema(schema)
-        .option("maxFilesPerTrigger", max_files_per_trigger)
-        .parquet(source_dir)
-    )
+    stream = _read_doc_stream(spark, source_dir, schema, max_files_per_trigger)
     return extract_documents(spanify(stream))
 
 
@@ -70,13 +84,7 @@ def stream_to_results(
     trigger (tests use availableNow)."""
     from ..sources.checkpoints import run_batch
 
-    if schema is None:
-        schema = spark.read.parquet(source_dir).schema
-    stream = (
-        spark.readStream.schema(schema)
-        .option("maxFilesPerTrigger", max_files_per_trigger)
-        .parquet(source_dir)
-    )
+    stream = _read_doc_stream(spark, source_dir, schema, max_files_per_trigger)
 
     def process(batch_df, batch_id: int):
         run_batch(spark, spanify(batch_df), results_dir, lineage_dir, batch_id=batch_id)
@@ -394,13 +402,7 @@ def stream_main_content(
     streaming DataFrame; batch/stream parity is pytest-pinned."""
     from ..operators.html_extract import htmlized, main_content
 
-    if schema is None:
-        schema = spark.read.parquet(source_dir).schema
-    stream = (
-        spark.readStream.schema(schema)
-        .option("maxFilesPerTrigger", max_files_per_trigger)
-        .parquet(source_dir)
-    )
+    stream = _read_doc_stream(spark, source_dir, schema, max_files_per_trigger)
     return main_content(htmlized(stream))
 
 
@@ -422,13 +424,7 @@ def stream_quality_gate(
     """
     from ..operators.text_analysis import quality_verdicts
 
-    if schema is None:
-        schema = spark.read.parquet(source_dir).schema
-    stream = (
-        spark.readStream.schema(schema)
-        .option("maxFilesPerTrigger", max_files_per_trigger)
-        .parquet(source_dir)
-    )
+    stream = _read_doc_stream(spark, source_dir, schema, max_files_per_trigger)
     return quality_verdicts(stream)
 
 
@@ -452,13 +448,7 @@ def stream_clf_gate(
     (doc_id, y, score_micro, keep)."""
     from ..operators.text_analysis import clf_score_verdicts
 
-    if schema is None:
-        schema = spark.read.parquet(source_dir).schema
-    stream = (
-        spark.readStream.schema(schema)
-        .option("maxFilesPerTrigger", max_files_per_trigger)
-        .parquet(source_dir)
-    )
+    stream = _read_doc_stream(spark, source_dir, schema, max_files_per_trigger)
     return clf_score_verdicts(stream, weights)
 
 
@@ -477,13 +467,7 @@ def stream_normalize(
     module keeps). Returns an unstarted streaming DataFrame."""
     from ..operators.text_analysis import normalize_verdicts
 
-    if schema is None:
-        schema = spark.read.parquet(source_dir).schema
-    stream = (
-        spark.readStream.schema(schema)
-        .option("maxFilesPerTrigger", max_files_per_trigger)
-        .parquet(source_dir)
-    )
+    stream = _read_doc_stream(spark, source_dir, schema, max_files_per_trigger)
     return normalize_verdicts(stream)
 
 
@@ -528,13 +512,7 @@ def stream_incremental_dedup(
     """
     from ..operators.dedup import incremental_dedup, minhash_band_posting
 
-    if schema is None:
-        schema = spark.read.parquet(source_dir).schema
-    stream = (
-        spark.readStream.schema(schema)
-        .option("maxFilesPerTrigger", max_files_per_trigger)
-        .parquet(source_dir)
-    )
+    stream = _read_doc_stream(spark, source_dir, schema, max_files_per_trigger)
 
     def process(batch_df, batch_id: int):
         from pyspark.errors import AnalysisException
