@@ -1854,6 +1854,23 @@ def q_ta_hash_score_trained(spark, sf_dir):
     return clf_score_verdicts(_docs(spark, sf_dir), w)
 
 
+def q_ta_clf_eval(spark, sf_dir):
+    """(y, keep, n): the trained classifier's confusion table over the
+    corpus — the model-EVAL stage a pipeline runs before deploying the
+    ingest gate (st_clf_gate). Exact integer counts from the shared
+    zero-shuffle scoring projection (precision/recall/accuracy are
+    one division away from these four cells; shipping the cells keeps
+    the contract integer-exact). One scan + one 4-group aggregate
+    with map-side partials — eval costs no more than inference.
+
+    Registered BELOW the driver-window boundary (the window is full
+    of higher-priority entries): verified by the in-session full
+    check_oracles sweep rather than a driver row."""
+    w = train_linear_clf(spark, sf_dir)
+    v = clf_score_verdicts(_docs(spark, sf_dir), w)
+    return v.groupBy("y", "keep").agg(F.count("*").alias("n"))
+
+
 def _clf_sql_prefix() -> str:
     """Shared CTE chain: posting/label construction + TRAIN_ROUNDS
     unrolled GD rounds ending at weights CTE w{TRAIN_ROUNDS}."""
@@ -1907,6 +1924,16 @@ FROM pl JOIN w{TRAIN_ROUNDS} w USING (j)
 GROUP BY pl.doc_id, pl.y
 """
 
+SQL_TA_CLF_EVAL = f"""
+{_clf_sql_prefix()},
+scored AS (
+  SELECT pl.doc_id, pl.y, sum(pl.c * w.wi) > 0 AS keep
+  FROM pl JOIN w{TRAIN_ROUNDS} w USING (j)
+  GROUP BY pl.doc_id, pl.y
+)
+SELECT y, keep, CAST(count(*) AS BIGINT) AS n FROM scored GROUP BY y, keep
+"""
+
 
 QUERIES = {
     "ta_token_count": q_ta_token_count,
@@ -1932,6 +1959,7 @@ QUERIES = {
     "ta_hash_score": q_ta_hash_score,
     "ta_train_linear_clf": q_ta_train_linear_clf,
     "ta_hash_score_trained": q_ta_hash_score_trained,
+    "ta_clf_eval": q_ta_clf_eval,
     "ta_bpe_fertility": q_ta_bpe_fertility,
 }
 
@@ -1961,5 +1989,6 @@ ORACLES = {
     "ta_hash_score": SQL_TA_HASH_SCORE,
     "ta_train_linear_clf": SQL_TA_TRAIN_CLF,
     "ta_hash_score_trained": SQL_TA_HASH_SCORE_TRAINED,
+    "ta_clf_eval": SQL_TA_CLF_EVAL,
     "ta_bpe_fertility": _sql_ta_bpe_fertility(),
 }

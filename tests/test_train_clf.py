@@ -106,3 +106,18 @@ def test_trained_inference_is_exact_integers(spark, sf_tiny):
     for r in got:
         assert r.score_micro == expect[r.doc_id]
         assert r.keep == (r.score_micro > 0)
+
+
+def test_clf_eval_confusion_matches_verdicts(spark, sf_tiny):
+    """The eval confusion table is exactly the grouped verdict rows:
+    cells sum to the corpus size and each (y, keep) count matches a
+    direct tally of the inference output."""
+    from collections import Counter
+
+    from handprint_spark.operators.text_analysis import q_ta_clf_eval
+
+    verdicts = q_ta_hash_score_trained(spark, sf_tiny).collect()
+    expect = Counter((r.y, r.keep) for r in verdicts)
+    got = {(r.y, r.keep): r.n for r in q_ta_clf_eval(spark, sf_tiny).collect()}
+    assert got == dict(expect)
+    assert sum(got.values()) == len(verdicts)
