@@ -1478,6 +1478,54 @@ def q_dd_semdedup(spark, sf_dir):
     )
 
 
+def q_dd_semdedup_stats(spark, sf_dir):
+    """(cid, n_members, cand_pairs, max_d2, sum_d2): the pre-join
+    cost gate for the SemDeDup epsilon-ball — the `dd_emb_lsh_stats`
+    precedent applied to the k-means route. Run BEFORE
+    `q_dd_semdedup` at a new scale: cand_pairs = n(n-1)/2 prices each
+    cluster's in-cluster join (the clusters that need the salted-
+    chunk guard are exactly the rows where it explodes), and the
+    exact integer radius stats (max / sum of the assignment d2)
+    price whether SEMDEDUP_TAU is even meaningful per cluster — a
+    cluster whose max_d2 is far below TAU dedups entirely; one far
+    above barely at all. One aggregate over the assignment frame the
+    trainer already computes; every output column is an exact int64
+    (sum_d2 stays under 2^63 up to ~4e6 members/cluster at the
+    sandbox's ~2e12 per-row d2 — beyond that, aggregate per-salt
+    first).
+
+    Registered BELOW the driver-window boundary; sweep-covered."""
+    from .similarity import _kmeans_assign_udf, kmeans_train
+
+    ids, Cm, emb = kmeans_train(spark, sf_dir)
+    assign = _kmeans_assign_udf(ids, Cm)
+    a = emb.select(assign("m").alias("a")).select(
+        F.col("a.cid").alias("cid"), F.col("a.d2").alias("d2")
+    )
+    n = F.count("*")
+    return a.groupBy("cid").agg(
+        n.cast("long").alias("n_members"),
+        (n * (n - 1) / 2).cast("long").alias("cand_pairs"),
+        F.max("d2").alias("max_d2"),
+        F.sum("d2").cast("long").alias("sum_d2"),
+    )
+
+
+def _sql_dd_semdedup_stats() -> str:
+    from .similarity import KMEANS_ITERS, _sql_kmeans_ctes
+
+    return f"""
+WITH {_sql_kmeans_ctes()}
+SELECT CAST(cid AS BIGINT) AS cid,
+       CAST(count(*) AS BIGINT) AS n_members,
+       CAST(count(*) * (count(*) - 1) / 2 AS BIGINT) AS cand_pairs,
+       CAST(max(d2) AS BIGINT) AS max_d2,
+       CAST(sum(d2) AS BIGINT) AS sum_d2
+FROM a{KMEANS_ITERS}
+GROUP BY cid
+"""
+
+
 def _sql_dd_semdedup() -> str:
     from .similarity import KMEANS_ITERS, _sql_kmeans_ctes
 
@@ -1940,6 +1988,7 @@ QUERIES = {
     "dd_substring_dup": q_dd_substring_dup,
     "dd_semantic_clusters": q_dd_semantic_clusters,
     "dd_semdedup": q_dd_semdedup,
+    "dd_semdedup_stats": q_dd_semdedup_stats,
     "dd_lsh_stats": q_dd_lsh_stats,
     "dd_neardup_keep": q_dd_neardup_keep,
     "dd_incremental": q_dd_incremental,
@@ -1984,4 +2033,5 @@ SELECT node AS vec_id, min(label) AS cluster, (node = min(label)) AS is_keeper
 FROM reach GROUP BY node
 """,
     "dd_semdedup": _sql_dd_semdedup(),
+    "dd_semdedup_stats": _sql_dd_semdedup_stats(),
 }

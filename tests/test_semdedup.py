@@ -66,3 +66,50 @@ def test_semdedup_verdict_shape(spark, sf_tiny):
             assert cid[r.dup_of] == r.cid  # ball never crosses clusters
     # non-trivial at the calibrated TAU: some pruned, most kept
     assert 0 < n_dup < len(rows) / 2
+
+
+def test_semdedup_stats_match_assignment_replay(spark, sf_tiny):
+    """The pre-join cost gate's cells equal a direct tally over the
+    numpy-replayed assignment: member counts, n(n-1)/2 candidate
+    pairs, and exact integer radius stats per cluster."""
+    from handprint_spark.operators.dedup import q_dd_semdedup_stats
+    from handprint_spark.operators.similarity import CENTROID_IDS
+
+    replay = _replay(spark, sf_tiny)  # {vec_id: (cid, dup_of)}
+    # rebuild per-cluster d2 from the same replay machinery
+    rows = (
+        spark.read.parquet(f"{sf_tiny}/embeddings.parquet")
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    rows.sort(key=lambda r: r.vec_id)
+    ids = np.array([r.vec_id for r in rows])
+    M = np.floor(
+        np.array([r.embedding for r in rows], dtype=np.float64) * 1_000_000
+    ).astype(np.int64)
+    cids = np.arange(len(CENTROID_IDS), dtype=np.int64)
+    Cm = M[np.isin(ids, list(CENTROID_IDS))]
+    from handprint_spark.operators.similarity import KMEANS_ITERS
+
+    for _ in range(KMEANS_ITERS):
+        d2 = (M * M).sum(1)[:, None] + (Cm * Cm).sum(1)[None, :] - 2 * (M @ Cm.T)
+        a = cids[np.argmin(d2, 1)]
+        new = np.unique(a)
+        Cm = np.array(
+            [np.floor(M[a == c].sum(0) / (a == c).sum()).astype(np.int64) for c in new]
+        )
+        cids = new
+    d2 = (M * M).sum(1)[:, None] + (Cm * Cm).sum(1)[None, :] - 2 * (M @ Cm.T)
+    j = np.argmin(d2, 1)
+    assign, dmin = cids[j], d2[np.arange(len(j)), j]
+    got = {r.cid: r for r in q_dd_semdedup_stats(spark, sf_tiny).collect()}
+    assert set(got) == set(int(c) for c in np.unique(assign))
+    for c in np.unique(assign):
+        sel = assign == c
+        n = int(sel.sum())
+        r = got[int(c)]
+        assert (r.n_members, r.cand_pairs) == (n, n * (n - 1) // 2)
+        assert r.max_d2 == int(dmin[sel].max())
+        assert r.sum_d2 == int(dmin[sel].sum())
+        # cross-check vs the verdict replay: same membership
+        assert n == sum(1 for v, (cc, _) in replay.items() if cc == c)
