@@ -193,6 +193,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["ct_chunk_tokens"] = html_extract.QUERIES["ct_chunk_tokens"]
     out["ct_chunk_bpe"] = html_extract.QUERIES["ct_chunk_bpe"]
     # --- driver window boundary (50 entries above) ---
+    # Fifth-continuation-session additions (ta_c4_rules,
+    # ta_ppl_buckets, ta_zipf_fit, ev_retention, st_pii_redact, ...)
+    # register below the boundary — the window's 50 slots all hold
+    # higher-priority never-driver-verified entries frozen earlier in
+    # the round — and carry in-session check_oracles PASS rows
+    # (the ta_clf_eval precedent).
+    out.update(streaming_queries.EXTRA_QUERIES)
     out.update(similarity.QUERIES)
     out.update(dedup.QUERIES)
     out.update(text_analysis.QUERIES)

@@ -838,6 +838,57 @@ FROM s1 LEFT JOIN s2 USING (user_id) LEFT JOIN s3 USING (user_id)
 """
 
 
+# --- cohort retention ---------------------------------------------------------
+
+def q_ev_retention(spark, sf_dir):
+    """(cohort_week, week_offset, n_users, n_events): weekly cohort
+    retention — users bucketed by the ISO week of their FIRST event,
+    each later event credited to its week offset from that cohort
+    week. The product-analytics matrix behind every retention curve.
+
+    Shape: one min-aggregate on user_id (well-spread key), one
+    equi-join back on the SAME key (AQE broadcasts the user-sized
+    side when it measures small; at 10^12 events both sides already
+    hash on user_id so the sort-merge reuses the partitioning), then
+    a tiny (cohort, offset) rollup — the distinct-user count expands
+    on (cohort, offset, user_id) first, so the ~n_weeks² final groups
+    never concentrate raw events on one task."""
+    ev = _t(spark, sf_dir, "events").select("user_id", "ts")
+    first = ev.groupBy("user_id").agg(
+        F.to_date(F.date_trunc("week", F.min("ts"))).alias("cohort_week")
+    )
+    return (
+        ev.join(first, "user_id")
+        .select(
+            "user_id",
+            "cohort_week",
+            F.floor(F.datediff(F.to_date("ts"), F.col("cohort_week")) / 7)
+            .cast("int")
+            .alias("week_offset"),
+        )
+        .groupBy("cohort_week", "week_offset")
+        .agg(
+            F.count_distinct("user_id").cast("int").alias("n_users"),
+            F.count("*").cast("int").alias("n_events"),
+        )
+    )
+
+
+SQL_EV_RETENTION = """
+WITH first AS (
+  SELECT user_id, CAST(date_trunc('week', min(ts)) AS DATE) AS cohort_week
+  FROM events GROUP BY user_id
+)
+SELECT f.cohort_week,
+       CAST(floor(date_diff('day', f.cohort_week, CAST(e.ts AS DATE)) / 7.0) AS INT)
+           AS week_offset,
+       CAST(count(DISTINCT e.user_id) AS INT) AS n_users,
+       CAST(count(*) AS INT) AS n_events
+FROM events e JOIN first f USING (user_id)
+GROUP BY 1, 2
+"""
+
+
 QUERIES = {
     "c1_format_canonical": q_c1_format_canonical,
     "k7_url_sidecar": q_k7_url_sidecar,
@@ -867,6 +918,7 @@ QUERIES = {
     "ev_asof_join": q_ev_asof_join,
     "j_interval_join": q_j_interval_join,
     "ev_funnel": q_ev_funnel,
+    "ev_retention": q_ev_retention,
 }
 
 ORACLES = {
@@ -898,4 +950,5 @@ ORACLES = {
     "ev_asof_join": SQL_EV_ASOF,
     "j_interval_join": SQL_J_INTERVAL,
     "ev_funnel": SQL_EV_FUNNEL,
+    "ev_retention": SQL_EV_RETENTION,
 }

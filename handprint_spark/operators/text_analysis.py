@@ -397,11 +397,12 @@ def _pii_text():
     )
 
 
-def q_ta_pii_redact(spark, sf_dir):
-    """(doc_id, n_pii, has_pii, clean_len) — sequential multi-pattern
-    scrub: pattern i counts and redacts on the output of patterns
-    0..i-1. Narrow per-row regexp work (no shuffle); at 100 TB this is
-    the same zero-exchange map shape as the flagship."""
+def pii_verdicts(docs: DataFrame) -> DataFrame:
+    """The PII scrub over ANY (doc_id, text) relation — one stateless
+    Catalyst projection shared by the batch query and the streaming
+    ingest gate (streaming/pipeline.stream_pii_redact), the same
+    shared-projection parity contract as quality_verdicts /
+    normalize_verdicts."""
     t = _pii_text()
     counts = []
     for _name, pat in PII_PATTERNS:
@@ -410,12 +411,20 @@ def q_ta_pii_redact(spark, sf_dir):
     n_pii = counts[0]
     for c in counts[1:]:
         n_pii = n_pii + c
-    return _docs(spark, sf_dir).select(
+    return docs.select(
         "doc_id",
         n_pii.cast("int").alias("n_pii"),
         (n_pii > 0).alias("has_pii"),
         F.length(t).cast("int").alias("clean_len"),
     )
+
+
+def q_ta_pii_redact(spark, sf_dir):
+    """(doc_id, n_pii, has_pii, clean_len) — sequential multi-pattern
+    scrub: pattern i counts and redacts on the output of patterns
+    0..i-1. Narrow per-row regexp work (no shuffle); at 100 TB this is
+    the same zero-exchange map shape as the flagship."""
+    return pii_verdicts(_docs(spark, sf_dir))
 
 
 def _sql_ta_pii() -> str:
@@ -1935,6 +1944,312 @@ SELECT y, keep, CAST(count(*) AS BIGINT) AS n FROM scored GROUP BY y, keep
 """
 
 
+# --- C4-style heuristic cleaning rules (Raffel et al. 2020, §2.2) -------------
+#
+# The classic line+document rule bundle crawl pipelines run beside the
+# Gopher gates: keep only lines ending in terminal punctuation that
+# carry >= C4_MIN_LINE_WORDS words and are not policy boilerplate (the
+# "javascript" rule); drop whole documents containing a curly brace
+# (code), the "lorem ipsum" placeholder, or fewer than
+# C4_MIN_KEPT_LINES surviving lines. Lines reuse the corpus's
+# WORDS_PER_LINE segmentation (the ta_boilerplate_strip rule). The
+# sandbox corpus is punctuation-free, so the rule-relevant features
+# are synthesized deterministically per (doc_id, line pos) — keyed on
+# (doc_id*31 + pos) % 7, mirrored in the oracle CTE — while the
+# predicates themselves are the real C4 rules (pytest proves them on
+# hand-written natural text). Shape: ONE zero-shuffle projection of
+# stacked higher-order functions (the ta_gopher_rules plan class) —
+# no explode, no Python, nothing to re-partition at 10^12 rows.
+
+C4_MIN_LINE_WORDS = 5
+C4_MIN_KEPT_LINES = 5
+# line-LEVEL damage cycles per (doc, pos); doc-LEVEL drop features
+# (brace / lorem) are injected on line 0 of sparse doc_id slices so
+# the doc verdict actually splits (a per-line cycle would plant a
+# brace in EVERY >=7-line document and the gate would never pass).
+C4_BRACE_MOD = 13
+C4_LOREM_MOD = 17
+
+_C4_LINES_EXPR = (
+    f"transform("
+    f"transform(sequence(0, cast(ceil(size(split(text, ' ')) / {BP_WORDS_PER_LINE}.0)"
+    f" as int) - 1),"
+    f" i -> named_struct('pos', i, 'line',"
+    f" array_join(slice(split(text, ' '), i * {BP_WORDS_PER_LINE} + 1,"
+    f" {BP_WORDS_PER_LINE}), ' '))),"
+    " s -> concat("
+    f" CASE WHEN s.pos = 0 AND doc_id % {C4_LOREM_MOD} = 0"
+    " THEN 'lorem ipsum ' ELSE '' END,"
+    " CASE cast((doc_id * 31 + s.pos) % 7 as int)"
+    " WHEN 0 THEN s.line"                          # no terminal punctuation
+    " WHEN 3 THEN concat(s.line, ' javascript.')"  # policy boilerplate
+    " ELSE concat(s.line, '.') END,"
+    f" CASE WHEN s.pos = 0 AND doc_id % {C4_BRACE_MOD} = 0"
+    " THEN ' {' ELSE '' END))"
+)
+
+_C4_KEEP_LINE = (
+    f"l -> endswith(l, '.') AND size(split(l, ' ')) >= {C4_MIN_LINE_WORDS}"
+    " AND NOT contains(l, 'javascript')"
+)
+
+
+def q_ta_c4_rules(spark, sf_dir):
+    """(doc_id, n_lines, n_kept, has_brace, has_lorem, c4_keep): the
+    C4 cleaning verdict per document. All six columns fall out of one
+    stacked-HOF projection over the synthesized line array."""
+    d = _docs(spark, sf_dir).select("doc_id", F.expr(_C4_LINES_EXPR).alias("ls"))
+    n_kept = F.size(F.expr(f"filter(ls, {_C4_KEEP_LINE})"))
+    has_brace = F.expr("exists(ls, l -> contains(l, '{'))")
+    has_lorem = F.expr("exists(ls, l -> contains(l, 'lorem ipsum'))")
+    return d.select(
+        "doc_id",
+        F.size("ls").cast("int").alias("n_lines"),
+        n_kept.cast("int").alias("n_kept"),
+        has_brace.alias("has_brace"),
+        has_lorem.alias("has_lorem"),
+        (~has_brace & ~has_lorem & (n_kept >= C4_MIN_KEPT_LINES)).alias("c4_keep"),
+    )
+
+
+SQL_TA_C4_RULES = f"""
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS ws,
+         CAST(ceil(len(string_split(text, ' ')) / {BP_WORDS_PER_LINE}.0) AS INT) AS nl
+  FROM documents
+),
+posting AS (
+  SELECT doc_id, i AS pos,
+         array_to_string(ws[i*{BP_WORDS_PER_LINE}+1 : (i+1)*{BP_WORDS_PER_LINE}], ' ')
+             AS line
+  FROM toks, LATERAL unnest(range(0, nl)) AS t(i)
+),
+dmg AS (
+  SELECT doc_id, pos,
+    CASE WHEN pos = 0 AND doc_id % {C4_LOREM_MOD} = 0 THEN 'lorem ipsum ' ELSE '' END
+    || CASE (doc_id * 31 + pos) % 7
+         WHEN 0 THEN line
+         WHEN 3 THEN line || ' javascript.'
+         ELSE line || '.' END
+    || CASE WHEN pos = 0 AND doc_id % {C4_BRACE_MOD} = 0 THEN ' {{' ELSE '' END
+        AS line
+  FROM posting
+),
+v AS (
+  SELECT doc_id,
+         (ends_with(line, '.') AND len(string_split(line, ' ')) >= {C4_MIN_LINE_WORDS}
+          AND NOT contains(line, 'javascript')) AS keep,
+         contains(line, '{{') AS brace,
+         contains(line, 'lorem ipsum') AS lorem
+  FROM dmg
+)
+SELECT doc_id, CAST(count(*) AS INT) AS n_lines,
+       CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS INT) AS n_kept,
+       bool_or(brace) AS has_brace, bool_or(lorem) AS has_lorem,
+       (NOT bool_or(brace) AND NOT bool_or(lorem)
+        AND sum(CASE WHEN keep THEN 1 ELSE 0 END) >= {C4_MIN_KEPT_LINES}) AS c4_keep
+FROM v GROUP BY doc_id
+"""
+
+
+# --- perplexity-tercile bucketing (CCNet head/middle/tail) ---------------------
+#
+# CCNet's signature move: score each doc by LM perplexity, cut each
+# language at its own terciles, and label head/middle/tail so
+# downstream sampling can prefer the head. The score is the
+# ta_unigram_logprob plan (a trained KenLM swaps the table, not the
+# plan); the scale-relevant part is the CUTOFF shape — a per-lang
+# window (ntile/percent_rank) would ship each language's WHOLE corpus
+# to one task, so instead the cutoffs are a 2-value-per-lang aggregate
+# broadcast back onto the scored frame (the cur_domain_mix totals
+# idiom): the corpus-sized side never re-shuffles. Scores are
+# quantized to integer micro-units BEFORE the percentile so both
+# engines interpolate over identical integers, and the interpolated
+# cutoff is floored to kill last-ulp wobble. The exact percentile
+# buffers per-lang values at the aggregator; at 10^12 rows swap in
+# approx_percentile exactly as ta_len_quantiles_approx documents —
+# same plan, fixed sketch state.
+
+PPL_P1 = 1.0 / 3.0
+PPL_P2 = 2.0 / 3.0
+
+
+def q_ta_ppl_buckets(spark, sf_dir):
+    """(doc_id, lang, lp_micro, bucket): per-language perplexity-proxy
+    terciles. bucket = head (lowest mean -ln p), middle, tail."""
+    docs = _docs(spark, sf_dir)
+    toks = docs.select("doc_id", "lang", F.explode(_words()).alias("w"))
+    counts = (
+        toks.groupBy("w").agg(F.count("*").alias("cnt")).localCheckpoint(eager=False)
+    )
+    total = counts.agg(F.sum("cnt").cast("double").alias("total"))
+    vocab = counts.crossJoin(F.broadcast(total)).select(
+        "w", (-F.log(F.col("cnt") / F.col("total"))).alias("neg_lp")
+    )
+    # Materialize the scored frame once (it feeds both the cutoff
+    # aggregate and the final projection — without the checkpoint the
+    # whole tokenize+join subtree would run twice).
+    lp = (
+        toks.join(vocab, "w")
+        .groupBy("doc_id", "lang")
+        .agg(F.round(F.avg("neg_lp"), 6).alias("r6"))
+        .select(
+            "doc_id",
+            "lang",
+            F.round(F.col("r6") * 1e6).cast("bigint").alias("lp_micro"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    cuts = lp.groupBy("lang").agg(
+        F.floor(F.expr(f"percentile(lp_micro, {PPL_P1!r})")).cast("bigint").alias("c33"),
+        F.floor(F.expr(f"percentile(lp_micro, {PPL_P2!r})")).cast("bigint").alias("c66"),
+    )
+    return lp.join(F.broadcast(cuts), "lang").select(
+        "doc_id",
+        "lang",
+        "lp_micro",
+        F.when(F.col("lp_micro") <= F.col("c33"), F.lit("head"))
+        .when(F.col("lp_micro") <= F.col("c66"), F.lit("middle"))
+        .otherwise(F.lit("tail"))
+        .alias("bucket"),
+    )
+
+
+SQL_TA_PPL_BUCKETS = f"""
+WITH toks AS (
+  SELECT doc_id, lang, unnest(string_split(text, ' ')) AS w FROM documents
+),
+vocab AS (
+  SELECT w, -ln(count(*)::DOUBLE / (SELECT count(*) FROM toks)) AS neg_lp
+  FROM toks GROUP BY w
+),
+lp AS (
+  SELECT t.doc_id, t.lang,
+         CAST(round(round(avg(v.neg_lp), 6) * 1000000) AS BIGINT) AS lp_micro
+  FROM toks t JOIN vocab v USING (w)
+  GROUP BY t.doc_id, t.lang
+),
+cuts AS (
+  SELECT lang,
+         CAST(floor(quantile_cont(lp_micro, {PPL_P1!r})) AS BIGINT) AS c33,
+         CAST(floor(quantile_cont(lp_micro, {PPL_P2!r})) AS BIGINT) AS c66
+  FROM lp GROUP BY lang
+)
+SELECT l.doc_id, l.lang, l.lp_micro,
+       CASE WHEN l.lp_micro <= c.c33 THEN 'head'
+            WHEN l.lp_micro <= c.c66 THEN 'middle'
+            ELSE 'tail' END AS bucket
+FROM lp l JOIN cuts c USING (lang)
+"""
+
+
+# --- Zipf-fit vocabulary diagnostic -------------------------------------------
+#
+# Corpus-health dashboard row: fit ln(freq) ~ ln(rank) over each
+# language's top ZIPF_TOP_R terms. Natural language reads slope ~ -1
+# (Zipf's law); machine-generated or template-heavy slices bend the
+# curve, so the slope + fit quality is the cheap drift alarm a corpus
+# refresh watches. The rank pass reuses the hx_host_budget skew-safe
+# two-phase top-K (a per-lang window over the RAW term table would
+# ship an open vocabulary's whole lang slice to one task; after phase
+# one at most R x partitions rows per lang reach the global window).
+# The regression is the integer-micro-unit closed form (the
+# hx_pagerank arithmetic discipline): ln's are quantized to 1e-6,
+# all five regression sums are exact int64 (bounded: |x|,|y| <= 2e7,
+# R = 200 => every sum < 2^62), and only the final slope/r2 division
+# runs in double — identical inputs, identical formula, identical
+# doubles on both engines.
+
+ZIPF_TOP_R = 200
+
+
+def q_ta_zipf_fit(spark, sf_dir):
+    """(lang, n_terms, zipf_slope, zipf_r2): per-language least-squares
+    fit of ln(term frequency) against ln(frequency rank)."""
+    from pyspark.sql import Window
+
+    tf = (
+        _docs(spark, sf_dir)
+        .select("lang", F.explode(_words()).alias("w"))
+        .groupBy("lang", "w")
+        .agg(F.count("*").alias("cnt"))
+    )
+    order = [F.col("cnt").desc(), F.col("w").asc()]
+    local = (
+        tf.withColumn("pid", F.spark_partition_id())
+        .withColumn(
+            "lr", F.row_number().over(Window.partitionBy("lang", "pid").orderBy(*order))
+        )
+        .filter(F.col("lr") <= ZIPF_TOP_R)
+        .drop("pid", "lr")
+    )
+    ranked = (
+        local.withColumn(
+            "r", F.row_number().over(Window.partitionBy("lang").orderBy(*order))
+        )
+        .filter(F.col("r") <= ZIPF_TOP_R)
+        .select(
+            "lang",
+            F.round(F.log("r") * 1e6).cast("bigint").alias("x"),
+            F.round(F.log("cnt") * 1e6).cast("bigint").alias("y"),
+        )
+    )
+    s = ranked.groupBy("lang").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    den_x = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    den_y = F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
+    return s.select(
+        "lang",
+        F.col("n").cast("int").alias("n_terms"),
+        F.round(num.cast("double") / den_x.cast("double"), 6).alias("zipf_slope"),
+        F.round(
+            (num.cast("double") * num.cast("double"))
+            / (den_x.cast("double") * den_y.cast("double")),
+            6,
+        ).alias("zipf_r2"),
+    )
+
+
+SQL_TA_ZIPF_FIT = f"""
+WITH tf AS (
+  SELECT lang, w, count(*) AS cnt
+  FROM (SELECT lang, unnest(string_split(text, ' ')) AS w FROM documents)
+  GROUP BY lang, w
+),
+ranked AS (
+  SELECT lang,
+         CAST(round(ln(r) * 1000000) AS BIGINT) AS x,
+         CAST(round(ln(cnt) * 1000000) AS BIGINT) AS y
+  FROM (
+    SELECT lang, cnt,
+           row_number() OVER (PARTITION BY lang ORDER BY cnt DESC, w ASC) AS r
+    FROM tf
+  )
+  WHERE r <= {ZIPF_TOP_R}
+),
+s AS (
+  SELECT lang, CAST(count(*) AS BIGINT) AS n,
+         sum(x) AS sx, sum(y) AS sy,
+         sum(x * y) AS sxy, sum(x * x) AS sxx, sum(y * y) AS syy
+  FROM ranked GROUP BY lang
+)
+SELECT lang, CAST(n AS INT) AS n_terms,
+       round(CAST(n * sxy - sx * sy AS DOUBLE)
+             / CAST(n * sxx - sx * sx AS DOUBLE), 6) AS zipf_slope,
+       round((CAST(n * sxy - sx * sy AS DOUBLE) * CAST(n * sxy - sx * sy AS DOUBLE))
+             / (CAST(n * sxx - sx * sx AS DOUBLE)
+                * CAST(n * syy - sy * sy AS DOUBLE)), 6) AS zipf_r2
+FROM s
+"""
+
+
 QUERIES = {
     "ta_token_count": q_ta_token_count,
     "ta_quality": q_ta_quality,
@@ -1961,6 +2276,9 @@ QUERIES = {
     "ta_hash_score_trained": q_ta_hash_score_trained,
     "ta_clf_eval": q_ta_clf_eval,
     "ta_bpe_fertility": q_ta_bpe_fertility,
+    "ta_c4_rules": q_ta_c4_rules,
+    "ta_ppl_buckets": q_ta_ppl_buckets,
+    "ta_zipf_fit": q_ta_zipf_fit,
 }
 
 ORACLES = {
@@ -1991,4 +2309,7 @@ ORACLES = {
     "ta_hash_score_trained": SQL_TA_HASH_SCORE_TRAINED,
     "ta_clf_eval": SQL_TA_CLF_EVAL,
     "ta_bpe_fertility": _sql_ta_bpe_fertility(),
+    "ta_c4_rules": SQL_TA_C4_RULES,
+    "ta_ppl_buckets": SQL_TA_PPL_BUCKETS,
+    "ta_zipf_fit": SQL_TA_ZIPF_FIT,
 }

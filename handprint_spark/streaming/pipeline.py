@@ -471,6 +471,27 @@ def stream_normalize(
     return normalize_verdicts(stream)
 
 
+def stream_pii_redact(
+    spark: SparkSession,
+    source_dir: str,
+    schema=None,
+    max_files_per_trigger: int = 1,
+):
+    """PII scrubbing at INGEST: readStream over a documents directory
+    → the SAME ``pii_verdicts`` projection as the batch
+    ``ta_pii_redact`` query (stateless: sequential Catalyst regexp
+    scrub, no shuffle, no Python, no state), so a contact line caught
+    by the stream gate and one caught by the batch screen agree by
+    construction — the compliance stage a crawl pipeline must run
+    BEFORE anything lands in the lake, which is exactly why it has to
+    exist in streaming form. Returns an unstarted streaming DataFrame
+    of (doc_id, n_pii, has_pii, clean_len)."""
+    from ..operators.text_analysis import pii_verdicts
+
+    stream = _read_doc_stream(spark, source_dir, schema, max_files_per_trigger)
+    return pii_verdicts(stream)
+
+
 def stream_incremental_dedup(
     spark: SparkSession,
     source_dir: str,

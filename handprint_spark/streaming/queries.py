@@ -388,6 +388,18 @@ def q_st_clf_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_st_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming ingest-time PII scrub drained over the sf corpus;
+    oracle = the batch ``ta_pii_redact`` SQL (shared projection:
+    text_analysis.pii_verdicts) — the compliance gate that must run
+    before anything lands in the lake, certified identical in its
+    streaming and batch forms."""
+    from .pipeline import stream_pii_redact
+
+    d = _stage_documents(sf_dir, "pii")
+    return _drain_to_parquet(spark, stream_pii_redact(spark, os.path.join(d, "src")), d)
+
+
 def _oracles() -> dict:
     from ..operators.dedup import SQL_DD_CONTAMINATION, SQL_DD_INCREMENTAL
     from ..operators.html_extract import SQL_HX_MAIN_CONTENT
@@ -396,9 +408,11 @@ def _oracles() -> dict:
         SQL_TA_HASH_SCORE_TRAINED,
         SQL_TA_NORMALIZE,
         SQL_TA_QUALITY,
+        _sql_ta_pii,
     )
 
     return {
+        "st_pii_redact": _sql_ta_pii(),
         "st_clf_gate": SQL_TA_HASH_SCORE_TRAINED,
         "st_quality_gate": SQL_TA_QUALITY,
         "st_normalize": SQL_TA_NORMALIZE,
@@ -412,6 +426,10 @@ def _oracles() -> dict:
     }
 
 
+# The ten drains the r05 driver window holds. st_pii_redact (added in
+# the fifth continuation session, after the window was frozen at 50)
+# lives in EXTRA_QUERIES so __spark_entry__ can register it BELOW the
+# window boundary without perturbing window membership.
 QUERIES = {
     "st_clf_gate": q_st_clf_gate,
     "st_quality_gate": q_st_quality_gate,
@@ -423,6 +441,10 @@ QUERIES = {
     "st_sessionize": q_st_sessionize,
     "st_first_seen": q_st_first_seen,
     "st_decontaminate": q_st_decontaminate,
+}
+
+EXTRA_QUERIES = {
+    "st_pii_redact": q_st_pii_redact,
 }
 
 ORACLES = _oracles()
