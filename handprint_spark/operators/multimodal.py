@@ -556,13 +556,255 @@ FROM aligned WHERE kind != 'text'
 """
 
 
+# --- perceptual-hash media dedup ---------------------------------------------
+#
+# Image near-dup detection, the multimodal half of the dedup family:
+# decode each media object, compute a 64-bit average hash (aHash) over
+# an 8x8 block grid of the pixel plane, band the hash into four 16-bit
+# chunks (the SimHash 20/20/20 pigeonhole at image width: any pair
+# within Hamming distance MM_PHASH_HD <= 3 shares at least one intact
+# band — EXACT recall, no n^2), equi-join on (band, chunk) for
+# candidates, and verify with bit_count(xor) <= MM_PHASH_HD.
+#
+# Oracle story (the mm_media_features precedent): HPM1 pixel planes
+# are keyed by (text, dims) through an XOF, so media objects share a
+# phash iff they share their line text (cross-text planes are
+# independent 64-bit draws: a <= 3-bit collision has probability
+# ~4e4/2^64 per pair — absent at any test scale). The DuckDB oracle
+# therefore re-derives the duplicate groups from the corpus line rule
+# and checks every count through the REAL decode→hash→band-join path;
+# the Hamming machinery for genuinely near (0 < hd <= 3) pairs is
+# pinned by pytest on planted hash tables (tests/test_session5_ops).
+
+MM_PHASH_BANDS = 4
+MM_PHASH_BAND_BITS = 16
+MM_PHASH_HD = 3
+
+PHASH_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.StringType()),
+        T.StructField("media_ref", T.StringType()),
+        T.StructField("phash", T.LongType()),
+    ]
+)
+
+
+def ahash64(px) -> int:
+    """64-bit average hash of a 2-D uint8 pixel plane: 8x8 block grid,
+    bit = block mean > global mean, row-major MSB-first. Pure function
+    of the plane; signed-int64 representation for Spark LongType."""
+    import numpy as np
+
+    h, w = px.shape
+    v = np.uint64(0)
+    gmean = px.mean() if px.size else 0.0
+    for r in range(8):
+        r0, r1 = r * h // 8, (r + 1) * h // 8
+        for c in range(8):
+            c0, c1 = c * w // 8, (c + 1) * w // 8
+            block = px[r0:r1, c0:c1]
+            bit = 1 if block.size and block.mean() > gmean else 0
+            v = (v << np.uint64(1)) | np.uint64(bit)
+    return int(v.astype(np.int64))
+
+
+def media_phash(spans_with_media: DataFrame) -> DataFrame:
+    """(doc_id, media_ref, phash) per media object; phash NULL for
+    undecodable media (row verdict, never a job error). Narrow
+    mapInPandas — no shuffle to hash."""
+    exploded = spans_with_media.select("doc_id", F.explode("media").alias("m")).select(
+        "doc_id",
+        F.col("m.media_ref").alias("media_ref"),
+        F.col("m.content").alias("content"),
+    )
+
+    def run(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            ids, refs, vals = [], [], []
+            for doc_id, ref, content in zip(pdf["doc_id"], pdf["media_ref"], pdf["content"]):
+                ids.append(doc_id)
+                refs.append(ref)
+                try:
+                    if content is None:
+                        raise codec.MediaError("null media content")
+                    info = codec.decode_media(bytes(content))
+                    px = codec.render_pixels(
+                        info.text.split("\f")[0], info.width, info.height
+                    )
+                    vals.append(ahash64(px))
+                except codec.MediaError:
+                    vals.append(None)
+            # phash MUST be a nullable-Int64 pandas array: a plain
+            # mixed int/None column coerces to float64, whose 53-bit
+            # mantissa silently rounds the low bits of every 64-bit
+            # hash in any batch that also contains one corrupt media
+            # object (caught live: two equal planes hashed 338 apart
+            # because one batch held a corrupt sibling).
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids,
+                    "media_ref": refs,
+                    "phash": pd.array(vals, dtype="Int64"),
+                }
+            )
+
+    return exploded.mapInPandas(run, PHASH_SCHEMA)
+
+
+def phash_pairs(hashes: DataFrame, hd: int = MM_PHASH_HD) -> DataFrame:
+    """Verified near-dup pairs (ref_a < ref_b, hamming <= hd) from a
+    (media_ref, phash) frame via the banded equi-join — candidates
+    only where a 16-bit band matches, exact recall for hd <= 3 by
+    pigeonhole over 4 bands."""
+    mask = (1 << MM_PHASH_BAND_BITS) - 1
+    posting = hashes.filter(F.col("phash").isNotNull()).select(
+        "media_ref",
+        "phash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.shiftrightunsigned("phash", b * MM_PHASH_BAND_BITS)
+                        .bitwiseAND(F.lit(mask))
+                        .alias("chunk"),
+                    )
+                    for b in range(MM_PHASH_BANDS)
+                ]
+            )
+        ).alias("bk"),
+    ).select("media_ref", "phash", "bk.band", "bk.chunk")
+    a, b = posting.alias("a"), posting.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.chunk") == F.col("b.chunk"))
+            & (F.col("a.media_ref") < F.col("b.media_ref")),
+        )
+        .select(
+            F.col("a.media_ref").alias("ref_a"),
+            F.col("b.media_ref").alias("ref_b"),
+            F.bit_count(F.col("a.phash").bitwiseXOR(F.col("b.phash"))).alias("hd"),
+        )
+        .filter(F.col("hd") <= hd)
+        .distinct()
+    )
+
+
+def q_mm_phash_dedup(spark, sf_dir):
+    """(doc_id, media_ref, is_error, n_exact_dups, n_near_dups,
+    is_canonical): per-media duplicate stats through the full
+    decode → aHash → banded-join path. n_exact_dups counts
+    phash-identical partners (groupBy on the hash — the shippable
+    image-dedup verdict); n_near_dups counts partners within
+    MM_PHASH_HD through the banded join (equals n_exact_dups on this
+    corpus — see the oracle story above); is_canonical keeps the
+    lexicographically-first ref per exact group (NULL on error rows).
+    """
+    from ..corpus import load_documents_spans
+
+    hashes = media_phash(load_documents_spans(spark, sf_dir)).localCheckpoint(
+        eager=False
+    )
+    groups = (
+        hashes.filter(F.col("phash").isNotNull())
+        .groupBy("phash")
+        .agg(
+            F.count("*").alias("gsz"),
+            F.min("media_ref").alias("canon"),
+        )
+    )
+    near = (
+        phash_pairs(hashes)
+        .select(F.explode(F.array("ref_a", "ref_b")).alias("media_ref"))
+        .groupBy("media_ref")
+        .agg(F.count("*").alias("n_near"))
+    )
+    return (
+        hashes.join(groups, "phash", "left")
+        .join(near, "media_ref", "left")
+        .select(
+            "doc_id",
+            "media_ref",
+            F.col("phash").isNull().alias("is_error"),
+            (F.col("gsz") - 1).cast("int").alias("n_exact_dups"),
+            F.when(
+                F.col("phash").isNotNull(), F.coalesce(F.col("n_near"), F.lit(0))
+            )
+            .cast("int")
+            .alias("n_near_dups"),
+            F.when(F.col("phash").isNotNull(), F.col("media_ref") == F.col("canon"))
+            .alias("is_canonical"),
+        )
+    )
+
+
+def _sql_mm_phash_dedup() -> str:
+    from ..corpus import (
+        CORRUPT_MOD,
+        SKEW_FACTOR,
+        SKEW_MOD,
+        WORDS_PER_LINE,
+    )
+
+    w = WORDS_PER_LINE
+    return f"""
+WITH base AS (
+  SELECT doc_id::VARCHAR AS doc_id,
+         ('0x' || substr(sha256(doc_id::VARCHAR), 1, 8))::BIGINT AS h,
+         CASE WHEN trim(replace(text, chr(12), ' ')) = '' THEN []::VARCHAR[]
+              ELSE string_split(regexp_replace(trim(replace(text, chr(12), ' ')),
+                                               ' +', ' ', 'g'), ' ')
+         END AS words
+  FROM documents
+), lined AS (
+  SELECT doc_id, h,
+         list_transform(range(0, CAST(ceil(len(words) / {w}.0) AS INT)),
+                        i -> array_to_string(words[i*{w}+1 : i*{w}+{w}], ' ')) AS lines0
+  FROM base
+), skewed AS (
+  SELECT doc_id, h,
+         CASE WHEN h % {SKEW_MOD} = 0 AND len(lines0) > 0
+              THEN flatten(list_transform(range({SKEW_FACTOR}), r -> lines0))
+              ELSE lines0 END AS lines
+  FROM lined
+), media AS (
+  SELECT doc_id,
+         m.media_ref AS media_ref,
+         CASE WHEN h % {CORRUPT_MOD} = 0 AND m.idx = 0 THEN NULL
+              ELSE m.line END AS line
+  FROM (SELECT doc_id, h,
+               unnest(list_transform(lines, (line, i) -> struct_pack(
+                   idx := i - 1,
+                   line := line,
+                   media_ref := doc_id || '/line-' || (i - 1)::VARCHAR))) AS m
+        FROM skewed)
+), groups AS (
+  SELECT line, count(*) AS gsz, min(media_ref) AS canon
+  FROM media WHERE line IS NOT NULL GROUP BY line
+)
+SELECT m.doc_id, m.media_ref,
+       (m.line IS NULL) AS is_error,
+       CAST(g.gsz - 1 AS INT) AS n_exact_dups,
+       CAST(g.gsz - 1 AS INT) AS n_near_dups,
+       CASE WHEN m.line IS NULL THEN NULL
+            ELSE m.media_ref = g.canon END AS is_canonical
+FROM media m LEFT JOIN groups g USING (line)
+"""
+
+
 QUERIES = {
     "mm_media_features": q_mm_media_features,
     "mm_frame_sample": q_mm_frame_sample,
     "mm_interleave_pack": q_mm_interleave_pack,
     "mm_caption_align": q_mm_caption_align,
+    "mm_phash_dedup": q_mm_phash_dedup,
 }
 ORACLES: dict[str, str] = {
+    "mm_phash_dedup": _sql_mm_phash_dedup(),
     "mm_media_features": _sql_mm_media_features(),
     "mm_frame_sample": _sql_mm_frame_sample(),
     "mm_interleave_pack": _sql_mm_interleave_pack(),

@@ -1994,11 +1994,12 @@ _C4_KEEP_LINE = (
 )
 
 
-def q_ta_c4_rules(spark, sf_dir):
-    """(doc_id, n_lines, n_kept, has_brace, has_lorem, c4_keep): the
-    C4 cleaning verdict per document. All six columns fall out of one
-    stacked-HOF projection over the synthesized line array."""
-    d = _docs(spark, sf_dir).select("doc_id", F.expr(_C4_LINES_EXPR).alias("ls"))
+def c4_verdicts(docs: DataFrame) -> DataFrame:
+    """The C4 gate bundle over ANY (doc_id, text) relation — one
+    stateless zero-shuffle projection shared by the batch query and
+    the streaming ingest gate (streaming/pipeline.stream_c4_rules),
+    the same shared-projection parity contract as quality_verdicts."""
+    d = docs.select("doc_id", F.expr(_C4_LINES_EXPR).alias("ls"))
     n_kept = F.size(F.expr(f"filter(ls, {_C4_KEEP_LINE})"))
     has_brace = F.expr("exists(ls, l -> contains(l, '{'))")
     has_lorem = F.expr("exists(ls, l -> contains(l, 'lorem ipsum'))")
@@ -2010,6 +2011,13 @@ def q_ta_c4_rules(spark, sf_dir):
         has_lorem.alias("has_lorem"),
         (~has_brace & ~has_lorem & (n_kept >= C4_MIN_KEPT_LINES)).alias("c4_keep"),
     )
+
+
+def q_ta_c4_rules(spark, sf_dir):
+    """(doc_id, n_lines, n_kept, has_brace, has_lorem, c4_keep): the
+    C4 cleaning verdict per document. All six columns fall out of one
+    stacked-HOF projection over the synthesized line array."""
+    return c4_verdicts(_docs(spark, sf_dir))
 
 
 SQL_TA_C4_RULES = f"""

@@ -492,6 +492,25 @@ def stream_pii_redact(
     return pii_verdicts(stream)
 
 
+def stream_c4_rules(
+    spark: SparkSession,
+    source_dir: str,
+    schema=None,
+    max_files_per_trigger: int = 1,
+):
+    """C4 heuristic cleaning at INGEST: readStream over a documents
+    directory → the SAME ``c4_verdicts`` projection as the batch
+    ``ta_c4_rules`` query (stateless stacked-HOF line rules, no
+    shuffle, no Python, no state). Stream and batch verdicts agree by
+    construction — the crawl-frontier admission gate in its continuous
+    form. Returns an unstarted streaming DataFrame of
+    (doc_id, n_lines, n_kept, has_brace, has_lorem, c4_keep)."""
+    from ..operators.text_analysis import c4_verdicts
+
+    stream = _read_doc_stream(spark, source_dir, schema, max_files_per_trigger)
+    return c4_verdicts(stream)
+
+
 def stream_incremental_dedup(
     spark: SparkSession,
     source_dir: str,

@@ -400,11 +400,22 @@ def q_st_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _drain_to_parquet(spark, stream_pii_redact(spark, os.path.join(d, "src")), d)
 
 
+def q_st_c4_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming ingest-time C4 cleaning gate drained over the sf
+    corpus; oracle = the batch ``ta_c4_rules`` SQL (shared
+    projection: text_analysis.c4_verdicts)."""
+    from .pipeline import stream_c4_rules
+
+    d = _stage_documents(sf_dir, "c4")
+    return _drain_to_parquet(spark, stream_c4_rules(spark, os.path.join(d, "src")), d)
+
+
 def _oracles() -> dict:
     from ..operators.dedup import SQL_DD_CONTAMINATION, SQL_DD_INCREMENTAL
     from ..operators.html_extract import SQL_HX_MAIN_CONTENT
     from ..operators.service_fanout import _sql_flagship_skew
     from ..operators.text_analysis import (
+        SQL_TA_C4_RULES,
         SQL_TA_HASH_SCORE_TRAINED,
         SQL_TA_NORMALIZE,
         SQL_TA_QUALITY,
@@ -413,6 +424,7 @@ def _oracles() -> dict:
 
     return {
         "st_pii_redact": _sql_ta_pii(),
+        "st_c4_rules": SQL_TA_C4_RULES,
         "st_clf_gate": SQL_TA_HASH_SCORE_TRAINED,
         "st_quality_gate": SQL_TA_QUALITY,
         "st_normalize": SQL_TA_NORMALIZE,
@@ -445,6 +457,7 @@ QUERIES = {
 
 EXTRA_QUERIES = {
     "st_pii_redact": q_st_pii_redact,
+    "st_c4_rules": q_st_c4_rules,
 }
 
 ORACLES = _oracles()

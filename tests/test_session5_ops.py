@@ -193,3 +193,71 @@ def test_stream_pii_redact_batch_parity(spark, sf_tiny):
     stream = {tuple(r) for r in q_st_pii_redact(spark, sf_tiny).collect()}
     assert stream == batch
     assert any(r[2] for r in batch), "fixture must contain PII rows"
+
+
+def test_ahash64_planted_plane():
+    import numpy as np
+
+    from handprint_spark.operators.multimodal import ahash64
+
+    # top half bright, bottom half dark: top 32 bits set, bottom clear
+    px = np.zeros((16, 16), dtype=np.uint8)
+    px[:8, :] = 200
+    assert ahash64(px) == int(np.int64(np.uint64(0xFFFFFFFF00000000)))
+    # all-equal plane: no block exceeds the global mean (strict >)
+    assert ahash64(np.full((16, 16), 7, dtype=np.uint8)) == 0
+
+
+def test_media_phash_exact_under_corrupt_sibling(spark):
+    """Regression: a corrupt media object in the same Arrow batch must
+    not degrade valid rows' hashes (mixed int/None pandas columns
+    coerce to float64 and round 64-bit hashes at the 53-bit mantissa —
+    caught live at sf0.01)."""
+    from handprint_spark.kernels.codec import encode_media
+    from handprint_spark.kernels import codec as codec_mod
+    from handprint_spark.operators.multimodal import ahash64, media_phash
+
+    texts = ["query filter vector spark scan part", "key agg row scan slow fast"]
+    media = [
+        {"media_ref": f"t/line-{i}", "content": encode_media(t)}
+        for i, t in enumerate(texts)
+    ]
+    media.append({"media_ref": "t/line-2", "content": b"not a media object"})
+    df = spark.createDataFrame(
+        [("t", media)],
+        "doc_id string, media array<struct<media_ref:string,content:binary>>",
+    )
+    got = {r["media_ref"]: r["phash"] for r in media_phash(df).collect()}
+    assert got["t/line-2"] is None
+    for i, t in enumerate(texts):
+        info = codec_mod.decode_media(encode_media(t))
+        px = codec_mod.render_pixels(t, info.width, info.height)
+        assert got[f"t/line-{i}"] == ahash64(px), t
+
+
+def test_phash_pairs_pigeonhole(spark):
+    """Banded join finds every pair within hd<=3 (pigeonhole over four
+    16-bit bands) and the hd filter drops near-misses that still share
+    a band."""
+    from handprint_spark.operators.multimodal import phash_pairs
+
+    h0 = 0x0123456789ABCDEF
+    rows = [
+        ("a", h0),
+        ("b", h0 ^ 0b111),            # hd 3, same low band differs only
+        ("c", h0 ^ (1 << 0) ^ (1 << 16) ^ (1 << 32) ^ (1 << 48)),  # hd 4, no intact band
+        ("d", h0 ^ 0xFFFF),           # hd 16, bands 1-3 intact -> candidate, filtered
+        ("e", h0),                    # exact dup of a
+    ]
+    df = spark.createDataFrame(rows, "media_ref string, phash long")
+    got = {(r["ref_a"], r["ref_b"]): r["hd"] for r in phash_pairs(df).collect()}
+    assert got == {("a", "b"): 3, ("a", "e"): 0, ("b", "e"): 3}
+
+
+def test_stream_c4_rules_batch_parity(spark, sf_tiny):
+    from handprint_spark.streaming.queries import q_st_c4_rules
+
+    batch = {tuple(r) for r in q_ta_c4_rules(spark, sf_tiny).collect()}
+    stream = {tuple(r) for r in q_st_c4_rules(spark, sf_tiny).collect()}
+    assert stream == batch
+    assert {r[5] for r in batch} == {True, False}
