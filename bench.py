@@ -240,6 +240,17 @@ def main() -> None:
         # time_bucket_agg).
         ("st_extract", streaming_queries.QUERIES["st_extract"]),
         ("st_event_counts", streaming_queries.QUERIES["st_event_counts"]),
+        # round 5 session 5: the C4 rule bundle (zero-shuffle stacked
+        # HOFs), CCNet perplexity terciles (LP plan + broadcast
+        # cutoffs), per-lang Zipf fit (two-phase top-R + integer
+        # regression sums), weekly cohort retention, and
+        # perceptual-hash media dedup (decode -> aHash -> banded
+        # join -> hamming verify)
+        ("ta_c4_rules", text_analysis.QUERIES["ta_c4_rules"]),
+        ("ta_ppl_buckets", text_analysis.QUERIES["ta_ppl_buckets"]),
+        ("ta_zipf_fit", text_analysis.QUERIES["ta_zipf_fit"]),
+        ("ev_retention", relational.QUERIES["ev_retention"]),
+        ("mm_phash_dedup", multimodal.QUERIES["mm_phash_dedup"]),
     ]
     # Trained artifacts (BPE vocab, k-means centroids, PQ codebooks)
     # memoize per corpus content — production trains ONCE at index/
