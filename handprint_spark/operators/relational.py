@@ -889,6 +889,93 @@ GROUP BY 1, 2
 """
 
 
+# --- A/B experiment readout ---------------------------------------------------
+
+AB_SALT = 7  # hash-split salt: users -> variant by (user_id + salt) % 2
+
+
+def q_ev_ab_test(spark, sf_dir):
+    """One-row experiment readout: deterministic hash-split of users
+    into A/B, then a Welch z-test on per-user PURCHASE SPEND (a
+    two-proportion test degenerates here — purchasing is universal at
+    this event density — so the value metric is the one a real
+    experiment on this corpus would read). Spend is quantized to
+    exact integer cents per event before summing, so n/Σx/Σx² are
+    identical int64 on both engines and only the final mean/variance/
+    z expressions run in double (identical formula, round 4). Shape:
+    per-user rollup on the well-spread user_id key, then a single
+    1-row aggregate — the final stats never re-shuffle the events."""
+    cents = F.round(F.col("value") * 100).cast("bigint")
+    users = (
+        _t(spark, sf_dir, "events")
+        .select(
+            "user_id",
+            F.when(F.col("event_type") == FUNNEL_STEPS[2], cents)
+            .otherwise(F.lit(0))
+            .alias("cents"),
+        )
+        .groupBy("user_id")
+        .agg(F.sum("cents").alias("spend"))
+        .select(((F.col("user_id") + AB_SALT) % 2).alias("variant"), "spend")
+    )
+    s = users.agg(
+        F.sum((F.col("variant") == 0).cast("int")).alias("n_a"),
+        F.sum(F.when(F.col("variant") == 0, F.col("spend")).otherwise(0)).alias("sx_a"),
+        F.sum(
+            F.when(F.col("variant") == 0, F.col("spend") * F.col("spend")).otherwise(0)
+        ).alias("sxx_a"),
+        F.sum((F.col("variant") == 1).cast("int")).alias("n_b"),
+        F.sum(F.when(F.col("variant") == 1, F.col("spend")).otherwise(0)).alias("sx_b"),
+        F.sum(
+            F.when(F.col("variant") == 1, F.col("spend") * F.col("spend")).otherwise(0)
+        ).alias("sxx_b"),
+    )
+    m_a = F.col("sx_a") / F.col("n_a")
+    m_b = F.col("sx_b") / F.col("n_b")
+    v_a = (F.col("sxx_a") - F.col("sx_a") * F.col("sx_a") / F.col("n_a")) / (
+        F.col("n_a") - 1
+    )
+    v_b = (F.col("sxx_b") - F.col("sx_b") * F.col("sx_b") / F.col("n_b")) / (
+        F.col("n_b") - 1
+    )
+    z = (m_a - m_b) / F.sqrt(v_a / F.col("n_a") + v_b / F.col("n_b"))
+    return s.select(
+        F.col("n_a").cast("int").alias("n_a"),
+        F.col("n_b").cast("int").alias("n_b"),
+        F.round(m_a, 4).alias("mean_cents_a"),
+        F.round(m_b, 4).alias("mean_cents_b"),
+        F.round(z, 4).alias("z_score"),
+    )
+
+
+SQL_EV_AB_TEST = f"""
+WITH u AS (
+  SELECT user_id,
+         sum(CASE WHEN event_type = '{FUNNEL_STEPS[2]}'
+                  THEN CAST(round(value * 100) AS BIGINT) ELSE 0 END) AS spend
+  FROM events GROUP BY user_id
+),
+v AS (SELECT (user_id + {AB_SALT}) % 2 AS variant, spend FROM u),
+s AS (
+  SELECT sum((variant = 0)::INT) AS n_a,
+         sum(CASE WHEN variant = 0 THEN spend ELSE 0 END) AS sx_a,
+         sum(CASE WHEN variant = 0 THEN spend * spend ELSE 0 END) AS sxx_a,
+         sum((variant = 1)::INT) AS n_b,
+         sum(CASE WHEN variant = 1 THEN spend ELSE 0 END) AS sx_b,
+         sum(CASE WHEN variant = 1 THEN spend * spend ELSE 0 END) AS sxx_b
+  FROM v
+)
+SELECT CAST(n_a AS INT) AS n_a, CAST(n_b AS INT) AS n_b,
+       round(sx_a::DOUBLE / n_a, 4) AS mean_cents_a,
+       round(sx_b::DOUBLE / n_b, 4) AS mean_cents_b,
+       round((sx_a::DOUBLE / n_a - sx_b::DOUBLE / n_b)
+             / sqrt(((sxx_a - sx_a::DOUBLE * sx_a / n_a) / (n_a - 1)) / n_a
+                    + ((sxx_b - sx_b::DOUBLE * sx_b / n_b) / (n_b - 1)) / n_b),
+             4) AS z_score
+FROM s
+"""
+
+
 QUERIES = {
     "c1_format_canonical": q_c1_format_canonical,
     "k7_url_sidecar": q_k7_url_sidecar,
@@ -919,6 +1006,7 @@ QUERIES = {
     "j_interval_join": q_j_interval_join,
     "ev_funnel": q_ev_funnel,
     "ev_retention": q_ev_retention,
+    "ev_ab_test": q_ev_ab_test,
 }
 
 ORACLES = {
@@ -951,4 +1039,5 @@ ORACLES = {
     "j_interval_join": SQL_J_INTERVAL,
     "ev_funnel": SQL_EV_FUNNEL,
     "ev_retention": SQL_EV_RETENTION,
+    "ev_ab_test": SQL_EV_AB_TEST,
 }

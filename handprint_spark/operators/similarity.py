@@ -1401,8 +1401,52 @@ FROM cand GROUP BY method
 """
 
 
+# --- metadata-filtered top-K (pre-filtered vector search) ---------------------
+
+FILTERED_LABELS = (1, 2)
+
+
+def q_sim_filtered_topk(spark, sf_dir):
+    """Top-K cosine neighbors of vec 0 AMONG vectors whose label is in
+    FILTERED_LABELS — the pre-filtered search every production vector
+    store exposes (filter by tenant/source/date, THEN rank). The
+    predicate lands in the parquet scan (PushedFilters: In(label, ...)
+    — plan-asserted in tests), so a selective filter prunes row groups
+    before a single dot product runs; scoring and the top-k reduce are
+    the sim_topk_bruteforce shape on the surviving rows. At an
+    IVF/LSH-indexed 10^12-row deployment the same predicate composes
+    with the index probe (partition pruning first, filter at the list
+    scan) — pre-filtering beats post-filtering whenever the filter is
+    selective enough that K survivors are not guaranteed in the
+    unfiltered top results."""
+    qv = _query_vec(spark, sf_dir, 0)
+    emb = (
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        .filter(F.col("label").isin(*FILTERED_LABELS) & (F.col("vec_id") != 0))
+        .select("vec_id", "label", F.col("embedding").cast("array<double>").alias("v"))
+    )
+    cos = cos_query_udf(qv)
+    return (
+        emb.withColumn("cos", cos(F.col("v")))
+        .select("vec_id", "label", "cos")
+        .orderBy(F.col("cos").desc(), F.col("vec_id").asc())
+        .limit(TOPK)
+    )
+
+
+SQL_SIM_FILTERED_TOPK = f"""
+WITH q AS (SELECT embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id = 0)
+SELECT e.vec_id, e.label,
+       round(list_cosine_similarity(e.embedding::DOUBLE[], q.v), 4) AS cos
+FROM embeddings e, q
+WHERE e.vec_id <> 0 AND e.label IN {FILTERED_LABELS}
+ORDER BY cos DESC, e.vec_id ASC LIMIT {TOPK}
+"""
+
+
 QUERIES = {
     "sim_topk_bruteforce": q_sim_topk_bruteforce,
+    "sim_filtered_topk": q_sim_filtered_topk,
     "sim_knn_join": q_sim_knn_join,
     "sim_lsh_buckets": q_sim_lsh_buckets,
     "sim_lsh_ann": q_sim_lsh_ann,
@@ -1422,6 +1466,7 @@ QUERIES = {
 
 ORACLES = {
     "sim_topk_bruteforce": SQL_SIM_TOPK,
+    "sim_filtered_topk": SQL_SIM_FILTERED_TOPK,
     "sim_knn_join": SQL_SIM_KNN,
     "sim_lsh_buckets": SQL_SIM_LSH_BUCKETS,
     "sim_lsh_ann": _sql_lsh_ann(),

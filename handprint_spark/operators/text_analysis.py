@@ -1356,29 +1356,20 @@ def _gopher_dup_expr(n: int) -> str:
     """
 
 
-def q_ta_gopher_rules(spark, sf_dir):
-    """Gopher document-quality rule bundle (Rae et al. 2021, A1.1):
-    word-count bounds, mean-word-length bounds, alphabetic-word
-    fraction, stopword floor, most-frequent-{2,3,4}-gram character
-    fractions and duplicate-{5..10}-gram fractions, folded into one
-    `passes_gopher` verdict.
-
-    Entirely JVM-side: two stacked projections (words/lengths, then
-    the rule columns) — zero shuffle at any corpus size. The n-gram
-    rules are O(L²·n) per document over the word array; for the
-    bounded L of web documents that is the cheap path (no explode, no
-    per-gram shuffle). A pipeline facing pathological multi-MB single
-    documents routes them through the posting-list shape instead
-    (`ta_rep_2gram`: explode → (doc_id, gram) groupBy), which trades
-    one shuffle for per-row O(L) — both forms live in this module.
-    """
+def gopher_verdicts(docs: DataFrame, carry: tuple[str, ...] = ()) -> DataFrame:
+    """The Gopher gate bundle over ANY (doc_id, text) relation — two
+    stacked stateless projections shared by the batch query and
+    composition consumers (curation.q_cur_quality_ablation), with the
+    same ``carry`` passthrough contract as quality_verdicts."""
     stop_arr = F.array(*[F.lit(w) for w in EN_STOP])
-    base = _docs(spark, sf_dir).select(
+    base = docs.select(
         "doc_id",
+        *carry,
         _words().alias("ws"),
         F.transform(_words(), lambda w: F.length(w)).alias("wl"),
     ).select(
         "doc_id",
+        *carry,
         "ws",
         "wl",
         F.size("ws").alias("n_words"),
@@ -1388,6 +1379,7 @@ def q_ta_gopher_rules(spark, sf_dir):
     )
     cols = [
         F.col("doc_id"),
+        *[F.col(c) for c in carry],
         F.col("n_words"),
         F.round(F.col("n_chars_tot") / F.col("n_words"), 4).alias("mean_word_len"),
         F.round(F.col("n_alpha") / F.col("n_words"), 4).alias("frac_alpha_words"),
@@ -1411,6 +1403,25 @@ def q_ta_gopher_rules(spark, sf_dir):
     for g in gates[1:]:
         verdict = verdict & g
     return base.select(*cols, verdict.alias("passes_gopher"))
+
+
+def q_ta_gopher_rules(spark, sf_dir):
+    """Gopher document-quality rule bundle (Rae et al. 2021, A1.1):
+    word-count bounds, mean-word-length bounds, alphabetic-word
+    fraction, stopword floor, most-frequent-{2,3,4}-gram character
+    fractions and duplicate-{5..10}-gram fractions, folded into one
+    `passes_gopher` verdict.
+
+    Entirely JVM-side: two stacked projections (words/lengths, then
+    the rule columns) — zero shuffle at any corpus size. The n-gram
+    rules are O(L²·n) per document over the word array; for the
+    bounded L of web documents that is the cheap path (no explode, no
+    per-gram shuffle). A pipeline facing pathological multi-MB single
+    documents routes them through the posting-list shape instead
+    (`ta_rep_2gram`: explode → (doc_id, gram) groupBy), which trades
+    one shuffle for per-row O(L) — both forms live in this module.
+    """
+    return gopher_verdicts(_docs(spark, sf_dir))
 
 
 def _gopher_sql() -> str:
@@ -1994,17 +2005,20 @@ _C4_KEEP_LINE = (
 )
 
 
-def c4_verdicts(docs: DataFrame) -> DataFrame:
+def c4_verdicts(docs: DataFrame, carry: tuple[str, ...] = ()) -> DataFrame:
     """The C4 gate bundle over ANY (doc_id, text) relation — one
     stateless zero-shuffle projection shared by the batch query and
     the streaming ingest gate (streaming/pipeline.stream_c4_rules),
-    the same shared-projection parity contract as quality_verdicts."""
-    d = docs.select("doc_id", F.expr(_C4_LINES_EXPR).alias("ls"))
+    the same shared-projection parity contract as quality_verdicts
+    (``carry`` passes extra input columns through — the ablation
+    matrix carries text so all three gates run on ONE scan)."""
+    d = docs.select("doc_id", *carry, F.expr(_C4_LINES_EXPR).alias("ls"))
     n_kept = F.size(F.expr(f"filter(ls, {_C4_KEEP_LINE})"))
     has_brace = F.expr("exists(ls, l -> contains(l, '{'))")
     has_lorem = F.expr("exists(ls, l -> contains(l, 'lorem ipsum'))")
     return d.select(
         "doc_id",
+        *carry,
         F.size("ls").cast("int").alias("n_lines"),
         n_kept.cast("int").alias("n_kept"),
         has_brace.alias("has_brace"),
@@ -2258,6 +2272,77 @@ FROM s
 """
 
 
+# --- n-gram novelty (data-valuation signal) -----------------------------------
+#
+# What does each document ADD to the corpus? novelty = the fraction of
+# its distinct n-grams whose globally FIRST occurrence (min doc_id —
+# ingestion order in this corpus) is this document. Near-duplicates
+# and boilerplate-heavy pages score ~0; genuinely new content scores
+# high — the cheap data-valuation signal dedup-threshold tuning and
+# crawl-frontier prioritization both read. Shape: one shingle explode
+# → distinct posting → gram-keyed min fold → ONE equi-join back on the
+# well-spread gram key → per-doc rollup. No window over the posting,
+# nothing quadratic.
+
+NOVELTY_N = 3
+
+
+def q_ta_ngram_novelty(spark, sf_dir):
+    """(doc_id, n_grams, n_novel, novelty): distinct-3-gram first-
+    occurrence novelty per document (docs with < 3 words carry no
+    gram and drop out — mirrored in the oracle)."""
+    n = NOVELTY_N
+    grams_expr = (
+        f"CASE WHEN size(ws) < {n} THEN array() ELSE "
+        f"transform(sequence(1, size(ws) - {n} + 1), "
+        f"i -> array_join(slice(ws, i, {n}), ' ')) END"
+    )
+    posting = (
+        _docs(spark, sf_dir)
+        .select("doc_id", _words().alias("ws"))
+        .select("doc_id", F.explode(F.expr(grams_expr)).alias("g"))
+        .distinct()
+    )
+    first = posting.groupBy("g").agg(F.min("doc_id").alias("first_doc"))
+    return (
+        posting.join(first, "g")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("int").alias("n_grams"),
+            F.sum((F.col("first_doc") == F.col("doc_id")).cast("int"))
+            .cast("int")
+            .alias("n_novel"),
+        )
+        .select(
+            "doc_id",
+            "n_grams",
+            "n_novel",
+            F.round(F.col("n_novel") / F.col("n_grams"), 6).alias("novelty"),
+        )
+    )
+
+
+SQL_TA_NGRAM_NOVELTY = f"""
+WITH w AS (
+  SELECT doc_id, string_split(text, ' ') AS ws,
+         len(string_split(text, ' ')) AS n
+  FROM documents
+),
+posting AS (
+  SELECT DISTINCT doc_id, array_to_string(ws[i : i + {NOVELTY_N} - 1], ' ') AS g
+  FROM w, unnest(generate_series(1, n - {NOVELTY_N} + 1)) AS t(i)
+  WHERE n >= {NOVELTY_N}
+),
+first AS (SELECT g, min(doc_id) AS first_doc FROM posting GROUP BY g)
+SELECT p.doc_id,
+       CAST(count(*) AS INT) AS n_grams,
+       CAST(sum((f.first_doc = p.doc_id)::INT) AS INT) AS n_novel,
+       round(sum((f.first_doc = p.doc_id)::INT)::DOUBLE / count(*), 6) AS novelty
+FROM posting p JOIN first f USING (g)
+GROUP BY p.doc_id
+"""
+
+
 QUERIES = {
     "ta_token_count": q_ta_token_count,
     "ta_quality": q_ta_quality,
@@ -2287,6 +2372,7 @@ QUERIES = {
     "ta_c4_rules": q_ta_c4_rules,
     "ta_ppl_buckets": q_ta_ppl_buckets,
     "ta_zipf_fit": q_ta_zipf_fit,
+    "ta_ngram_novelty": q_ta_ngram_novelty,
 }
 
 ORACLES = {
@@ -2320,4 +2406,5 @@ ORACLES = {
     "ta_c4_rules": SQL_TA_C4_RULES,
     "ta_ppl_buckets": SQL_TA_PPL_BUCKETS,
     "ta_zipf_fit": SQL_TA_ZIPF_FIT,
+    "ta_ngram_novelty": SQL_TA_NGRAM_NOVELTY,
 }

@@ -254,6 +254,141 @@ def test_phash_pairs_pigeonhole(spark):
     assert got == {("a", "b"): 3, ("a", "e"): 0, ("b", "e"): 3}
 
 
+def test_quality_ablation_matrix_algebra(spark, sf_tiny):
+    """The pair matrix must be exactly the contingency algebra of the
+    three (independently pinned) gate verdict queries — and the
+    composed plan must read documents ONCE (the carry= chain, not
+    three scans + joins)."""
+    from handprint_spark.operators.curation import q_cur_quality_ablation
+    from handprint_spark.operators.text_analysis import (
+        q_ta_gopher_rules,
+        q_ta_quality,
+    )
+
+    q = {r["doc_id"]: r["passes_quality"] for r in q_ta_quality(spark, sf_tiny).collect()}
+    c = {r["doc_id"]: r["c4_keep"] for r in q_ta_c4_rules(spark, sf_tiny).collect()}
+    g = {
+        r["doc_id"]: r["passes_gopher"]
+        for r in q_ta_gopher_rules(spark, sf_tiny).collect()
+    }
+    n = len(q)
+    want = {}
+    for (na, va), (nb, vb) in [(("quality", q), ("c4", c)),
+                               (("quality", q), ("gopher", g)),
+                               (("c4", c), ("gopher", g))]:
+        both = sum(1 for d in va if va[d] and vb[d])
+        only_a = sum(1 for d in va if va[d] and not vb[d])
+        only_b = sum(1 for d in va if vb[d] and not va[d])
+        neither = n - both - only_a - only_b
+        want[(na, nb)] = (
+            both, only_a, only_b, neither,
+            round((both + neither) / n, 6),
+            round(both / (both + only_a + only_b), 6),
+        )
+    df = q_cur_quality_ablation(spark, sf_tiny)
+    # explain BEFORE executing: after collect, AQE's explain prints
+    # Final + Initial plans and every scan appears twice
+    plan = df._sc._jvm.PythonSQLUtils.explainString(df._jdf.queryExecution(), "simple")
+    assert plan.count("documents.parquet") == 1
+    got = {
+        (r["gate_a"], r["gate_b"]): (
+            r["n_both"], r["n_only_a"], r["n_only_b"], r["n_neither"],
+            r["agree_frac"], r["jaccard"],
+        )
+        for r in df.collect()
+    }
+    assert got == want
+
+
+def test_filtered_topk_pushdown_and_exactness(spark, sf_tiny):
+    import numpy as np
+
+    from handprint_spark.operators.similarity import (
+        FILTERED_LABELS,
+        TOPK,
+        q_sim_filtered_topk,
+    )
+
+    emb = pd.read_parquet(f"{sf_tiny}/embeddings.parquet")
+    qv = np.asarray(emb.loc[emb.vec_id == 0, "embedding"].iloc[0], dtype=np.float64)
+    sub = emb[(emb.label.isin(FILTERED_LABELS)) & (emb.vec_id != 0)]
+    M = np.stack(sub.embedding.values).astype(np.float64)
+    cos = np.round(M @ qv / (np.linalg.norm(M, axis=1) * np.linalg.norm(qv)), 4)
+    order = sorted(
+        zip(sub.vec_id.values, sub.label.values, cos), key=lambda t: (-t[2], t[0])
+    )[:TOPK]
+    want = [(int(v), int(l), float(s)) for v, l, s in order]
+    df = q_sim_filtered_topk(spark, sf_tiny)
+    got = [(r["vec_id"], r["label"], r["cos"]) for r in df.collect()]
+    assert got == want
+    assert all(l in FILTERED_LABELS for _, l, _ in got)
+    plan = df._sc._jvm.PythonSQLUtils.explainString(df._jdf.queryExecution(), "simple")
+    assert "PushedFilters" in plan and "In(label" in plan, plan[:2000]
+
+
+def test_ngram_novelty_matches_python_replay(spark, sf_tiny):
+    from handprint_spark.operators.text_analysis import (
+        NOVELTY_N,
+        q_ta_ngram_novelty,
+    )
+
+    docs = pd.read_parquet(f"{sf_tiny}/documents.parquet").sort_values("doc_id")
+    first = {}
+    per_doc = {}
+    for r in docs.itertuples():
+        ws = r.text.split(" ")
+        grams = {
+            " ".join(ws[i : i + NOVELTY_N]) for i in range(len(ws) - NOVELTY_N + 1)
+        }
+        if not grams:
+            continue
+        per_doc[int(r.doc_id)] = grams
+        for g in grams:
+            first.setdefault(g, int(r.doc_id))
+    want = {
+        d: (
+            len(gs),
+            sum(1 for g in gs if first[g] == d),
+            round(sum(1 for g in gs if first[g] == d) / len(gs), 6),
+        )
+        for d, gs in per_doc.items()
+    }
+    got = {
+        r["doc_id"]: (r["n_grams"], r["n_novel"], r["novelty"])
+        for r in q_ta_ngram_novelty(spark, sf_tiny).collect()
+    }
+    assert got == want
+    novs = [v[2] for v in got.values()]
+    assert min(novs) < 1.0, "fixture must contain shared grams"
+    assert max(novs) == 1.0  # the earliest doc is all-novel by construction
+
+
+def test_ab_test_matches_pandas_replay(spark, sf_tiny):
+    import math
+
+    from handprint_spark.operators.relational import AB_SALT, q_ev_ab_test
+
+    ev = pd.read_parquet(f"{sf_tiny}/events.parquet")
+    ev["cents"] = [
+        int(round(v * 100)) if t == "purchase" else 0
+        for v, t in zip(ev["value"], ev["event_type"])
+    ]
+    spend = ev.groupby("user_id")["cents"].sum()
+    variant = (spend.index.to_series() + AB_SALT) % 2
+    a = spend[variant == 0].astype("int64")
+    b = spend[variant == 1].astype("int64")
+    n_a, n_b = len(a), len(b)
+    m_a, m_b = a.sum() / n_a, b.sum() / n_b
+    v_a = (int((a * a).sum()) - int(a.sum()) ** 2 / n_a) / (n_a - 1)
+    v_b = (int((b * b).sum()) - int(b.sum()) ** 2 / n_b) / (n_b - 1)
+    z = (m_a - m_b) / math.sqrt(v_a / n_a + v_b / n_b)
+    [r] = q_ev_ab_test(spark, sf_tiny).collect()
+    assert (r["n_a"], r["n_b"]) == (n_a, n_b)
+    assert r["mean_cents_a"] == round(m_a, 4) and r["mean_cents_b"] == round(m_b, 4)
+    assert abs(r["z_score"] - round(z, 4)) <= 1e-4
+    assert n_a > 0 and n_b > 0 and abs(r["z_score"]) < 10
+
+
 def test_stream_c4_rules_batch_parity(spark, sf_tiny):
     from handprint_spark.streaming.queries import q_st_c4_rules
 
