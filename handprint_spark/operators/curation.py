@@ -189,6 +189,34 @@ FROM t GROUP BY lang, source
 """
 
 
+def q_cur_report_approx(spark, sf_dir):
+    """The sketch form of cur_report — the shape that actually runs at
+    10^12 rows: ``approx_count_distinct`` (HyperLogLog++) keeps fixed
+    per-group state instead of the exact two-stage distinct's expanded
+    (group, h) partials, trading a bounded relative error (rsd=0.01)
+    for a single-pass aggregate whose memory does not grow with the
+    duplicate-hash cardinality. No SQL oracle (HLL register picks are
+    engine-specific); registered rows-only with a tolerance-banded
+    pytest vs the exact query (|approx − exact| / exact ≤ 5·rsd) as
+    the correctness evidence — the ta_len_quantiles_approx precedent."""
+    from .text_analysis import quality_verdicts
+
+    rsd = 0.01
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").withColumn(
+        "h", F.md5(F.col("text").cast("binary"))
+    )
+    verdicts = quality_verdicts(docs, carry=("lang", "source", "h"))
+    return verdicts.groupBy("lang", "source").agg(
+        F.count("*").alias("n_docs"),
+        F.approx_count_distinct("h", rsd).alias("n_unique_approx"),
+        F.round(1 - F.approx_count_distinct("h", rsd) / F.count("*"), 4).alias(
+            "dup_rate_approx"
+        ),
+        F.round(F.avg(F.col("passes_quality").cast("int")), 4).alias("quality_rate"),
+        F.round(F.avg("n_tokens"), 4).alias("mean_tokens"),
+    )
+
+
 # --- resumable curation run ---------------------------------------------------
 
 
@@ -1093,6 +1121,9 @@ QUERIES = {
     "cur_contam_purge": q_cur_contam_purge,
     "cur_dsir_select": q_cur_dsir_select,
     "cur_quality_ablation": q_cur_quality_ablation,
+    # rows-only by design: HLL register picks are engine-specific;
+    # evidence = the tolerance-banded pytest vs the exact cur_report
+    "cur_report_approx": q_cur_report_approx,
 }
 ORACLES = {
     "cur_keep_list": SQL_CUR_KEEP_LIST,

@@ -976,6 +976,79 @@ FROM s
 """
 
 
+# --- rolling anomaly detection ------------------------------------------------
+
+ANOM_LOOKBACK = 6  # trailing hours in the baseline window
+ANOM_Z = 2.5
+
+
+def q_ev_rolling_anomaly(spark, sf_dir):
+    """(bucket, n, z_score, is_anomaly): hourly event volume scored
+    against the trailing ANOM_LOOKBACK-hour baseline — the ingest
+    monitor that pages when a source stalls or floods. The window
+    carries EXACT integer sums (Σn, Σn², count over the frame) and the
+    mean/std/z fold out of those integers in one double expression
+    identical on both engines (no stddev_samp — engines disagree in
+    the last ulp between Welford and two-pass accumulation). Warmup
+    rows (fewer than ANOM_LOOKBACK trailing hours) and zero-variance
+    baselines score NULL. Shape: events collapse to ~hours rows at the
+    bucket groupBy; the window runs over that tiny frame — a single
+    Exchange moving n_hours rows, nothing event-sized."""
+    from pyspark.sql import Window
+
+    hours = (
+        _t(spark, sf_dir, "events")
+        .groupBy(F.date_trunc("hour", F.col("ts")).alias("bucket"))
+        .agg(F.count("*").alias("n"))
+    )
+    w = Window.orderBy("bucket").rowsBetween(-ANOM_LOOKBACK, -1)
+    s = hours.select(
+        "bucket",
+        "n",
+        F.count("n").over(w).alias("cnt"),
+        F.sum("n").over(w).alias("s1"),
+        F.sum(F.col("n") * F.col("n")).over(w).alias("s2"),
+    )
+    mean = F.col("s1") / F.col("cnt")
+    var = (F.col("s2") - F.col("s1") * F.col("s1") / F.col("cnt")) / (F.col("cnt") - 1)
+    z = F.when(
+        (F.col("cnt") == ANOM_LOOKBACK) & (F.col("s2") * F.col("cnt") != F.col("s1") * F.col("s1")),
+        F.round((F.col("n") - mean) / F.sqrt(var), 4),
+    )
+    return s.select(
+        "bucket",
+        F.col("n").cast("int").alias("n"),
+        z.alias("z_score"),
+        (F.abs(z) > ANOM_Z).alias("is_anomaly"),
+    )
+
+
+SQL_EV_ROLLING_ANOMALY = f"""
+WITH hours AS (
+  SELECT date_trunc('hour', ts) AS bucket, count(*) AS n
+  FROM events GROUP BY 1
+),
+s AS (
+  SELECT bucket, n,
+         count(n) OVER w AS cnt,
+         sum(n) OVER w AS s1,
+         sum(n * n) OVER w AS s2
+  FROM hours
+  WINDOW w AS (ORDER BY bucket ROWS BETWEEN {ANOM_LOOKBACK} PRECEDING AND 1 PRECEDING)
+)
+SELECT bucket, CAST(n AS INT) AS n,
+       CASE WHEN cnt = {ANOM_LOOKBACK} AND s2 * cnt <> s1 * s1
+            THEN round((n - s1::DOUBLE / cnt)
+                       / sqrt((s2 - s1::DOUBLE * s1 / cnt) / (cnt - 1)), 4)
+       END AS z_score,
+       abs(CASE WHEN cnt = {ANOM_LOOKBACK} AND s2 * cnt <> s1 * s1
+                THEN round((n - s1::DOUBLE / cnt)
+                           / sqrt((s2 - s1::DOUBLE * s1 / cnt) / (cnt - 1)), 4)
+           END) > {ANOM_Z} AS is_anomaly
+FROM s
+"""
+
+
 QUERIES = {
     "c1_format_canonical": q_c1_format_canonical,
     "k7_url_sidecar": q_k7_url_sidecar,
@@ -1007,6 +1080,7 @@ QUERIES = {
     "ev_funnel": q_ev_funnel,
     "ev_retention": q_ev_retention,
     "ev_ab_test": q_ev_ab_test,
+    "ev_rolling_anomaly": q_ev_rolling_anomaly,
 }
 
 ORACLES = {
@@ -1040,4 +1114,5 @@ ORACLES = {
     "ev_funnel": SQL_EV_FUNNEL,
     "ev_retention": SQL_EV_RETENTION,
     "ev_ab_test": SQL_EV_AB_TEST,
+    "ev_rolling_anomaly": SQL_EV_ROLLING_ANOMALY,
 }

@@ -186,6 +186,66 @@ def test_retention_matches_pandas_replay(spark, sf_tiny):
     )
 
 
+def test_rolling_anomaly_matches_pandas_replay(spark, sf_tiny):
+    import math
+
+    from handprint_spark.operators.relational import (
+        ANOM_LOOKBACK,
+        ANOM_Z,
+        q_ev_rolling_anomaly,
+    )
+
+    ev = pd.read_parquet(f"{sf_tiny}/events.parquet")
+    hours = (
+        ev.assign(bucket=ev["ts"].dt.floor("h"))
+        .groupby("bucket")
+        .size()
+        .sort_index()
+    )
+    ns = hours.values.tolist()
+    want = {}
+    for i, (bucket, n) in enumerate(hours.items()):
+        frame = ns[max(0, i - ANOM_LOOKBACK) : i]
+        z = None
+        if len(frame) == ANOM_LOOKBACK:
+            s1, s2, c = sum(frame), sum(x * x for x in frame), len(frame)
+            if s2 * c != s1 * s1:
+                z = round((n - s1 / c) / math.sqrt((s2 - s1 * s1 / c) / (c - 1)), 4)
+        want[bucket.to_pydatetime()] = (
+            int(n),
+            z,
+            (abs(z) > ANOM_Z) if z is not None else None,
+        )
+    got = {
+        r["bucket"]: (r["n"], r["z_score"], r["is_anomaly"])
+        for r in q_ev_rolling_anomaly(spark, sf_tiny).collect()
+    }
+    assert got == want
+    # beyond warmup, a few frames are legitimately zero-variance at
+    # this tiny SF (six consecutive 1-event hours) — require only that
+    # the scored majority is real
+    zs = [v[1] for v in got.values() if v[1] is not None]
+    assert len(zs) > len(got) // 2, "mostly-unscored fixture"
+
+
+def test_report_approx_within_hll_tolerance(spark, sf_tiny):
+    from handprint_spark.operators.curation import (
+        q_cur_report,
+        q_cur_report_approx,
+    )
+
+    exact = {
+        (r["lang"], r["source"]): r["n_unique"]
+        for r in q_cur_report(spark, sf_tiny).collect()
+    }
+    rows = q_cur_report_approx(spark, sf_tiny).collect()
+    assert {(r["lang"], r["source"]) for r in rows} == set(exact)
+    for r in rows:
+        e = exact[(r["lang"], r["source"])]
+        assert abs(r["n_unique_approx"] - e) <= max(2, 0.05 * e), (r, e)
+        assert 0.0 <= r["dup_rate_approx"] <= 1.0
+
+
 def test_stream_pii_redact_batch_parity(spark, sf_tiny):
     from handprint_spark.streaming.queries import q_st_pii_redact
 
