@@ -251,6 +251,14 @@ def main() -> None:
         ("ta_zipf_fit", text_analysis.QUERIES["ta_zipf_fit"]),
         ("ev_retention", relational.QUERIES["ev_retention"]),
         ("mm_phash_dedup", multimodal.QUERIES["mm_phash_dedup"]),
+        # round 5 session 5 (cont.): one-scan gate-ablation matrix,
+        # pre-filtered exact top-K, first-occurrence novelty, Welch
+        # A/B readout, rolling ingest-anomaly scoring
+        ("cur_quality_ablation", curation.QUERIES["cur_quality_ablation"]),
+        ("sim_filtered_topk", similarity.QUERIES["sim_filtered_topk"]),
+        ("ta_ngram_novelty", text_analysis.QUERIES["ta_ngram_novelty"]),
+        ("ev_ab_test", relational.QUERIES["ev_ab_test"]),
+        ("ev_rolling_anomaly", relational.QUERIES["ev_rolling_anomaly"]),
     ]
     # Trained artifacts (BPE vocab, k-means centroids, PQ codebooks)
     # memoize per corpus content — production trains ONCE at index/

@@ -152,16 +152,12 @@ FROM documents GROUP BY md5(text)
 
 # --- n-gram Jaccard ---------------------------------------------------------
 
-def q_dd_ngram_jaccard(spark, sf_dir):
-    """Pair Jaccard without any per-doc sizes join: every posting row
-    carries its document's total shingle count (``n_sh`` is constant
-    per doc, so ``min()`` inside the pair aggregation recovers it
-    exactly), and the union size is n1 + n2 - |intersection|. One
-    self-join on the capped posting list + one aggregation — at corpus
-    scale there is no one-row-per-document side table to broadcast
-    (the round-2 plan broadcast exactly that; at 10^12 docs the
-    "small" side would be the whole corpus)."""
-    docs = _docs(spark, sf_dir, spread=True).select("doc_id", _shingles_col().alias("sh"))
+def ngram_jaccard_pairs(docs: DataFrame, threshold: float) -> DataFrame:
+    """Exact pair Jaccard at ANY floor — the core behind
+    ``q_dd_ngram_jaccard`` (production floor) and the measured
+    banding-recall curve (low floor, so partial-recall deciles
+    actually populate)."""
+    docs = docs.select("doc_id", _shingles_col().alias("sh"))
     posting = (
         docs.select("doc_id", F.size("sh").alias("n_sh"), F.explode("sh").alias("s"))
         # posting-list cap: drop ubiquitous shingles (bounded join fan-out)
@@ -187,12 +183,25 @@ def q_dd_ngram_jaccard(spark, sf_dir):
                 F.col("n_inter") / (F.col("n1") + F.col("n2") - F.col("n_inter")), 4
             ),
         )
-        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+        .filter(F.col("jaccard") >= threshold)
         .select("d1", "d2", "jaccard")
     )
 
 
-SQL_DD_JACCARD = f"""
+def q_dd_ngram_jaccard(spark, sf_dir):
+    """Pair Jaccard without any per-doc sizes join: every posting row
+    carries its document's total shingle count (``n_sh`` is constant
+    per doc, so ``min()`` inside the pair aggregation recovers it
+    exactly), and the union size is n1 + n2 - |intersection|. One
+    self-join on the capped posting list + one aggregation — at corpus
+    scale there is no one-row-per-document side table to broadcast
+    (the round-2 plan broadcast exactly that; at 10^12 docs the
+    "small" side would be the whole corpus)."""
+    return ngram_jaccard_pairs(_docs(spark, sf_dir, spread=True), JACCARD_THRESHOLD)
+
+
+def _sql_jaccard(threshold: float) -> str:
+    return f"""
 WITH sh AS (
   SELECT doc_id,
          list_distinct(list_transform(range(1, len(string_split(text, ' '))),
@@ -215,8 +224,11 @@ SELECT d1, d2, round(n_inter::DOUBLE / (s1.n_sh + s2.n_sh - n_inter), 4) AS jacc
 FROM inter
 JOIN sizes s1 ON s1.doc_id = d1
 JOIN sizes s2 ON s2.doc_id = d2
-WHERE round(n_inter::DOUBLE / (s1.n_sh + s2.n_sh - n_inter), 4) >= {JACCARD_THRESHOLD}
+WHERE round(n_inter::DOUBLE / (s1.n_sh + s2.n_sh - n_inter), 4) >= {threshold}
 """
+
+
+SQL_DD_JACCARD = _sql_jaccard(JACCARD_THRESHOLD)
 
 
 # --- MinHash + LSH -----------------------------------------------------------
@@ -1973,6 +1985,64 @@ GROUP BY b.doc_id
 """
 
 
+# --- measured banding recall curve --------------------------------------------
+#
+# The honesty table for the text-dedup path (the sim_ann_recall /
+# sim_pq_recall precedent applied to MinHash): candidate recall of the
+# (k, bands) banding against exact n-gram Jaccard ground truth, binned
+# by similarity decile. The theoretical S-curve 1-(1-j^r)^b is in
+# minhash_lsh_pairs' docstring; this query turns it into MEASURED
+# rows so a threshold choice is an empirical decision, not a formula
+# citation. Runs at the demo banding (r=2, b=2 — a deliberately SOFT
+# curve, so the bins differ meaningfully) because that banding has a
+# portable SQL twin; the production (128, 16) curve is the same plan
+# at different constants.
+
+RECALL_BIN_EPS = 1e-4  # jaccard is rounded to 4dp; nudge exact decile
+#                        boundaries into their own bin on both engines
+RECALL_FLOOR = 0.1  # exact pairs from THIS floor (the production 0.5
+#                     floor leaves only the trivially-caught top bin)
+
+
+def q_dd_minhash_recall_curve(spark, sf_dir):
+    """(sim_bin_pct, n_pairs, n_candidates, recall): per-decile
+    candidate recall. sim_bin_pct = 10*floor(10*jaccard+eps) — 70
+    means pairs with jaccard in [0.70, 0.80)."""
+    exact = ngram_jaccard_pairs(_docs(spark, sf_dir, spread=True), RECALL_FLOOR)
+    cand = minhash_lsh_pairs(_docs(spark, sf_dir, spread=True)).withColumn(
+        "hit", F.lit(1)
+    )
+    return (
+        exact.join(cand, ["d1", "d2"], "left")
+        .select(
+            (F.floor(F.col("jaccard") * 10 + RECALL_BIN_EPS) * 10)
+            .cast("int")
+            .alias("sim_bin_pct"),
+            F.coalesce(F.col("hit"), F.lit(0)).alias("hit"),
+        )
+        .groupBy("sim_bin_pct")
+        .agg(
+            F.count("*").cast("int").alias("n_pairs"),
+            F.sum("hit").cast("int").alias("n_candidates"),
+            F.round(F.sum("hit") / F.count("*"), 6).alias("recall"),
+        )
+    )
+
+
+SQL_DD_MINHASH_RECALL = f"""
+WITH exact AS ({_sql_jaccard(RECALL_FLOOR)}),
+cand AS ({SQL_DD_MINHASH_LSH})
+SELECT CAST(floor(e.jaccard * 10 + {RECALL_BIN_EPS}) * 10 AS INT) AS sim_bin_pct,
+       CAST(count(*) AS INT) AS n_pairs,
+       CAST(sum(CASE WHEN c.d1 IS NOT NULL THEN 1 ELSE 0 END) AS INT)
+           AS n_candidates,
+       round(sum(CASE WHEN c.d1 IS NOT NULL THEN 1 ELSE 0 END)::DOUBLE
+             / count(*), 6) AS recall
+FROM exact e LEFT JOIN cand c ON e.d1 = c.d1 AND e.d2 = c.d2
+GROUP BY 1
+"""
+
+
 QUERIES = {
     "dd_exact": q_dd_exact,
     "dd_ngram_jaccard": q_dd_ngram_jaccard,
@@ -1995,6 +2065,7 @@ QUERIES = {
     "dd_paragraph_dedup": q_dd_paragraph_dedup,
     "dd_fuzzy_contamination": q_dd_fuzzy_contamination,
     "dd_minhash_est": q_dd_minhash_est,
+    "dd_minhash_recall_curve": q_dd_minhash_recall_curve,
 }
 
 ORACLES = {
@@ -2016,6 +2087,7 @@ ORACLES = {
     "dd_paragraph_dedup": SQL_DD_PARAGRAPH_DEDUP,
     "dd_fuzzy_contamination": SQL_DD_FUZZY_CONTAM,
     "dd_minhash_est": SQL_DD_MINHASH_EST,
+    "dd_minhash_recall_curve": SQL_DD_MINHASH_RECALL,
     "dd_semantic_clusters": f"""
 WITH RECURSIVE embpairs AS ({_sql_dd_emb()}),
 edges AS (

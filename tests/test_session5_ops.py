@@ -246,6 +246,84 @@ def test_report_approx_within_hll_tolerance(spark, sf_tiny):
         assert 0.0 <= r["dup_rate_approx"] <= 1.0
 
 
+def test_minhash_recall_curve_matches_python_replay(spark, sf_tiny):
+    """Exact replay of the whole measured-recall pipeline: shingles,
+    df-capped exact Jaccard at the low floor, demo MinHash sigs
+    (md5-keyed min), banding, candidacy, decile bins."""
+    import hashlib
+
+    from handprint_spark.operators.dedup import (
+        JACCARD_THRESHOLD,
+        MAX_DF,
+        RECALL_BIN_EPS,
+        RECALL_FLOOR,
+        q_dd_minhash_recall_curve,
+    )
+
+    docs = pd.read_parquet(f"{sf_tiny}/documents.parquet")
+    sh = {}
+    for r in docs.itertuples():
+        ws = r.text.split(" ")
+        sh[int(r.doc_id)] = {f"{a} {b}" for a, b in zip(ws, ws[1:])}
+    # exact jaccard over the df-capped posting
+    from collections import Counter, defaultdict
+
+    df_count = Counter(g for gs in sh.values() for g in gs)
+    inv = defaultdict(list)
+    for d, gs in sh.items():
+        for g in gs:
+            if df_count[g] <= MAX_DF:
+                inv[g].append(d)
+    inter = Counter()
+    for g, ds in inv.items():
+        ds = sorted(ds)
+        for i in range(len(ds)):
+            for j in range(i + 1, len(ds)):
+                inter[(ds[i], ds[j])] += 1
+    exact = {}
+    for (d1, d2), ni in inter.items():
+        jac = round(ni / (len(sh[d1]) + len(sh[d2]) - ni), 4)
+        if jac >= RECALL_FLOOR:
+            exact[(d1, d2)] = jac
+    # demo minhash candidacy
+    def sigs(gs):
+        return [
+            min(hashlib.md5(f"{i}|{g}".encode()).hexdigest() for g in gs)
+            for i in range(4)
+        ]
+    band = defaultdict(set)
+    for d, gs in sh.items():
+        if not gs:
+            continue
+        s = sigs(gs)
+        band[f"b0|{s[0]}|{s[1]}"].add(d)
+        band[f"b1|{s[2]}|{s[3]}"].add(d)
+    cand = set()
+    for ds in band.values():
+        ds = sorted(ds)
+        for i in range(len(ds)):
+            for j in range(i + 1, len(ds)):
+                cand.add((ds[i], ds[j]))
+    import math
+
+    want = defaultdict(lambda: [0, 0])
+    for pair, jac in exact.items():
+        b = int(math.floor(jac * 10 + RECALL_BIN_EPS) * 10)
+        want[b][0] += 1
+        want[b][1] += int(pair in cand)
+    want = {
+        b: (n, h, round(h / n, 6)) for b, (n, h) in want.items()
+    }
+    got = {
+        r["sim_bin_pct"]: (r["n_pairs"], r["n_candidates"], r["recall"])
+        for r in q_dd_minhash_recall_curve(spark, sf_tiny).collect()
+    }
+    assert got == want
+    bins = sorted(got)
+    assert got[bins[0]][2] < 0.2 and got[bins[-1]][2] == 1.0
+    assert JACCARD_THRESHOLD > RECALL_FLOOR  # curve floor really is lower
+
+
 def test_stream_pii_redact_batch_parity(spark, sf_tiny):
     from handprint_spark.streaming.queries import q_st_pii_redact
 
