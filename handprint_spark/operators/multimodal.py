@@ -592,19 +592,34 @@ PHASH_SCHEMA = T.StructType(
 def ahash64(px) -> int:
     """64-bit average hash of a 2-D uint8 pixel plane: 8x8 block grid,
     bit = block mean > global mean, row-major MSB-first. Pure function
-    of the plane; signed-int64 representation for Spark LongType."""
+    of the plane; signed-int64 representation for Spark LongType.
+
+    Vectorized: one reduceat per axis replaces 64 per-block mean calls
+    (the hash runs once per media object — 10^8+ calls at corpus
+    scale). Empty blocks (dims < 8) score 0, as before. Block means
+    compare as exact integer cross-products (sum_block * n_total >
+    sum_total * n_block) — no float at all, so the verdict cannot
+    drift with summation shape."""
     import numpy as np
 
     h, w = px.shape
+    if h == 0 or w == 0:
+        return 0
+    rb = np.array([r * h // 8 for r in range(8)], dtype=np.intp)
+    cb = np.array([c * w // 8 for c in range(8)], dtype=np.intp)
+    s = np.add.reduceat(
+        np.add.reduceat(px.astype(np.int64), rb, axis=0), cb, axis=1
+    )
+    rn = np.diff(np.append(rb, h))
+    cn = np.diff(np.append(cb, w))
+    n_blk = np.outer(rn, cn)
+    total = int(px.sum(dtype=np.int64))
+    # bit = (block sum / block n) > (total / n)  <=>  cross-multiplied
+    bits = (s * int(px.size)) > (total * n_blk)
+    bits &= n_blk > 0
     v = np.uint64(0)
-    gmean = px.mean() if px.size else 0.0
-    for r in range(8):
-        r0, r1 = r * h // 8, (r + 1) * h // 8
-        for c in range(8):
-            c0, c1 = c * w // 8, (c + 1) * w // 8
-            block = px[r0:r1, c0:c1]
-            bit = 1 if block.size and block.mean() > gmean else 0
-            v = (v << np.uint64(1)) | np.uint64(bit)
+    for bit in bits.ravel():
+        v = (v << np.uint64(1)) | np.uint64(bool(bit))
     return int(v.astype(np.int64))
 
 
