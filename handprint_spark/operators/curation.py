@@ -505,6 +505,95 @@ WHERE d.bucket * totals.tok_s * 1000
 """
 
 
+def q_cur_mix_report(spark, sf_dir):
+    """(source, weight_permille, tok_s, kept_tok, fill_ratio, capped):
+    the post-mix audit — did each source actually receive its budget?
+    fill_ratio = kept tokens / target budget (≈1.0 for sampled
+    sources, < 1.0 for capped ones whose whole corpus is smaller than
+    their budget — those are flagged, because a recipe that silently
+    under-fills its high-weight sources trains on a different mixture
+    than the one on paper). Composes the EXACT q_cur_domain_mix keep
+    set (same subplan) with the totals table; all ratios divide exact
+    integers. Second documents scan is the totals re-derivation —
+    column-pruned to (source, text)."""
+    from pyspark.sql import Window
+
+    kept = (
+        q_cur_domain_mix(spark, sf_dir)
+        .groupBy("source")
+        .agg(F.sum("n_tokens").alias("kept_tok"), F.count("*").alias("kept_docs"))
+    )
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "source", F.size(F.split(F.col("text"), " ")).cast("long").alias("n_tokens")
+    )
+    # source-cardinality frame, lazily checkpointed: without it the
+    # totals re-derivation would be a THIRD documents scan in the
+    # final plan (the mix subplan already carries two)
+    totals = (
+        docs.groupBy("source")
+        .agg(F.sum("n_tokens").alias("tok_s"), F.count("*").alias("n_docs"))
+        .localCheckpoint(eager=False)
+        .withColumn(
+            "tok_total",
+            F.sum("tok_s").over(
+                Window.partitionBy().rowsBetween(
+                    Window.unboundedPreceding, Window.unboundedFollowing
+                )
+            ),
+        )
+    )
+    src_num = F.coalesce(
+        F.expr("try_cast(regexp_extract(source, '(\\\\d+)$', 1) AS long)"), F.lit(0)
+    )
+    w = _mix_weight(src_num)
+    target_x1e6 = F.col("tok_total") * w * MIX_SHRINK  # target tokens x 10^6
+    return (
+        totals.join(kept, "source", "left")
+        .select(
+            "source",
+            w.cast("int").alias("weight_permille"),
+            F.col("n_docs").cast("int").alias("n_docs"),
+            F.col("tok_s").alias("tok_s"),
+            F.coalesce(F.col("kept_tok"), F.lit(0)).alias("kept_tok"),
+            F.round(
+                F.coalesce(F.col("kept_tok"), F.lit(0)) * F.lit(1_000_000) / target_x1e6,
+                4,
+            ).alias("fill_ratio"),
+            (
+                (F.lit(SAMPLE_BUCKETS - 1) * F.col("tok_s") * 1000) < target_x1e6
+            ).alias("capped"),
+        )
+    )
+
+
+def _sql_cur_mix_report() -> str:
+    w_sql = (
+        f"(CASE WHEN coalesce(TRY_CAST(regexp_extract(source, '(\\d+)$', 1) AS BIGINT), 0) % 7 = 0"
+        f" THEN {MIX_HEAVY_W}"
+        f" ELSE {MIX_BASE_W}"
+        f" + (coalesce(TRY_CAST(regexp_extract(source, '(\\d+)$', 1) AS BIGINT), 0) % 7) * 10"
+        f" END)"
+    )
+    return f"""
+WITH keptrows AS ({SQL_CUR_DOMAIN_MIX}),
+kept AS (SELECT source, sum(n_tokens) AS kept_tok FROM keptrows GROUP BY source),
+d AS (SELECT source, len(string_split(text, ' '))::BIGINT AS n_tokens FROM documents),
+totals AS (SELECT source, sum(n_tokens) AS tok_s, count(*) AS n_docs
+           FROM d GROUP BY source),
+grand AS (SELECT sum(tok_s) AS tok_total FROM totals)
+SELECT t.source,
+       CAST({w_sql} AS INT) AS weight_permille,
+       CAST(t.n_docs AS INT) AS n_docs,
+       t.tok_s,
+       coalesce(k.kept_tok, 0) AS kept_tok,
+       round(coalesce(k.kept_tok, 0) * 1000000.0
+             / (g.tok_total * {w_sql} * {MIX_SHRINK}), 4) AS fill_ratio,
+       (({SAMPLE_BUCKETS - 1} * t.tok_s * 1000)
+        < g.tok_total * {w_sql} * {MIX_SHRINK}) AS capped
+FROM totals t LEFT JOIN kept k USING (source), grand g
+"""
+
+
 # --- deterministic train/val/test split constants --------------------------------
 #
 # (Used by q_cur_train_split below and the OOV audit here; see the
@@ -1121,6 +1210,7 @@ QUERIES = {
     "cur_contam_purge": q_cur_contam_purge,
     "cur_dsir_select": q_cur_dsir_select,
     "cur_quality_ablation": q_cur_quality_ablation,
+    "cur_mix_report": q_cur_mix_report,
     # rows-only by design: HLL register picks are engine-specific;
     # evidence = the tolerance-banded pytest vs the exact cur_report
     "cur_report_approx": q_cur_report_approx,
@@ -1139,4 +1229,5 @@ ORACLES = {
     "cur_contam_purge": _sql_cur_contam_purge(),
     "cur_dsir_select": SQL_CUR_DSIR_SELECT,
     "cur_quality_ablation": _sql_cur_quality_ablation(),
+    "cur_mix_report": _sql_cur_mix_report(),
 }
