@@ -172,6 +172,29 @@ def decode_media(data: bytes, verify_pixels: bool = True) -> MediaInfo:
     )
 
 
+def decode_pixels(data: bytes) -> "np.ndarray":
+    """Fully-verified decode returning the page-1 pixel plane
+    (height x width uint8). The stored payload IS the rendered plane
+    (encode writes render_pixels' output), so consumers that need
+    pixels — feature extraction, perceptual hashing — get them from
+    the ONE zlib decompression the integrity check already performs,
+    instead of decode_media + a redundant re-render (2x the per-media
+    work, measured on the mm_phash_dedup path). Raises MediaError on
+    any corruption decode_media would reject."""
+    info = decode_media(data, verify_pixels=False)
+    textlen = len("\f".join(info.pages).encode("utf-8"))
+    off = _HEADER.size + textlen
+    (pad_len,) = struct.unpack_from("<I", data, off)
+    off += 4
+    try:
+        raw = zlib.decompress(data[off : len(data) - pad_len])
+    except zlib.error as exc:
+        raise MediaError(f"corrupt pixel payload: {exc}") from exc
+    if len(raw) != info.width * info.height:
+        raise MediaError("pixel payload does not match dimensions")
+    return np.frombuffer(raw, dtype=np.uint8).reshape(info.height, info.width)
+
+
 def swap_format(data: bytes, to_format: str, info: MediaInfo | None = None) -> bytes | None:
     """Header-only format rename. HPM1 pixels are a pure function of
     (page-1 text, width, height, binarized), so when nothing but the

@@ -1096,9 +1096,14 @@ FROM scored
 # reads this matrix before freezing its gate stack.
 #
 # Shape: all three gates (ta_quality, ta_c4_rules, ta_gopher_rules)
-# are stateless projections of (doc_id, text), so their verdicts
-# CHAIN through the shared carry= contract — ONE corpus scan, zero
-# joins, then a single 1-row aggregate expanded to the 3 pair rows.
+# are stateless projections of (doc_id, text); the pruned base is
+# materialized ONCE (lazy localCheckpoint) and each gate keeps its
+# OWN projection — chaining all three through one carry= projection
+# was measured 500x slower, because the collapsed expression tree
+# blows past whole-stage-codegen limits and the Gopher O(L²) HOFs
+# fall back to interpreted evaluation (~30 ms/doc). The verdict
+# frames that meet on doc_id are (id, bool) — narrow at any scale —
+# and the final aggregate is 1 row expanded to the 3 pair rows.
 
 
 def q_cur_quality_ablation(spark, sf_dir):
@@ -1107,16 +1112,15 @@ def q_cur_quality_ablation(spark, sf_dir):
     document-quality gates."""
     from .text_analysis import c4_verdicts, gopher_verdicts, quality_verdicts
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
-    x = c4_verdicts(docs, carry=("text",)).select("doc_id", "text", "c4_keep")
-    y = quality_verdicts(x, carry=("text", "c4_keep")).select(
-        "doc_id", "text", "c4_keep", "passes_quality"
+    docs = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id", "text")
+        .localCheckpoint(eager=False)
     )
-    z = gopher_verdicts(y, carry=("c4_keep", "passes_quality")).select(
-        F.col("passes_quality").alias("q"),
-        F.col("c4_keep").alias("c"),
-        F.col("passes_gopher").alias("g"),
-    )
+    qv = quality_verdicts(docs).select("doc_id", F.col("passes_quality").alias("q"))
+    cv = c4_verdicts(docs).select("doc_id", F.col("c4_keep").alias("c"))
+    gv = gopher_verdicts(docs).select("doc_id", F.col("passes_gopher").alias("g"))
+    z = qv.join(cv, "doc_id").join(gv, "doc_id").select("q", "c", "g")
     i = lambda col: col.cast("int")  # noqa: E731
     agg = z.agg(
         F.count("*").alias("n"),

@@ -644,11 +644,7 @@ def media_phash(spans_with_media: DataFrame) -> DataFrame:
                 try:
                     if content is None:
                         raise codec.MediaError("null media content")
-                    info = codec.decode_media(bytes(content))
-                    px = codec.render_pixels(
-                        info.text.split("\f")[0], info.width, info.height
-                    )
-                    vals.append(ahash64(px))
+                    vals.append(ahash64(codec.decode_pixels(bytes(content))))
                 except codec.MediaError:
                     vals.append(None)
             # phash MUST be a nullable-Int64 pandas array: a plain

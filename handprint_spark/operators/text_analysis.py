@@ -1329,14 +1329,32 @@ def _gopher_top_expr(n: int) -> str:
     """Most-frequent-n-gram character fraction (word n-grams): the
     maximum over gram positions of occurrence-count × gram characters,
     over total word characters. Ties resolve to the larger product,
-    which makes the scalar deterministic without an argmax."""
+    which makes the scalar deterministic without an argmax.
+
+    O(L log L) form: grams become ' '-joined strings (injective —
+    words carry no spaces), array_sort groups equal grams into runs,
+    and ONE aggregate() fold tracks the running count×chars product
+    per run (within a run the product grows with the count, so the
+    fold's greatest() ends each run at its full count × chars). The
+    previous nested filter-inside-aggregate form was O(L²) per n and
+    — because higher-order functions evaluate interpreted, outside
+    whole-stage codegen — cost ~30 ms/doc across the 9 gram exprs;
+    measured only when a consumer actually evaluates the column (a
+    count(*) prunes it, which is how the cost hid in bench rows)."""
     ng = f"(n_words - {n} + 1)"
     return f"""
     CASE WHEN n_words < {n} OR n_chars_tot = 0 THEN 0.0 ELSE round(
-      aggregate(sequence(1, {ng}), 0L, (acc, i) -> greatest(acc,
-        CAST(size(filter(sequence(1, {ng}),
-                         j -> slice(ws, j, {n}) == slice(ws, i, {n}))) AS LONG)
-        * aggregate(slice(wl, i, {n}), 0L, (a, x) -> a + x)))
+      aggregate(
+        array_sort(transform(sequence(1, {ng}), i -> struct(
+          array_join(slice(ws, i, {n}), ' ') AS g,
+          aggregate(slice(wl, i, {n}), 0L, (a, x) -> a + x) AS c))),
+        struct(CAST('' AS STRING) AS pg, 0L AS run, 0L AS best),
+        (acc, x) -> CASE WHEN x.g = acc.pg
+          THEN struct(x.g AS pg, acc.run + 1L AS run,
+                      greatest(acc.best, (acc.run + 1L) * x.c) AS best)
+          ELSE struct(x.g AS pg, 1L AS run,
+                      greatest(acc.best, x.c) AS best) END,
+        acc -> acc.best)
       / CAST(n_chars_tot AS DOUBLE), 4) END
     """
 
@@ -1345,14 +1363,24 @@ def _gopher_dup_expr(n: int) -> str:
     """Duplicate-n-gram position fraction: share of gram positions
     whose word n-gram occurs at least twice in the document. (Gopher
     counts duplicated characters; the position form is the same signal
-    bounded to [0,1] under overlaps and is mirrored exactly in SQL.)"""
+    bounded to [0,1] under overlaps and is mirrored exactly in SQL.)
+
+    O(L log L) form (see _gopher_top_expr): duplicated positions =
+    total positions − singleton runs, counted by one run-length fold
+    over the sorted gram strings."""
     ng = f"(n_words - {n} + 1)"
     return f"""
     CASE WHEN n_words < {n} THEN 0.0 ELSE round(
-      CAST(size(filter(sequence(1, {ng}), i ->
-        size(filter(sequence(1, {ng}),
-                    j -> slice(ws, j, {n}) == slice(ws, i, {n}))) >= 2)) AS DOUBLE)
-      / {ng}, 4) END
+      CAST({ng} - aggregate(
+        array_sort(transform(sequence(1, {ng}), i -> array_join(slice(ws, i, {n}), ' '))),
+        struct(CAST('' AS STRING) AS pg, 0L AS run, 0L AS singles),
+        (acc, x) -> CASE WHEN x = acc.pg
+          THEN struct(x AS pg, acc.run + 1L AS run, acc.singles AS singles)
+          ELSE struct(x AS pg, 1L AS run,
+                      acc.singles + CASE WHEN acc.run = 1L THEN 1L ELSE 0L END
+                          AS singles) END,
+        acc -> acc.singles + CASE WHEN acc.run = 1L THEN 1L ELSE 0L END)
+      AS DOUBLE) / {ng}, 4) END
     """
 
 

@@ -167,3 +167,25 @@ def test_encode_media_empty_pages_is_media_error():
 
     with pytest.raises(MediaError, match="zero pages"):
         encode_media("ignored", pages=[])
+
+
+def test_decode_pixels_matches_render_and_rejects_corrupt():
+    import numpy as np
+    import pytest as _pytest
+
+    from handprint_spark.kernels import codec
+
+    text = "the fast key order sort table"
+    b = codec.encode_media(text)
+    info = codec.decode_media(b)
+    assert np.array_equal(
+        codec.decode_pixels(b), codec.render_pixels(text, info.width, info.height)
+    )
+    # corrupt the compressed pixel payload -> MediaError, exactly as
+    # decode_media(verify_pixels=True) would reject it
+    bad = bytearray(b)
+    bad[-3] ^= 0xFF
+    with _pytest.raises(codec.MediaError):
+        codec.decode_pixels(bytes(bad))
+    with _pytest.raises(codec.MediaError):
+        codec.decode_media(bytes(bad))
