@@ -603,6 +603,91 @@ FROM fetched
 """
 
 
+# --- refetch-priority scheduling ----------------------------------------------
+#
+# The crawl-ops stage downstream of revisit dedup: score each
+# canonical URL by its OBSERVED change rate across held snapshots and
+# bucket it for the refetch scheduler (hot = re-crawl often, cold =
+# archival cadence) — the freshness-scheduling counterpart of
+# hx_host_budget's politeness cap. Per-snapshot content identity is
+# synthesized deterministically (url-class by canonical-key length:
+# static / changes-every-snapshot / changes-every-2nd), mirrored in
+# the oracle CTE; the operator itself — distinct-version counting and
+# the change-rate verdict per URL — is ONE groupBy on the near-unique
+# canonical key (bounded group size = snapshot count; no skew hazard).
+
+REFETCH_HOT = 0.6  # change_rate >= HOT -> 'hot'; > 0 -> 'warm'; else 'cold'
+#   (the snapshot histories here hold <= 4 fetches, so observable
+#   rates are coarse {0, 1/3, 1/2, 2/3, 1}; 0.6 puts the every-2nd-
+#   snapshot class in 'warm' and every-snapshot churn in 'hot')
+
+
+def q_hx_refetch_priority(spark, sf_dir):
+    """(canon_url, n_snapshots, n_versions, change_rate, priority):
+    per-URL refetch schedule classes from observed snapshot deltas."""
+    variant = F.col("doc_id") % 4
+    vclass = F.length(F.col("canon_url")) % 3
+    version = (
+        F.when(vclass == 0, F.lit(0))
+        .when(vclass == 1, variant)
+        .otherwise(F.floor(variant / 2))
+    )
+    urls = _messy_urls(_docs(spark, sf_dir)).select(
+        canonical_url(F.col("url")).alias("canon_url"),
+        F.col("doc_id"),
+    )
+    g = (
+        urls.select("canon_url", version.alias("version"))
+        .groupBy("canon_url")
+        .agg(
+            F.count("*").cast("int").alias("n_snapshots"),
+            F.count_distinct("version").cast("int").alias("n_versions"),
+        )
+    )
+    change_rate = F.round(
+        (F.col("n_versions") - 1)
+        / F.greatest(F.col("n_snapshots") - 1, F.lit(1)),
+        4,
+    )
+    return g.select(
+        "canon_url",
+        "n_snapshots",
+        "n_versions",
+        change_rate.alias("change_rate"),
+        F.when(change_rate >= REFETCH_HOT, F.lit("hot"))
+        .when(change_rate > 0, F.lit("warm"))
+        .otherwise(F.lit("cold"))
+        .alias("priority"),
+    )
+
+
+SQL_HX_REFETCH_PRIORITY = f"""
+WITH {_SQL_MESSY_CANON_CTES},
+versioned AS (
+  SELECT canon_url,
+         CASE length(canon_url) % 3
+           WHEN 0 THEN 0
+           WHEN 1 THEN doc_id % 4
+           ELSE CAST(floor((doc_id % 4) / 2.0) AS BIGINT) END AS version
+  FROM canon
+),
+g AS (
+  SELECT canon_url, CAST(count(*) AS INT) AS n_snapshots,
+         CAST(count(DISTINCT version) AS INT) AS n_versions
+  FROM versioned GROUP BY canon_url
+)
+SELECT canon_url, n_snapshots, n_versions,
+       round((n_versions - 1)::DOUBLE / greatest(n_snapshots - 1, 1), 4)
+           AS change_rate,
+       CASE WHEN round((n_versions - 1)::DOUBLE / greatest(n_snapshots - 1, 1), 4)
+                 >= {REFETCH_HOT} THEN 'hot'
+            WHEN round((n_versions - 1)::DOUBLE / greatest(n_snapshots - 1, 1), 4)
+                 > 0 THEN 'warm'
+            ELSE 'cold' END AS priority
+FROM g
+"""
+
+
 # --- ct_chunk_tokens: token-window chunking -----------------------------------
 
 def chunk_tokens(
@@ -1007,6 +1092,7 @@ QUERIES = {
     "hx_anchor_text": q_hx_anchor_text,
     "hx_url_canonicalize": q_hx_url_canonicalize,
     "hx_url_revisit": q_hx_url_revisit,
+    "hx_refetch_priority": q_hx_refetch_priority,
     "ct_chunk_tokens": q_ct_chunk_tokens,
     "ct_chunk_bpe": q_ct_chunk_bpe,
     "hx_host_budget": q_hx_host_budget,
@@ -1021,6 +1107,7 @@ ORACLES = {
     "hx_anchor_text": SQL_HX_ANCHOR_TEXT,
     "hx_url_canonicalize": SQL_HX_URL_CANON,
     "hx_url_revisit": SQL_HX_URL_REVISIT,
+    "hx_refetch_priority": SQL_HX_REFETCH_PRIORITY,
     "ct_chunk_tokens": SQL_CT_CHUNK_TOKENS,
     "ct_chunk_bpe": _sql_ct_chunk_bpe(),
     "hx_host_budget": SQL_HX_HOST_BUDGET,

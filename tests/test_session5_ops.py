@@ -366,6 +366,30 @@ def test_mix_report_closes_over_mix_output(spark, sf_tiny):
     assert 0.6 <= agg_kept / agg_target <= 1.4
 
 
+def test_refetch_priority_semantics(spark, sf_tiny):
+    """change_rate must be the distinct-version share of the revisit
+    history, the three priority classes must all occur, and static
+    URLs (one version) must always be cold."""
+    from handprint_spark.operators.html_extract import (
+        REFETCH_HOT,
+        q_hx_refetch_priority,
+    )
+
+    rows = q_hx_refetch_priority(spark, sf_tiny).collect()
+    classes = {r["priority"] for r in rows}
+    assert classes == {"hot", "warm", "cold"}
+    for r in rows:
+        assert 1 <= r["n_versions"] <= r["n_snapshots"]
+        want = round(
+            (r["n_versions"] - 1) / max(r["n_snapshots"] - 1, 1), 4
+        )
+        assert r["change_rate"] == want
+        if r["n_versions"] == 1:
+            assert r["priority"] == "cold"
+        if r["change_rate"] >= REFETCH_HOT:
+            assert r["priority"] == "hot"
+
+
 def test_stream_pii_redact_batch_parity(spark, sf_tiny):
     from handprint_spark.streaming.queries import q_st_pii_redact
 
