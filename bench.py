@@ -259,6 +259,16 @@ def main() -> None:
         ("ta_ngram_novelty", text_analysis.QUERIES["ta_ngram_novelty"]),
         ("ev_ab_test", relational.QUERIES["ev_ab_test"]),
         ("ev_rolling_anomaly", relational.QUERIES["ev_rolling_anomaly"]),
+        # round 5 session 5 (final): the post-mix budget audit,
+        # refetch-priority scheduling, and the HLL sketch form of the
+        # composition report. (dd_minhash_recall_curve is deliberately
+        # NOT benched: like sim_pq_recall it is an evaluation-scale
+        # diagnostic — at sf0.1 the MAX_DF posting cap drives every
+        # capped-Jaccard estimate under the curve's floor, so the
+        # meaningful run is the sf0.01 oracle-checked one.)
+        ("cur_mix_report", curation.QUERIES["cur_mix_report"]),
+        ("hx_refetch_priority", html_extract.QUERIES["hx_refetch_priority"]),
+        ("cur_report_approx", curation.QUERIES["cur_report_approx"]),
     ]
     # Trained artifacts (BPE vocab, k-means centroids, PQ codebooks)
     # memoize per corpus content — production trains ONCE at index/

@@ -2007,7 +2007,14 @@ RECALL_FLOOR = 0.1  # exact pairs from THIS floor (the production 0.5
 def q_dd_minhash_recall_curve(spark, sf_dir):
     """(sim_bin_pct, n_pairs, n_candidates, recall): per-decile
     candidate recall. sim_bin_pct = 10*floor(10*jaccard+eps) — 70
-    means pairs with jaccard in [0.70, 0.80)."""
+    means pairs with jaccard in [0.70, 0.80).
+
+    Evaluation-scale diagnostic (the sim_pq_recall precedent): run it
+    on a bounded evaluation slice, not the full corpus — the exact
+    side's MAX_DF posting cap (correct for the production pair query)
+    shrinks capped-Jaccard estimates as document frequencies grow, so
+    at large SF the curve's low floor empties. The driver-scale run
+    (sf0.01) is the oracle-checked, populated form."""
     exact = ngram_jaccard_pairs(_docs(spark, sf_dir, spread=True), RECALL_FLOOR)
     cand = minhash_lsh_pairs(_docs(spark, sf_dir, spread=True)).withColumn(
         "hit", F.lit(1)
