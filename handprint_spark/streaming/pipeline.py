@@ -511,6 +511,26 @@ def stream_c4_rules(
     return c4_verdicts(stream)
 
 
+def stream_gopher_rules(
+    spark: SparkSession,
+    source_dir: str,
+    schema=None,
+    max_files_per_trigger: int = 1,
+):
+    """Gopher quality gating at INGEST: readStream over a documents
+    directory → the SAME ``gopher_verdicts`` projection as the batch
+    ``ta_gopher_rules`` query (stateless stacked projections — the
+    n-gram rules are the O(L log L) sort+run-length folds — no
+    shuffle, no Python, no state). Stream and batch verdicts agree by
+    construction; with quality, C4, PII and the trained classifier
+    this completes the full ingest-time gate stack in streaming form.
+    Returns an unstarted streaming DataFrame."""
+    from ..operators.text_analysis import gopher_verdicts
+
+    stream = _read_doc_stream(spark, source_dir, schema, max_files_per_trigger)
+    return gopher_verdicts(stream)
+
+
 def stream_incremental_dedup(
     spark: SparkSession,
     source_dir: str,

@@ -600,3 +600,13 @@ def test_stream_c4_rules_batch_parity(spark, sf_tiny):
     stream = {tuple(r) for r in q_st_c4_rules(spark, sf_tiny).collect()}
     assert stream == batch
     assert {r[5] for r in batch} == {True, False}
+
+
+def test_stream_gopher_rules_batch_parity(spark, sf_tiny):
+    from handprint_spark.operators.text_analysis import q_ta_gopher_rules
+    from handprint_spark.streaming.queries import q_st_gopher_rules
+
+    batch = {tuple(r) for r in q_ta_gopher_rules(spark, sf_tiny).collect()}
+    stream = {tuple(r) for r in q_st_gopher_rules(spark, sf_tiny).collect()}
+    assert stream == batch
+    assert {r[-1] for r in batch} == {True, False}
