@@ -566,6 +566,84 @@ def q_cur_mix_report(spark, sf_dir):
     )
 
 
+def q_cur_gate_stack(spark, sf_dir):
+    """(doc_id, quality_keep, c4_keep, gopher_keep, clf_keep,
+    all_keep): the per-document verdict table across the FULL text
+    gate stack — the three heuristic bundles plus the TRAINED
+    hashed-feature classifier — and the conjunction a production pass
+    ships. Extends cur_full_pipeline (exact-dup ∧ near-dup ∧ quality)
+    on the quality axis: where that query attributes loss across
+    dedup stages, this one attributes it across gates, and together
+    with cur_quality_ablation's pair matrix it is the complete
+    gate-tuning surface.
+
+    Shape: the pruned base materializes once (lazy checkpoint — the
+    ablation's codegen lesson: each gate keeps its own codegen-sized
+    projection), the classifier weights ride in as a broadcast array
+    literal (training memoized per corpus), and the four verdict
+    frames meet on doc_id as narrow (id, bool) rows."""
+    from .text_analysis import (
+        c4_verdicts,
+        clf_score_verdicts,
+        gopher_verdicts,
+        quality_verdicts,
+        train_linear_clf,
+    )
+
+    base = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id", "text")
+        .localCheckpoint(eager=False)
+    )
+    qv = quality_verdicts(base).select("doc_id", F.col("passes_quality").alias("quality_keep"))
+    cv = c4_verdicts(base).select("doc_id", F.col("c4_keep").alias("c4_keep"))
+    gv = gopher_verdicts(base).select("doc_id", F.col("passes_gopher").alias("gopher_keep"))
+    kv = clf_score_verdicts(base, train_linear_clf(spark, sf_dir)).select(
+        "doc_id", F.col("keep").alias("clf_keep")
+    )
+    return (
+        qv.join(cv, "doc_id")
+        .join(gv, "doc_id")
+        .join(kv, "doc_id")
+        .select(
+            "doc_id",
+            "quality_keep",
+            "c4_keep",
+            "gopher_keep",
+            "clf_keep",
+            (
+                F.col("quality_keep")
+                & F.col("c4_keep")
+                & F.col("gopher_keep")
+                & F.col("clf_keep")
+            ).alias("all_keep"),
+        )
+    )
+
+
+def _sql_cur_gate_stack() -> str:
+    from .text_analysis import (
+        SQL_TA_C4_RULES,
+        SQL_TA_HASH_SCORE_TRAINED,
+        _gopher_sql,
+    )
+
+    return f"""
+WITH qv AS (SELECT doc_id, passes_quality FROM ({SQL_TA_QUALITY})),
+cv AS (SELECT doc_id, c4_keep FROM ({SQL_TA_C4_RULES})),
+gv AS (SELECT doc_id, passes_gopher FROM ({_gopher_sql()})),
+kv AS (SELECT doc_id, keep FROM ({SQL_TA_HASH_SCORE_TRAINED}))
+SELECT qv.doc_id,
+       qv.passes_quality AS quality_keep,
+       cv.c4_keep AS c4_keep,
+       gv.passes_gopher AS gopher_keep,
+       kv.keep AS clf_keep,
+       (qv.passes_quality AND cv.c4_keep AND gv.passes_gopher AND kv.keep)
+           AS all_keep
+FROM qv JOIN cv USING (doc_id) JOIN gv USING (doc_id) JOIN kv USING (doc_id)
+"""
+
+
 def _sql_cur_mix_report() -> str:
     w_sql = (
         f"(CASE WHEN coalesce(TRY_CAST(regexp_extract(source, '(\\d+)$', 1) AS BIGINT), 0) % 7 = 0"
@@ -1215,6 +1293,7 @@ QUERIES = {
     "cur_dsir_select": q_cur_dsir_select,
     "cur_quality_ablation": q_cur_quality_ablation,
     "cur_mix_report": q_cur_mix_report,
+    "cur_gate_stack": q_cur_gate_stack,
     # rows-only by design: HLL register picks are engine-specific;
     # evidence = the tolerance-banded pytest vs the exact cur_report
     "cur_report_approx": q_cur_report_approx,
@@ -1234,4 +1313,5 @@ ORACLES = {
     "cur_dsir_select": SQL_CUR_DSIR_SELECT,
     "cur_quality_ablation": _sql_cur_quality_ablation(),
     "cur_mix_report": _sql_cur_mix_report(),
+    "cur_gate_stack": _sql_cur_gate_stack(),
 }

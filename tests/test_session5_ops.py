@@ -390,6 +390,46 @@ def test_refetch_priority_semantics(spark, sf_tiny):
             assert r["priority"] == "hot"
 
 
+def test_gate_stack_closes_over_individual_gates(spark, sf_tiny):
+    """Each column must equal its standalone gate query's verdict and
+    all_keep must be their conjunction; the plan reads documents once
+    (checkpointed base)."""
+    from handprint_spark.operators.curation import q_cur_gate_stack
+    from handprint_spark.operators.text_analysis import (
+        q_ta_gopher_rules,
+        q_ta_hash_score_trained,
+        q_ta_quality,
+    )
+
+    df = q_cur_gate_stack(spark, sf_tiny)
+    plan = df._sc._jvm.PythonSQLUtils.explainString(df._jdf.queryExecution(), "simple")
+    # the checkpointed base shows as an RDD scan, so the composed plan
+    # carries at most the classifier's memoized-training scan
+    assert plan.count("documents.parquet") <= 1
+    rows = {r["doc_id"]: r for r in df.collect()}
+    q = {r["doc_id"]: r["passes_quality"] for r in q_ta_quality(spark, sf_tiny).collect()}
+    c = {r["doc_id"]: r["c4_keep"] for r in q_ta_c4_rules(spark, sf_tiny).collect()}
+    g = {
+        r["doc_id"]: r["passes_gopher"]
+        for r in q_ta_gopher_rules(spark, sf_tiny).collect()
+    }
+    k = {
+        r["doc_id"]: r["keep"]
+        for r in q_ta_hash_score_trained(spark, sf_tiny).collect()
+    }
+    assert set(rows) == set(q)
+    for d, r in rows.items():
+        assert (r["quality_keep"], r["c4_keep"], r["gopher_keep"], r["clf_keep"]) == (
+            q[d],
+            c[d],
+            g[d],
+            k[d],
+        )
+        assert r["all_keep"] == (q[d] and c[d] and g[d] and k[d])
+    kept = sum(1 for r in rows.values() if r["all_keep"])
+    assert 0 < kept < len(rows), "stack must bite without zeroing the corpus"
+
+
 def test_stream_pii_redact_batch_parity(spark, sf_tiny):
     from handprint_spark.streaming.queries import q_st_pii_redact
 
