@@ -531,9 +531,11 @@ def test_quality_ablation_matrix_algebra(spark, sf_tiny):
         )
     df = q_cur_quality_ablation(spark, sf_tiny)
     # explain BEFORE executing: after collect, AQE's explain prints
-    # Final + Initial plans and every scan appears twice
+    # Final + Initial plans and every scan appears twice. The
+    # checkpointed base shows as an RDD scan, so the composed plan
+    # reads documents at most once.
     plan = df._sc._jvm.PythonSQLUtils.explainString(df._jdf.queryExecution(), "simple")
-    assert plan.count("documents.parquet") == 1
+    assert plan.count("documents.parquet") <= 1
     got = {
         (r["gate_a"], r["gate_b"]): (
             r["n_both"], r["n_only_a"], r["n_only_b"], r["n_neither"],
