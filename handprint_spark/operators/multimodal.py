@@ -705,6 +705,82 @@ def phash_pairs(hashes: DataFrame, hd: int = MM_PHASH_HD) -> DataFrame:
     )
 
 
+def q_mm_phash_clusters(spark, sf_dir):
+    """(media_ref, cluster, is_keeper): image duplicate CLUSTERS —
+    connected components over the verified phash pair graph, resolved
+    by the SAME adaptive CC core as the text path (dedup.
+    duplicate_clusters: driver union-find under the edge bound,
+    distributed min-label + pointer jumping above it), so the
+    multimodal dedup story runs the full production sequence
+    decode → hash → banded pairs → clusters → keeper. Only media with
+    at least one duplicate appear (singletons need no resolution).
+    Oracle: on this corpus components are exactly the line-text
+    groups (see q_mm_phash_dedup's oracle story), re-derived from the
+    corpus rule with lowest-ref keeper semantics — matching the CC
+    min-label fixpoint digit-for-digit."""
+    from ..corpus import load_documents_spans
+    from .dedup import duplicate_clusters
+
+    hashes = media_phash(load_documents_spans(spark, sf_dir)).localCheckpoint(
+        eager=False
+    )
+    pairs = phash_pairs(hashes).select(
+        F.col("ref_a").alias("d1"), F.col("ref_b").alias("d2")
+    )
+    return duplicate_clusters(pairs).select(
+        F.col("doc_id").alias("media_ref"), "cluster", "is_keeper"
+    )
+
+
+def _sql_mm_phash_clusters() -> str:
+    from ..corpus import (
+        CORRUPT_MOD,
+        SKEW_FACTOR,
+        SKEW_MOD,
+        WORDS_PER_LINE,
+    )
+
+    w = WORDS_PER_LINE
+    return f"""
+WITH base AS (
+  SELECT doc_id::VARCHAR AS doc_id,
+         ('0x' || substr(sha256(doc_id::VARCHAR), 1, 8))::BIGINT AS h,
+         CASE WHEN trim(replace(text, chr(12), ' ')) = '' THEN []::VARCHAR[]
+              ELSE string_split(regexp_replace(trim(replace(text, chr(12), ' ')),
+                                               ' +', ' ', 'g'), ' ')
+         END AS words
+  FROM documents
+), lined AS (
+  SELECT doc_id, h,
+         list_transform(range(0, CAST(ceil(len(words) / {w}.0) AS INT)),
+                        i -> array_to_string(words[i*{w}+1 : i*{w}+{w}], ' ')) AS lines0
+  FROM base
+), skewed AS (
+  SELECT doc_id, h,
+         CASE WHEN h % {SKEW_MOD} = 0 AND len(lines0) > 0
+              THEN flatten(list_transform(range({SKEW_FACTOR}), r -> lines0))
+              ELSE lines0 END AS lines
+  FROM lined
+), media AS (
+  SELECT CASE WHEN h % {CORRUPT_MOD} = 0 AND m.idx = 0 THEN NULL
+              ELSE m.line END AS line,
+         m.media_ref AS media_ref
+  FROM (SELECT doc_id, h,
+               unnest(list_transform(lines, (line, i) -> struct_pack(
+                   idx := i - 1,
+                   media_ref := doc_id || '/line-' || (i - 1)::VARCHAR,
+                   line := line))) AS m
+        FROM skewed)
+), groups AS (
+  SELECT line, min(media_ref) AS canon
+  FROM media WHERE line IS NOT NULL
+  GROUP BY line HAVING count(*) >= 2
+)
+SELECT m.media_ref, g.canon AS cluster, (m.media_ref = g.canon) AS is_keeper
+FROM media m JOIN groups g USING (line)
+"""
+
+
 def q_mm_phash_dedup(spark, sf_dir):
     """(doc_id, media_ref, is_error, n_exact_dups, n_near_dups,
     is_canonical): per-media duplicate stats through the full
@@ -813,9 +889,11 @@ QUERIES = {
     "mm_interleave_pack": q_mm_interleave_pack,
     "mm_caption_align": q_mm_caption_align,
     "mm_phash_dedup": q_mm_phash_dedup,
+    "mm_phash_clusters": q_mm_phash_clusters,
 }
 ORACLES: dict[str, str] = {
     "mm_phash_dedup": _sql_mm_phash_dedup(),
+    "mm_phash_clusters": _sql_mm_phash_clusters(),
     "mm_media_features": _sql_mm_media_features(),
     "mm_frame_sample": _sql_mm_frame_sample(),
     "mm_interleave_pack": _sql_mm_interleave_pack(),

@@ -430,6 +430,48 @@ def test_gate_stack_closes_over_individual_gates(spark, sf_tiny):
     assert 0 < kept < len(rows), "stack must bite without zeroing the corpus"
 
 
+def test_phash_clusters_close_over_pairs(spark, sf_tiny):
+    """Cluster labels must be the connected-component min over the
+    actual verified pair graph (recomputed with a Python union-find),
+    keepers exactly the label-owners."""
+    from handprint_spark.corpus import load_documents_spans
+    from handprint_spark.operators.multimodal import (
+        media_phash,
+        phash_pairs,
+        q_mm_phash_clusters,
+    )
+
+    hashes = media_phash(load_documents_spans(spark, sf_tiny))
+    pairs = [(r["ref_a"], r["ref_b"]) for r in phash_pairs(hashes).collect()]
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    comp = {}
+    for node in parent:
+        comp.setdefault(find(node), set()).add(node)
+    want = {}
+    for members in comp.values():
+        label = min(members)
+        for m in members:
+            want[m] = (label, m == label)
+    got = {
+        r["media_ref"]: (r["cluster"], r["is_keeper"])
+        for r in q_mm_phash_clusters(spark, sf_tiny).collect()
+    }
+    assert got == want
+    assert any(k for _, k in got.values()) and not all(k for _, k in got.values())
+
+
 def test_stream_pii_redact_batch_parity(spark, sf_tiny):
     from handprint_spark.streaming.queries import q_st_pii_redact
 
