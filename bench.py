@@ -269,6 +269,12 @@ def main() -> None:
         ("cur_mix_report", curation.QUERIES["cur_mix_report"]),
         ("hx_refetch_priority", html_extract.QUERIES["hx_refetch_priority"]),
         ("cur_report_approx", curation.QUERIES["cur_report_approx"]),
+        # the four-gate verdict table (checkpointed base + three HOF
+        # gates + broadcast-literal classifier, narrow doc_id joins).
+        # mm_phash_clusters is deliberately NOT benched: its cost is
+        # the mm_phash_dedup decode path (already measured) plus a CC
+        # over a pair graph that is near-empty at bench scale.
+        ("cur_gate_stack", curation.QUERIES["cur_gate_stack"]),
     ]
     # Trained artifacts (BPE vocab, k-means centroids, PQ codebooks)
     # memoize per corpus content — production trains ONCE at index/
